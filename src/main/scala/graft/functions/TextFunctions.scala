@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline: token
+  * counting, shingling, quality scoring, language ID. All built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs — so they fuse into
+  * whole-stage codegen over the document scan and scale linearly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty string → empty array (split would give [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word unit count: runs of word chars or single punctuation —
+    * a cheap, deterministic proxy for tokenizer cost. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-grams (shingles), distinct, joined with single spaces. */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(0), size(toks) - n) // empty when size < n
+    array_distinct(transform(idx, i => concat_ws(" ",
+      (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+
+  def stopwordCount(toks: Column, stops: Seq[String] = EnStop): Column =
+    size(filter(toks, t => t.isin(stops.map(_.asInstanceOf[Any]): _*)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Per-language marker lists for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "y", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Language ID: marker-hit argmax with first-listed-wins tie-break;
+    * "und" (undetermined) when nothing matches. Deterministic, so it is
+    * oracle-checkable as a CASE cascade. */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> stopwordCount(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
+    }
+  }
+}
