@@ -22,11 +22,13 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-grams (shingles), distinct, joined with single spaces. */
+  /** Word n-grams (shingles), distinct, joined with single spaces.
+    * Explicitly guarded for size < n: sequence(0, negative) would count
+    * DOWN (step defaults to -1) and index out of range. */
   def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), size(toks) - n) // empty when size < n
-    array_distinct(transform(idx, i => concat_ws(" ",
-      (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    val grams = array_distinct(transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it")

@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   *  - double SUMs go through a DecimalType cast so the result is independent
   *    of partial-aggregation order (float summation order differs between a
   *    1000-executor cluster run and DuckDB's single-threaded fold; decimal
-  *    addition is associative/exact).
-  *  - small dimension tables (region/nation/supplier/customer) are broadcast
-  *    explicitly — they stay small at any scale factor, so the hint holds at
-  *    100 TB where the fact tables do not.
+  *    addition is associative/exact). The FINAL output is then cast to
+  *    DOUBLE on both the Spark and oracle side: the internal sum is exact,
+  *    so the last cast is a single deterministic rounding that serializes
+  *    identically in both engines (Spark DECIMAL(28,2) vs DuckDB
+  *    DECIMAL(38,2) canonical strings do not).
+  *  - only region/nation are broadcast explicitly — they are O(1)-size
+  *    constants at every scale factor. customer/supplier grow linearly with
+  *    SF, so they get no hint; AQE may still broadcast them at small SF,
+  *    and at 100 TB they correctly shuffle-join.
   *  - final ORDER BY exists only to make the verifier's hash deterministic;
   *    it is the last operator, after aggregation has reduced cardinality.
   */
@@ -28,6 +33,9 @@ object CoreQueries {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact decimal sum, emitted as DOUBLE for cross-engine hash parity. */
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  private def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
   /** q1_agg — TPC-H Q1-style pricing summary: scan + filter + hash agg.
@@ -39,25 +47,25 @@ object CoreQueries {
       .filter($"l_shipdate" <= ts("2000-12-31 00:00:00"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec2($"l_quantity")).as("sum_qty"),
-        sum(dec2($"l_extendedprice")).as("sum_base_price"),
-        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        dsum2($"l_quantity").as("sum_qty"),
+        dsum2($"l_extendedprice").as("sum_base_price"),
+        dsum4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
         // scale 6, not 4: the 3-factor product has exactly 6 decimal digits,
         // so the cast lands on a decimal grid point in both Spark and the
         // oracle; at scale 4 it sits exactly on the .00005 rounding boundary
         // where the engines' rounding modes disagree
         sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")
-          cast DecimalType(18, 6)).as("sum_charge"),
+          cast DecimalType(18, 6)).cast(DoubleType).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -86,24 +94,25 @@ object CoreQueries {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** q3_join_agg — TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
-    * customer is broadcast (small at every sf); orders⋈lineitem is a shuffle
-    * join on the key both sides already aggregate by. */
+    * customer scales with SF so it carries NO broadcast hint (AQE may still
+    * broadcast the filtered side at runtime when it measures small);
+    * orders⋈lineitem is a shuffle join on the key both sides aggregate by. */
   def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
     val ord  = Tables.orders(s, dir).filter($"o_orderdate" < ts("1998-01-01 00:00:00"))
     val li   = Tables.lineitem(s, dir).filter($"l_shipdate" > ts("1998-01-01 00:00:00"))
-    li.join(broadcast(cust).join(ord, $"c_custkey" === $"o_custkey"),
+    li.join(cust.join(ord, $"c_custkey" === $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate")
-      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .agg(dsum4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
 
   val q3Sql: String =
     """SELECT l_orderkey, o_orderdate,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -114,30 +123,34 @@ object CoreQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** q5_join_region — TPC-H Q5-style: 6-table join, dims broadcast, revenue
-    * per nation. The only shuffle joins are the two fact tables. */
+  /** q5_join_region — TPC-H Q5-style: 6-table join, revenue per nation.
+    * Broadcast hints ONLY on region/nation (O(1)-size at any SF). supplier
+    * and customer grow with SF: supplier⋈(nation⋈region) stays a broadcast
+    * of the tiny dim INTO supplier, and the fact joins (lineitem⋈orders,
+    * ⋈customer, ⋈supplier) are shuffle joins that AQE may downgrade to
+    * broadcast at small SF but that survive a 100 TB run. */
   def q5JoinRegion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dims = broadcast(
-      Tables.supplier(s, dir)
-        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
-          $"n_regionkey" === $"r_regionkey"))
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
     val ord = Tables.orders(s, dir)
       .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
               $"o_orderdate" <  ts("1998-01-01 00:00:00"))
     Tables.lineitem(s, dir)
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
-      .join(dims, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"n_name")
-      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .agg(dsum4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   val q5Sql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -160,11 +173,11 @@ object CoreQueries {
               $"l_shipdate" <  ts("1997-01-01 00:00:00") &&
               $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
               $"l_quantity" < 24.0)
-      .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"))
+      .agg(dsum4($"l_extendedprice" * $"l_discount").as("revenue"))
   }
 
   val q6Sql: String =
-    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -199,8 +212,8 @@ object CoreQueries {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy($"o_custkey")
-      .agg(sum(dec2($"o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .agg(dsum2($"o_totalprice").as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"total_spend", $"n_orders")
       .orderBy($"total_spend".desc, $"c_custkey")
       .limit(10)
@@ -208,7 +221,7 @@ object CoreQueries {
 
   val q8Sql: String =
     """SELECT c_custkey, c_name,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
       |  count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_name
@@ -267,7 +280,7 @@ object CoreQueries {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mo"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("total"))
       .orderBy($"yr", $"mo")
   }
 
@@ -275,7 +288,7 @@ object CoreQueries {
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |       CAST(month(o_orderdate) AS INTEGER) AS mo,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
   /** q12_distinct_agg — COUNT(DISTINCT) per group (expand + two-phase agg). */
@@ -298,14 +311,14 @@ object CoreQueries {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("n_items"), sum(dec2($"l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n_items"), dsum2($"l_quantity").as("sum_qty"))
       .filter($"n_items" >= 6)
       .orderBy($"l_orderkey")
   }
 
   val q13Sql: String =
     """SELECT l_orderkey, count(*) AS n_items,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_orderkey
       |HAVING count(*) >= 6 ORDER BY l_orderkey""".stripMargin
 
@@ -347,13 +360,13 @@ object CoreQueries {
     import s.implicits._
     Tables.lineitem(s, dir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), dsum2($"l_quantity").as("sum_qty"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
   val q19Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin

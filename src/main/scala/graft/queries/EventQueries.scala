@@ -101,25 +101,28 @@ object EventQueries {
 
   val q14Sql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q15_time_window — tumbling 1-hour event-time window aggregation: the
     * batch twin of the Structured Streaming windowed agg in
-    * [[graft.streaming.EventStream]]. */
+    * [[graft.streaming.Subscription]]. Window start is emitted as an epoch-ms
+    * BIGINT: Spark's µs timestamps and the oracle's ns timestamps serialize
+    * differently, but truncate to identical milliseconds. */
   def q15TimeWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
-      .orderBy($"hour_start", $"event_type")
+      .groupBy(unix_millis(date_trunc("hour", $"ts")).as("hour_ms"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).cast(DoubleType).as("sum_value"))
+      .orderBy($"hour_ms", $"event_type")
   }
 
   val q15Sql: String =
-    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
 
   /** q16_cdc_latest — O26 latest-change-wins merge as a batch query: one row
     * per key, newest by (ts, event_id). The same window runs inside the
@@ -163,14 +166,14 @@ object EventQueries {
       .groupBy($"user_id", $"sess_seq")
       .agg(count(lit(1)).as("n_events"),
         min($"ms").as("start_ms"), max($"ms").as("end_ms"),
-        sum(dec2($"value")).as("sum_value"))
+        sum(dec2($"value")).cast(DoubleType).as("sum_value"))
       .orderBy($"user_id", $"sess_seq")
   }
 
   val q20Sql: String =
-    """SELECT user_id, sess_seq, count(*) AS n_events,
+    """SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, count(*) AS n_events,
       |  min(ms) AS start_ms, max(ms) AS end_ms,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT user_id, ms, value,
       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
