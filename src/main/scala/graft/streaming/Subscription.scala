@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.stream.Conform
+import graft.stream.Conform.SchemaMismatchException
+
+/** Delivery policy for a sink subscription — mirrors the reference's
+  * BigQuery subscription knobs (`/root/reference/terraform/main.tf:389-415`):
+  * retry with minimum backoff (:402-404), dead-letter after N attempts
+  * (:406-409). Test configs shrink the backoff; semantics are identical.
+  */
+final case class DeliveryPolicy(
+    maxDeliveryAttempts: Int = 5,
+    minBackoffMs: Long = 60000L) {
+  require(maxDeliveryAttempts >= 1)
+}
+
+/** One subscription = one independent streaming cursor over a [[Topic]] with
+  * its own checkpoint (O6/O9) delivering into a parquet sink table (O12)
+  * under the sink-conformance drift rules (O11), with retry (O13) and
+  * dead-letter routing (O14).
+  *
+  * The sink schema is resolved *per micro-batch* via `sinkSchema()` — the
+  * sink table evolves independently of the topic (the whole subject of the
+  * reference lab, `/root/reference/README.md:299-450`), so it must be
+  * re-read each delivery, not captured once at query start.
+  *
+  * Failure semantics (golden G6): a batch whose conformance projection
+  * raises [[SchemaMismatchException]] is retried `maxDeliveryAttempts`
+  * times, then appended — original message payload intact, with error and
+  * attempt-count columns — to the dead-letter topic directory. The
+  * streaming query itself NEVER dies from a schema mismatch; an uncaught
+  * throw inside foreachBatch would kill it (SURVEY.md §7.4).
+  *
+  * Scale: everything inside the batch closure is declarative DataFrame code
+  * — conformance is a zero-shuffle projection, the sink write is a parallel
+  * parquet append — so a micro-batch distributes across however many
+  * executors the cluster has. Per-key ordering (O8) holds because the file
+  * log preserves publish order within a micro-batch and the conformance
+  * path is order-preserving (no shuffle between source and sink files).
+  */
+final class Subscription(
+    val name: String,
+    topic: Topic,
+    checkpointDir: String,
+    policy: DeliveryPolicy = DeliveryPolicy()) {
+
+  /** Start the delivery query. `sinkSchema` is re-evaluated per batch;
+    * `sleep` is injectable so tests don't wait out real backoffs. */
+  def deliverTo(
+      sinkDir: String,
+      topicSchema: StructType,
+      sinkSchema: () => StructType,
+      deadLetterDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sleep: Long => Unit = Thread.sleep): StreamingQuery = {
+
+    topic.stream.writeStream
+      .queryName(name)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        deliverBatch(batch, sinkDir, topicSchema, sinkSchema, deadLetterDir, sleep)
+        ()
+      }
+      .start()
+  }
+
+  /** One delivery attempt loop for one micro-batch. Package-visible for
+    * direct unit testing without a streaming runtime. */
+  private[streaming] def deliverBatch(
+      batch: DataFrame,
+      sinkDir: String,
+      topicSchema: StructType,
+      sinkSchema: () => StructType,
+      deadLetterDir: String,
+      sleep: Long => Unit): Unit = {
+    var attempt = 0
+    var delivered = false
+    var lastError: SchemaMismatchException = null
+    while (!delivered && attempt < policy.maxDeliveryAttempts) {
+      attempt += 1
+      try {
+        val rows = batch
+          .withColumn("__row", from_json(col("value"), topicSchema))
+          .select(col("__row.*"))
+        Conform
+          .conformToSink(Conform.validateAgainstTopic(rows, topicSchema),
+            topicSchema, sinkSchema())
+          .write.mode("append").parquet(sinkDir)
+        delivered = true
+      } catch {
+        case e: SchemaMismatchException =>
+          lastError = e
+          if (attempt < policy.maxDeliveryAttempts) sleep(policy.minBackoffMs)
+      }
+    }
+    if (!delivered) {
+      batch
+        .withColumn("error", lit(lastError.getMessage))
+        .withColumn("delivery_attempts", lit(attempt))
+        .write.mode("append").json(deadLetterDir)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.SchemaRevision
+
+/** File-backed message topic — the engine's stand-in for the reference's
+  * Pub/Sub topic (`/root/reference/terraform/main.tf:366-374`). Zero-egress
+  * environment, so the log is a directory of JSON-line files; the interface
+  * is kept narrow so a real message-bus connector could replace the storage
+  * without touching the pipeline code.
+  *
+  * Message model (one JSON object per line):
+  *   `key`        — ordering key: serialized PK JSON (`/root/reference/README.md:292`)
+  *   `value`      — payload: one flat JSON row (`/root/reference/README.md:290`)
+  *   `attributes` — schema name / encoding / revision id stamped at publish
+  *                  (`/root/reference/README.md:293-295`)
+  *
+  * Scale note: the topic directory is written by a streaming file sink and
+  * read by Spark's streaming file source, so throughput scales with
+  * partition count — there is no driver-side row handling anywhere.
+  */
+final class Topic(val spark: SparkSession, val name: String, val dir: String,
+                  val schema: SchemaRevision) {
+
+  import Topic._
+
+  /** O7 publish validation: every message must parse against the attached
+    * topic schema. Extra fields are legal and PRESERVED in the payload (the
+    * reference's `phone` survives in the raw message, README.md:290, and is
+    * only dropped sink-side) — validation just proves the schema'd fields
+    * are readable. Malformed payloads throw, mirroring Pub/Sub's publish
+    * rejection. Returns the message frame it appended.
+    */
+  def publish(keyed: DataFrame): DataFrame = {
+    val msgs = stamp(keyed)
+    // FAILFAST throws while EVALUATING from_json, so the filter below (which
+    // references the parsed column, defeating column pruning) forces every
+    // payload through the parser before anything is appended — Pub/Sub
+    // rejects at publish time, so must we.
+    try {
+      msgs.withColumn("parsed",
+          from_json(col("value"), schema.schema, Map("mode" -> "FAILFAST")))
+        .filter(col("parsed").isNull && col("value").isNotNull)
+        .limit(1).count()
+    } catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"message does not conform to topic schema '${schema.name}' rev ${schema.revisionId}", e)
+    }
+    msgs.write.mode("append").json(dir)
+    msgs
+  }
+
+  /** Streaming publish: per micro-batch, the same validate+stamp+append as
+    * batch [[publish]] (the Debezium→Pub/Sub hop in the reference). Caller
+    * supplies the checkpoint dir (O6 — offsets commit per micro-batch).
+    * foreachBatch, not a streaming file sink: a file sink's `_spark_metadata`
+    * log would shadow batch-published files and break retention pruning. */
+  def publishStream(keyed: DataFrame, checkpointDir: String) =
+    keyed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => publish(batch); () }
+
+  private def stamp(keyed: DataFrame): DataFrame =
+    keyed.select(
+      col("key"),
+      col("value"),
+      map(
+        lit("googclient_schemaencoding"), lit("JSON"),
+        lit("googclient_schemaname"), lit(s"schemas/$name"),
+        lit("googclient_schemarevisionid"), lit(schema.revisionId)
+      ).as("attributes"))
+
+  /** Streaming read — one independent cursor per subscription (each
+    * subscription brings its own checkpoint, giving Pub/Sub's independent-
+    * cursor fan-out, O9). */
+  def stream: DataFrame =
+    spark.readStream.schema(messageSchema).json(dir)
+
+  /** Batch read of the whole retained log (inspection surface). */
+  def read: DataFrame = {
+    // an un-published-to topic has no files; model as empty log, not error
+    if (!Files.exists(Paths.get(dir))) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], messageSchema)
+    } else spark.read.schema(messageSchema).json(dir)
+  }
+
+  /** O15 pull: limit-style inspection read, like
+    * `gcloud pubsub subscriptions pull` (`/root/reference/README.md:281-296`). */
+  def pull(n: Int = 1): Array[Row] = read.limit(n).collect()
+
+  /** O10 retention: drop log files whose modification time is older than
+    * `retentionSeconds` — wall-clock pruning, the file-log analog of
+    * `message_retention_duration` (`/root/reference/terraform/main.tf:379,401`). */
+  def pruneRetention(retentionSeconds: Long, nowMs: Long = System.currentTimeMillis()): Int = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return 0
+    val cutoff = nowMs - retentionSeconds * 1000L
+    val it = Files.list(root).iterator()
+    var pruned = 0
+    while (it.hasNext) {
+      val p = it.next()
+      val fn = p.getFileName.toString
+      if (fn.endsWith(".json") && Files.getLastModifiedTime(p).toMillis < cutoff) {
+        Files.delete(p); pruned += 1
+      }
+    }
+    pruned
+  }
+}
+
+object Topic {
+  /** Wire schema of one logged message. */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("attributes", MapType(StringType, StringType))))
+}
