@@ -8,6 +8,7 @@ object GraftSession {
 
   /** Configs that must be on every session running this engine. */
   def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.privacy.GraftExtensions")
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

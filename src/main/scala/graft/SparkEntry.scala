@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries}
+import graft.queries.{CoreQueries, EventQueries, PrivacyQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     CoreQueries.q5JoinRegion(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ EventQueries.queries
+    CoreQueries.queries ++ EventQueries.queries ++ PrivacyQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ EventQueries.oracles
+    CoreQueries.oracles ++ EventQueries.oracles ++ PrivacyQueries.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles
 }

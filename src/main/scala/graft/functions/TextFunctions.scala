@@ -23,12 +23,21 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word n-grams (shingles), distinct, joined with single spaces.
-    * Explicitly guarded for size < n: sequence(0, negative) would count
-    * DOWN (step defaults to -1) and index out of range. */
+    *
+    * Built as `zip_with` over n shifted slices rather than indexed
+    * `element_at` inside a `transform` lambda: higher-order functions are
+    * interpreted (no codegen), and an expression nested in a lambda body is
+    * re-evaluated per ELEMENT — indexing would re-run the upstream
+    * tokenizer O(tokens·n) times per row. zip_with's array arguments are
+    * evaluated once per row; the lambda touches only element variables.
+    * Documents shorter than n tokens yield an empty array (slice length
+    * clamped at 0). */
   def shingles(toks: Column, n: Int): Column = {
-    val grams = array_distinct(transform(sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val grams = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(grams)
   }
 
   val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in", "it")

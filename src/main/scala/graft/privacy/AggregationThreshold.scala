@@ -1,0 +1,148 @@
+package graft.privacy
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Aggregation-threshold privacy policy for a view (O23) — the semantics of
+  * the reference's clean-room policy view
+  * (`/root/reference/sql/sp_demo_cleanroom.sql:51-57`):
+  *
+  * ```
+  * privacy_policy = {aggregation_threshold_policy:
+  *   {threshold: 2, privacy_unit_columns: "customer_id"}}
+  * ```
+  *
+  * Enforced rules, matching BigQuery's documented behavior:
+  *  1. any query reading the view MUST aggregate — raw-row access is
+  *     rejected at analysis time;
+  *  2. every output group must be backed by >= `threshold` DISTINCT values
+  *     of the privacy-unit column — under-threshold groups are suppressed.
+  */
+final case class AggregationThresholdPolicy(unitColumn: String, threshold: Int)
+
+/** Session-global registry of policy-bearing view names. Driver-side
+  * control-plane metadata (a few entries), like the schema registry. */
+object PolicyCatalog {
+  private val policies = new ConcurrentHashMap[String, AggregationThresholdPolicy]()
+
+  def setPolicy(viewName: String, policy: AggregationThresholdPolicy): Unit =
+    policies.put(viewName.toLowerCase, policy)
+  def policyFor(viewName: String): Option[AggregationThresholdPolicy] =
+    Option(policies.get(viewName.toLowerCase))
+  def clear(): Unit = policies.clear()
+}
+
+final class PolicyViolationException(msg: String)
+  extends org.apache.spark.sql.AnalysisException(
+    errorClass = "_LEGACY_ERROR_TEMP_3100", messageParameters = Map("message" -> msg))
+
+/** The one custom Catalyst rule this engine needs (SURVEY.md §4). Injected
+  * post-resolution: at that point temp-view references still appear as
+  * [[SubqueryAlias]] nodes carrying the view name, so policy views are
+  * identifiable by name.
+  *
+  * For each policy-view reference, the NEAREST enclosing [[Aggregate]] is
+  * rewritten from `Agg[groups, aggs]` to
+  * `Project[aggs] <- Filter[count(DISTINCT unit) >= t] <- Agg[groups, aggs + cd]`
+  * — the suppression predicate runs AFTER grouping, on the already-reduced
+  * groups, so at scale it costs one extra distinct-count in the same
+  * aggregation pass (no extra shuffle). A reference with no enclosing
+  * aggregate anywhere fails analysis.
+  */
+class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val CdPrefix = "__privacy_cd_"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val (out, pending) = protectPlan(plan)
+    if (pending.nonEmpty)
+      throw new PolicyViolationException(
+        s"view(s) ${pending.map(_._1).distinct.mkString(", ")} carry an aggregation " +
+          "threshold privacy policy: queries must aggregate (no raw row access)")
+    out
+  }
+
+  /** Bottom-up walk returning the rewritten plan plus policy-view references
+    * not yet covered by an enclosing Aggregate. */
+  private def protectPlan(p: LogicalPlan): (LogicalPlan, Seq[(String, AggregationThresholdPolicy)]) =
+    p match {
+      case s: SubqueryAlias =>
+        val (child, pending) = protectPlan(s.child)
+        val here = PolicyCatalog.policyFor(s.identifier.name).map(s.identifier.name -> _)
+        (s.withNewChildren(Seq(child)), pending ++ here)
+
+      case a: Aggregate =>
+        val (child, pending) = protectPlan(a.child)
+        val a2 = a.withNewChildren(Seq(child)).asInstanceOf[Aggregate]
+        if (pending.isEmpty) (a2, Nil)
+        else if (alreadyProtected(a2)) (a2, Nil) // re-analysis of a rewritten subtree
+        else (rewrite(a2, pending), Nil)
+
+      case other =>
+        val results = other.children.map(protectPlan)
+        val rebuilt =
+          if (other.children.isEmpty) other else other.withNewChildren(results.map(_._1))
+        (rebuilt, results.flatMap(_._2))
+    }
+
+  private def alreadyProtected(a: Aggregate): Boolean =
+    a.aggregateExpressions.exists {
+      case al: Alias => al.name.startsWith(CdPrefix)
+      case _ => false
+    }
+
+  private def rewrite(a: Aggregate, pending: Seq[(String, AggregationThresholdPolicy)]): LogicalPlan = {
+    val resolver = spark.sessionState.conf.resolver
+    // one distinct-count per distinct privacy-unit column, max threshold wins
+    val byUnit = pending.groupBy(_._2.unitColumn.toLowerCase).map { case (_, ps) =>
+      (ps.head._2.unitColumn, ps.map(_._2.threshold).max)
+    }.toSeq
+    val cds: Seq[(Alias, Int)] = byUnit.zipWithIndex.map { case ((unit, t), i) =>
+      val attr = a.child.output.find(o => resolver(o.name, unit)).getOrElse(
+        throw new PolicyViolationException(
+          s"privacy unit column '$unit' not found below the aggregate " +
+            "(it must not be projected away before aggregation)"))
+      (Alias(Count(attr).toAggregateExpression(isDistinct = true), s"$CdPrefix$i")(), t)
+    }
+    val widened = a.copy(aggregateExpressions = a.aggregateExpressions ++ cds.map(_._1))
+    val cond: Expression = cds
+      .map { case (al, t) => GreaterThanOrEqual(al.toAttribute, Literal(t.toLong)) }
+      .reduce[Expression](And(_, _))
+    val visible: Seq[NamedExpression] = a.aggregateExpressions.map(_.toAttribute)
+    Project(visible, Filter(cond, widened))
+  }
+}
+
+/** `SparkSessionExtensions` entry point — wire with
+  * `.config("spark.sql.extensions", "graft.privacy.GraftExtensions")`
+  * (done by [[graft.GraftSession]]). Installs the privacy rule and the
+  * engine's native SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import graft.functions.expressions.{DotProduct, MinHashSignature}
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args(1) match {
+          case Literal(n: Int, _) => MinHashSignature(args(0), n)
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash(arr, n): n must be an integer literal, got $other")
+        }))
+  }
+}

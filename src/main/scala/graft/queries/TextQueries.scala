@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DedupFunctions, TextFunctions}
+
+/** Training-data text operators over the `documents` table: quality stats,
+  * language ID, fingerprint dedup, MinHash-LSH near-dup, SimHash.
+  *
+  * Every oracle replays the SAME deterministic computation in DuckDB SQL
+  * (md5-based hashing, identical tokenization), so the driver hash-compares
+  * the full pipeline — not just row counts.
+  *
+  * Oracle-side building block used below (DuckDB list comprehensions):
+  * 3-gram shingles of whitespace tokens, distinct.
+  */
+object TextQueries {
+
+  /** DuckDB fragment: whitespace tokens of `text`. */
+  private val Toks = """string_split_regex(trim(text), '\s+')"""
+  /** DuckDB fragment: distinct 3-gram shingles over `toks`. */
+  private val Shingles3 =
+    """list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') for i in range(1, len(toks)-1)])"""
+
+  // ---------------------------------------------------------------- q21
+
+  /** q21_text_stats — per-document token counts, BPE-ish subword count,
+    * stopword/punctuation counts, stopword ratio, language guess. Pure
+    * column algebra: one codegen pass over the scan, no shuffle. */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // toks is multi-referenced downstream (counts, ratio, langId) — as a
+    // real column it tokenizes once per row (CollapseProject keeps
+    // multi-use non-trivial aliases)
+    val nStop = TextFunctions.stopwordCount($"toks")
+    val nTok = size($"toks")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", TextFunctions.tokens($"text").as("toks"))
+      .select(
+        $"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        TextFunctions.bpeishCount($"text").cast("long").as("n_bpeish"),
+        nStop.cast("long").as("n_stop"),
+        TextFunctions.punctCount($"text").cast("long").as("n_punct"),
+        // ratio emitted as floor(r * 1e6): one deterministic double division +
+        // floor serializes identically in both engines (round() half-grid
+        // cases would not)
+        floor(nStop * lit(1000000.0) / nTok).cast("long").as("stop_ratio_e6"),
+        TextFunctions.langId($"toks").as("lang_guess"))
+      .orderBy($"doc_id")
+  }
+
+  val q21Sql: String = {
+    val en = Seq("the", "a", "of", "and", "is")
+    val fr = Seq("le", "la", "et", "les", "des")
+    val es = Seq("el", "los", "que", "y", "las")
+    val de = Seq("der", "die", "und", "das", "ist")
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+       |  CAST(${cnt(stops)} AS BIGINT) AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_e6,
+       |  CASE
+       |    WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
+       |    WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
+       |    WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
+       |    WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
+       |    ELSE 'und' END AS lang_guess
+       |FROM (SELECT doc_id, text, $Toks AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+
+  /** q23_dedup_fingerprint — exact dedup by content fingerprint: md5 over
+    * the sorted distinct 3-shingle set maps reordered/duplicated documents
+    * to one canonical doc_id. One shuffle (window over fp); at scale this is
+    * the standard hash-partition dedup: fingerprints distribute uniformly. */
+  def q23DedupFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withFp = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id",
+        md5(concat_ws("|", array_sort(TextFunctions.shingles($"toks", 3)))
+          .cast("binary")).as("fp"))
+    val w = Window.partitionBy($"fp")
+    withFp.select(
+      $"doc_id", $"fp",
+      min($"doc_id").over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("n_copies"))
+      .orderBy($"doc_id")
+  }
+
+  val q23Sql: String =
+    s"""SELECT doc_id, fp,
+       |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       |  count(*) OVER (PARTITION BY fp) AS n_copies
+       |FROM (SELECT doc_id,
+       |        md5(list_aggregate(list_sort($Shingles3), 'string_agg', '|')) AS fp
+       |      FROM (SELECT doc_id, $Toks AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+
+  /** q24_dedup_minhash — MinHash-LSH near-duplicate pairs: 16 md5-seeded
+    * minhashes, 8 bands × 2 rows, candidates from the band-bucket self-join,
+    * exact-Jaccard verification at 0.5.
+    *
+    * NEVER all-pairs: the only join is bucket-to-bucket on band keys, so
+    * cost scales with Σ bucket² (collisions), not N². The oracle IS
+    * all-pairs — affordable at sf0.01 only — which also proves the LSH
+    * candidate set loses no true pair on this data (true pairs sit at
+    * J ≥ 0.96, where 8×2 bands miss with p ≈ 1e-10). */
+  def q24DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", TextFunctions.shingles($"toks", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    // sig materialized below a Generate (explode) — the generator references
+    // the sig ATTRIBUTE, so the 16-hash MinHash pass runs once per row, not
+    // once per band
+    val sig = sh.select($"doc_id", DedupFunctions.minhashSignature($"sh", 16).as("sig"))
+    val bands = sig.select($"doc_id",
+        explode(DedupFunctions.bandKeys($"sig", 8, 2)).as("bk"))
+    // candidates via groupBy-bucket + in-bucket pair expansion, NOT a
+    // self-join: a self-join would evaluate the whole minhash subtree twice
+    // (broadcast joins defeat exchange reuse); this shape computes it once
+    // and shuffles only (bk, doc_id) pairs
+    val cand = bands.groupBy($"bk")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(DedupFunctions.pairExpand($"ids")).as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
+      .distinct()
+    val shA = sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val shB = sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val jac = DedupFunctions.jaccard($"sh_a", $"sh_b")
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .filter(jac >= 0.5)
+      .select($"doc_a", $"doc_b", round(jac, 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q24Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $Shingles3 AS s
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE
+       |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+
+  /** q27_simhash — per-document 16-bit SimHash fingerprint (near-dup
+    * bucketing key: equal fingerprints = candidate bucket, groupable with
+    * ONE shuffle on a 2-byte key — the cheapest near-dup blocking). */
+  def q27Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        DedupFunctions.tokenHashes(TextFunctions.tokens($"text")).as("hs"))
+      .select($"doc_id", DedupFunctions.simhashOfHashes($"hs").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val q27Sql: String = {
+    val bits = (1 to DedupFunctions.SimhashBits).map { j =>
+      val w = 1L << (DedupFunctions.SimhashBits - j)
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(hs) THEN $w ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats"        -> (q21TextStats _),
+    "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
+    "q24_dedup_minhash"     -> (q24DedupMinhash _),
+    "q27_simhash"           -> (q27Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_text_stats"        -> q21Sql,
+    "q23_dedup_fingerprint" -> q23Sql,
+    "q24_dedup_minhash"     -> q24Sql,
+    "q27_simhash"           -> q27Sql)
+}

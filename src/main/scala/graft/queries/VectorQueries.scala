@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Both engines compute cosine in FLOAT64 (elements widened exactly from
+  * float32), and every exported similarity is `round(cos, 4)` — rank and
+  * filter both use the ROUNDED value, so a last-ulp difference in summation
+  * order between engines cannot flip a rank or a threshold.
+  *
+  * All vector math is `zip_with`/`aggregate` column algebra — codegen'd,
+  * no UDFs, no driver-side collects.
+  */
+object VectorQueries {
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native codegen'd dot product ([[graft.functions.expressions.DotProduct]],
+    * registered as `graft_dot` by GraftExtensions) — the interpreted
+    * `aggregate(zip_with(...))` formulation is ~10× slower per pair. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB fragment: cosine of two DOUBLE lists `$a` and `$b`. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum([$a[i] * $b[i] for i in range(1, len($a)+1)])
+       |      / (sqrt(list_sum([x*x for x in $a])) * sqrt(list_sum([x*x for x in $b])))""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+
+  /** q25_ann_topk — exact top-3 cosine neighbors for the first 5 vectors:
+    * the brute-force ANN baseline. The k query vectors are BROADCAST
+    * against one scan of the embedding table — at 100 TB this is the
+    * correct shape (k × N work, one pass, no shuffle of the big side);
+    * the IVF-style scale path (probe only matching coarse cells) is
+    * q26's blocked join. */
+  def q25AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // norms computed once per row BEFORE the join — inside the join they
+    // would be recomputed per pair
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q25Sql: String =
+    s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |prs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+       |    round(${duckCos("q.v", "n.v")}, 4) AS cos_r
+       |  FROM e q JOIN e n ON q.vec_id < 5 AND n.vec_id <> q.vec_id)
+       |SELECT q_id, rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM prs) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+
+  /** q26_embed_neardup — embedding-cosine near-dup pairs with BLOCKED
+    * self-join: only vectors sharing a coarse cluster (here the `label`
+    * column, standing in for an IVF cell / LSH bucket id) are compared.
+    * Cost is Σ cell² instead of N² — the scale path for near-dup mining. */
+  def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", dvec($"embedding").as("v"))
+      .select($"vec_id", $"label", $"v", norm($"v").as("nrm"))
+    val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosR.as("cos_r"))
+      .filter($"cos_r" >= 0.40)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q26Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${duckCos("a.v", "b.v")}, 4) AS cos_r
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+       |WHERE cos_r >= 0.40
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_ann_topk"      -> (q25AnnTopK _),
+    "q26_embed_neardup" -> (q26EmbedNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q25_ann_topk"      -> q25Sql,
+    "q26_embed_neardup" -> q26Sql)
+}

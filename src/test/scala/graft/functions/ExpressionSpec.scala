@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential tests: each native codegen'd expression must agree with the
+  * composable (interpreted) formulation it replaces, including null/empty
+  * edge cases — the composable path is the executable spec. */
+class ExpressionSpec extends SparkSpec {
+
+  test("graft_dot equals aggregate(zip_with(...)) on random-ish vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(0.0, 0.0)),
+      (Seq(-1.5, 2.25, 1e10, 1e-10), Seq(2.0, -4.0, 1e-10, 1e10)))
+      .toDF("a", "b")
+    val composable = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(call_function("graft_dot", $"a", $"b").as("native"),
+      composable.as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("graft_dot null propagation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(df.select(call_function("graft_dot", $"a", $"b")).head().isNullAt(0))
+  }
+
+  test("graft_minhash is a well-formed MinHash (order-invariant, dup-invariant, monotone under containment)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")),          // same set, different order
+      (3L, Seq("a b c", "a b c", "b c d", "c d e")), // same set with dups
+      (4L, Seq("a b c", "b c d"))                    // subset
+    ).toDF("id", "sh")
+    val sigs = df.select($"id", DedupFunctions.minhashSignature($"sh", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) === sigs(3L))
+    // every subset minimum is >= the superset minimum
+    sigs(4L).zip(sigs(1L)).foreach { case (sub, sup) => assert(sub >= sup) }
+    assert(sigs(1L).distinct.size > 1) // not degenerate
+  }
+
+  test("graft_minhash null on empty array, null on null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("id", "sh")
+    val rows = df.select(DedupFunctions.minhashSignature($"sh", 4)).collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("pairExpand produces ordered pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Seq(3L, 5L, 9L)).toDF("ids")
+    val pairs = df.select(explode(DedupFunctions.pairExpand($"ids")).as("p"))
+      .select($"p.a", $"p.b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 5L), (3L, 9L), (5L, 9L)))
+  }
+
+  test("shingles equals the indexed formulation on varied inputs") {
+    val s = spark
+    import s.implicits._
+    for (text <- Seq("a b c d e", "a", "", "x y", "a a a a", "p q r")) {
+      val df = Seq(text).toDF("t")
+        .select(TextFunctions.tokens($"t").as("toks"))
+      val got = df.select(TextFunctions.shingles($"toks", 3)).head().getSeq[String](0)
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = if (toks.size < 3) Seq.empty
+                 else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(got === want, s"text='$text'")
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.privacy
+
+import org.scalatest.BeforeAndAfterEach
+
+import graft.SparkSpec
+
+/** Both branches of the privacy rule (O23): suppression of under-threshold
+  * groups, and rejection of raw-row access — pinned to the reference's
+  * clean-room policy (`/root/reference/sql/sp_demo_cleanroom.sql:51-57`). */
+class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = PolicyCatalog.clear()
+
+  private def setupTrips(): Unit = {
+    val s = spark
+    import s.implicits._
+    // city A: 2 distinct customers; city B: 1; city C: 3
+    Seq(
+      (1L, 101L, "A", 10.0), (2L, 102L, "A", 20.0), (3L, 101L, "A", 5.0),
+      (4L, 201L, "B", 7.0),  (5L, 201L, "B", 9.0),
+      (6L, 301L, "C", 1.0),  (7L, 302L, "C", 2.0), (8L, 303L, "C", 3.0))
+      .toDF("trip_id", "customer_id", "city", "fare")
+      .createOrReplaceTempView("trips")
+    spark.sql("CREATE OR REPLACE TEMP VIEW trip_pp AS SELECT * FROM trips")
+    PolicyCatalog.setPolicy("trip_pp", AggregationThresholdPolicy("customer_id", 2))
+  }
+
+  test("groups below the distinct-unit threshold are suppressed") {
+    setupTrips()
+    val out = spark.sql(
+      "SELECT city, count(*) AS n, sum(fare) AS total FROM trip_pp GROUP BY city")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // city B (1 distinct customer) suppressed; A and C kept
+    assert(out === Seq(("A", 3L, 35.0), ("C", 3L, 6.0)))
+  }
+
+  test("grouping by the privacy unit itself suppresses every group") {
+    setupTrips()
+    assert(spark.sql("SELECT customer_id, count(*) FROM trip_pp GROUP BY customer_id")
+      .count() === 0)
+  }
+
+  test("raw-row access through the policy view is rejected") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql("SELECT * FROM trip_pp").collect())
+    assert(e.getMessage.contains("must aggregate"))
+  }
+
+  test("filters and joins below the aggregate are allowed; threshold still applies") {
+    setupTrips()
+    val out = spark.sql(
+      """SELECT city, count(*) AS n FROM trip_pp WHERE fare > 1.0 GROUP BY city""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // C loses trip 6 (fare 1.0) -> still 2 distinct customers -> kept
+    assert(out === Seq(("A", 3L), ("C", 2L)))
+  }
+
+  test("global aggregate (no GROUP BY) passes when enough distinct units") {
+    setupTrips()
+    val n = spark.sql("SELECT count(*) AS n FROM trip_pp").collect()(0).getLong(0)
+    assert(n === 8L)
+  }
+
+  test("unrelated views are untouched") {
+    setupTrips()
+    assert(spark.sql("SELECT * FROM trips").count() === 8L)
+  }
+
+  test("composing on top of an aggregated DataFrame does not double-enforce") {
+    setupTrips()
+    val agg = spark.sql("SELECT city, count(*) AS n FROM trip_pp GROUP BY city")
+    val out = agg.filter("n >= 0").orderBy("city").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("A", "C"))
+  }
+}
