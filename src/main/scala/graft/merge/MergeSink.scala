@@ -1,0 +1,90 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Datastream-parity merge path (SURVEY.md §2 O25/O26): batch backfill ∪
+  * streaming CDC tail, applied to the sink as LATEST-CHANGE-WINS per key —
+  * the sink table converges to the source (upsert), in contrast to the
+  * append-only subscription sink.
+  *
+  * Layout: the merged table is hash-partitioned into `numBuckets` key
+  * buckets (`part=pmod(xxhash64(key), n)` directory partitions). Each merge
+  * batch rewrites ONLY the buckets its keys touch (dynamic partition
+  * overwrite), reading back just those buckets for the merge — at 100 TB a
+  * micro-batch touching 0.1% of keys rewrites ~0.1% of the table, not all
+  * of it. Within a rewrite, the merge itself is one window over the key —
+  * the same `row_number` latest-wins the batch-twin query q16 verifies
+  * against DuckDB.
+  */
+final class MergeSink(
+    spark: SparkSession,
+    tableDir: String,
+    keyCol: String,
+    orderCols: Seq[String],
+    numBuckets: Int = 64) {
+
+  private val partCol = "__part"
+
+  private def withPart(df: DataFrame): DataFrame =
+    df.withColumn(partCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+
+  /** Merge one batch of change rows into the table: latest row per key wins,
+    * ordering by `orderCols` (e.g. change timestamp, then a unique
+    * change id as tie-break) — both compared descending. Idempotent:
+    * re-applying a batch yields the identical table state. */
+  def merge(batch: DataFrame): Unit = {
+    val spark = this.spark
+    val newPart = withPart(batch)
+    val touched = newPart.select(partCol).distinct()
+      .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
+    if (touched.isEmpty) return
+
+    val existingOpt =
+      if (new java.io.File(tableDir).exists())
+        Some(spark.read.parquet(tableDir)
+          .filter(col(partCol).isin(touched.toSeq: _*)))
+      else None
+    val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc) :+ col(partCol).desc: _*)
+    val merged = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      // materialize before the write: Spark (correctly) refuses to overwrite
+      // a path that is also a read source of the same plan. Cost is bounded
+      // by the TOUCHED buckets, not the table
+      .localCheckpoint(true)
+
+    // dynamic overwrite: only the touched part= directories are replaced
+    merged.write
+      .partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(tableDir)
+  }
+
+  /** Current table state (without the internal partition column). */
+  def read(): DataFrame =
+    spark.read.parquet(tableDir).drop(partCol)
+
+  /** O25: backfill-then-stream. The batch snapshot is merged first (the
+    * `--backfill-all` initial load), then the change stream is applied per
+    * micro-batch through the same idempotent merge. */
+  def backfillThenStream(
+      backfill: DataFrame,
+      changes: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    merge(backfill)
+    changes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => merge(batch); () }
+      .start()
+  }
+}

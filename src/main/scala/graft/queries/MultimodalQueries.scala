@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column query surface (oracle-checkable slice): binary content
+  * + metadata column algebra. The partition-batched stub-decode path lives
+  * in [[graft.multimodal.Multimodal]] (mapPartitions is not
+  * SQL-expressible, so it is covered by unit tests instead of the oracle).
+  */
+object MultimodalQueries {
+
+  /** q28_media_meta — media table synthesized from documents (text bytes as
+    * opaque content), then pure binary/metadata column algebra: byte
+    * length, content digest, stub "dimensions". Everything here runs in one
+    * codegen pass over the scan — the shape a metadata-pruning pass over
+    * 100 TB of media has (never decode to answer metadata queries). */
+  def q28MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        $"text".cast("binary").as("content"),
+        $"source")
+      .select(
+        $"media_id",
+        concat(lit("img-"), $"source").as("kind"),
+        length($"content").cast("long").as("n_bytes"),
+        md5($"content").as("content_md5"),
+        (length($"content") % 640 + 1).cast("int").as("width"),
+        (length($"content") % 480 + 1).cast("int").as("height"))
+      .orderBy($"media_id")
+  }
+
+  val q28Sql: String =
+    """SELECT doc_id AS media_id,
+      |  'img-' || source AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** q29_clustered_scan — O21 end to end: clustered bulk load of lineitem
+    * (repartition + sortWithinPartitions on the cluster key), then a
+    * key-range scan against the clustered table. The sorted layout gives
+    * parquet row-group min/max pruning on exactly this predicate shape; the
+    * oracle runs the same range scan on the raw table — identical rows
+    * prove the load was lossless. */
+  def q29ClusteredScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sql.CleanRoom.loadClustered(
+      s, s"$dir/lineitem.parquet", "q29_lineitem_clustered", "l_orderkey")
+    s.table("q29_lineitem_clustered")
+      .filter($"l_orderkey" >= 100 && $"l_orderkey" <= 200)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q29Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_media_meta"    -> (q28MediaMeta _),
+    "q29_clustered_scan" -> (q29ClusteredScan _))
+
+  val oracles: Map[String, String] = Map(
+    "q28_media_meta"    -> q28Sql,
+    "q29_clustered_scan" -> q29Sql)
+}

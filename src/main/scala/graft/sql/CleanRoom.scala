@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Clean-room SQL layer (SURVEY.md §2 O16–O24): DDL/DML surface, clustered
+  * bulk load, views, stored procedures — the Spark rendering of
+  * `/root/reference/sql/sp_demo_cleanroom.sql` and the `bq mk/rm` +
+  * `CREATE/ALTER/DROP/INSERT` statements the reference lab issues
+  * (`/root/reference/sql/pubsub2bq.sql:3-13`, `/root/reference/README.md:228,386-391`).
+  *
+  * DDL/DML goes straight through `spark.sql` against the session catalog —
+  * Catalyst's parser/analyzer/catalog ARE the implementation; this object
+  * only adds the two behaviors Spark does not ship: clustered bulk load and
+  * a stored-procedure registry.
+  */
+object CleanRoom {
+
+  /** O21: `LOAD DATA OVERWRITE … CLUSTER BY k FROM FILES(parquet)`
+    * (`/root/reference/sql/sp_demo_cleanroom.sql:43-47`).
+    *
+    * Rendering: hash-repartition on the cluster key, sort within partitions,
+    * write parquet. Each output file then covers a narrow key range, so
+    * parquet row-group min/max statistics prune scans on the cluster key —
+    * BigQuery clustering's data-skipping, in Parquet terms. At 100 TB the
+    * repartition is the one (unavoidable) shuffle and everything else is
+    * embarrassingly parallel. */
+  def loadClustered(spark: SparkSession, sourceGlob: String, table: String,
+                    clusterKey: String): Unit = {
+    // LOAD DATA OVERWRITE semantics, robust across JVMs: an in-memory
+    // catalog forgets managed tables on restart but their warehouse
+    // directories survive — clear both
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    spark.read.parquet(sourceGlob)
+      .repartition(col(clusterKey))
+      .sortWithinPartitions(clusterKey)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** O22: plain view over a table (`sp_demo_cleanroom.sql:60-63`). */
+  def createView(spark: SparkSession, name: String, selectSql: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $selectSql")
+
+  /** O23 companion: a view carrying an aggregation-threshold privacy policy
+    * (`sp_demo_cleanroom.sql:51-57`) — the policy registration plus the
+    * view definition in one step; enforcement is the injected Catalyst rule
+    * ([[graft.privacy.AggregationThresholdRule]]). */
+  def createPolicyView(spark: SparkSession, name: String, selectSql: String,
+                       privacyUnitColumn: String, threshold: Int): Unit = {
+    createView(spark, name, selectSql)
+    graft.privacy.PolicyCatalog.setPolicy(name,
+      graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
+  }
+
+  /** O24: stored procedures — a named, ordered statement list executed via
+    * `spark.sql` (`sp_demo_cleanroom.sql:1-2,79`). Returns the result of
+    * the LAST statement, like a procedure ending in a SELECT. */
+  final case class Procedure(name: String, statements: Seq[String]) {
+    require(statements.nonEmpty, s"procedure $name has no statements")
+    def call(spark: SparkSession): DataFrame =
+      statements.map(spark.sql).last
+  }
+
+  private val procedures =
+    new java.util.concurrent.ConcurrentHashMap[String, Procedure]()
+
+  def createProcedure(p: Procedure): Unit = procedures.put(p.name.toLowerCase, p)
+  def callProcedure(spark: SparkSession, name: String): DataFrame =
+    Option(procedures.get(name.toLowerCase))
+      .getOrElse(throw new NoSuchElementException(s"no procedure '$name'"))
+      .call(spark)
+}
