@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time streaming operators over event-shaped data (`ts`, `user_id`,
+  * `event_type`, `value`): watermarked tumbling windows, native gap
+  * sessions, and custom per-key state. Each function takes a DataFrame that
+  * may be BATCH or STREAMING — identical semantics either way, which is how
+  * the specs verify them (stream result ≡ batch result on the same data)
+  * and how a backfill can reuse the live-query code path.
+  *
+  * Scale: every operator here shuffles once on its grouping key and holds
+  * only per-group state; watermarks bound state size for unbounded streams.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour event-time aggregation with a watermark — the
+    * streaming twin of the batch query `q15_time_window`. The watermark
+    * lets Spark finalize + evict window state once event time passes
+    * `window end + delay`; without it an unbounded stream's state grows
+    * forever. */
+  def hourlyStats(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_millis($"window.start").as("hour_ms"), $"event_type",
+        $"n", $"sum_value")
+  }
+
+  /** Gap-based sessions via native `session_window` (30-min inactivity) —
+    * the declarative streaming twin of `q20_sessionize`'s window-function
+    * formulation. Catalyst merges overlapping session fragments across
+    * micro-batches; the watermark finalizes sessions. */
+  def gapSessions(events: DataFrame, gap: String = "30 minutes",
+                  watermarkDelay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select($"user_id",
+        unix_millis($"session_window.start").as("start_ms"),
+        unix_millis($"session_window.end").as("end_ms"),
+        $"n_events", $"sum_value")
+  }
+
+  final case class EventRow(ts: java.sql.Timestamp, user_id: Long,
+                            event_type: String, value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long, sum_value: Double)
+
+  /** Custom per-key state (the `flatMapGroupsWithState` surface): emits a
+    * finalized session row when a key's inactivity gap elapses in EVENT
+    * time within the group's sorted batch, and on state timeout for the
+    * tail session. Use when session output needs logic `session_window`
+    * can't express (e.g. emitting partial summaries, side effects,
+    * capped-length sessions). */
+  def statefulSessions(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed: close the tail session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = ms, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessionState(ms, ms, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+/** Streaming event-time operators: the STREAMING result must equal the
+  * BATCH result of the same function over the same data — the operators are
+  * mode-agnostic by design, so the batch run is the executable oracle. */
+class EventStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run `f` over the events table as a file STREAM (AvailableNow).
+    * In append mode a window only emits once the WATERMARK passes its end,
+    * and the watermark stops at the max seen event time — so the tail
+    * window(s) would stay open forever. A far-future sentinel event is
+    * appended as a SECOND micro-batch (maxFilesPerTrigger=1; watermark
+    * advances between batches) to flush every real window, then filtered
+    * back out of the result. */
+  private def streamed(f: DataFrame => DataFrame,
+                       dropSentinel: DataFrame => DataFrame): DataFrame = {
+    val root = tmpDir("evstream")
+    val ev = Tables.events(spark, sf)
+    ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("append").text(s"$root/src/b1")
+    Thread.sleep(1100) // file source orders batches by modification time
+    val s = spark
+    import s.implicits._
+    Seq("""{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"__flush","value":0.0,"props":"{}"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
+    val q = f(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dropSentinel(spark.read.parquet(s"$root/out"))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("watermarked hourly window agg: stream ≡ batch (q15 twin)") {
+    // watermark far beyond the data's time span -> no row is late; every
+    // window finalizes when the AvailableNow stream drains
+    val streamRes = streamed(EventStream.hourlyStats(_, watermarkDelay = "0 seconds"),
+      _.filter(col("event_type") =!= "__flush"))
+    val batchRes = EventStream.hourlyStats(Tables.events(spark, sf))
+    assert(canon(streamRes) === canon(batchRes))
+    assert(streamRes.count() > 0)
+  }
+
+  test("session_window gap sessions: stream ≡ batch (q20 twin)") {
+    val streamRes = streamed(EventStream.gapSessions(_, watermarkDelay = "0 seconds"),
+      _.filter(col("user_id") =!= -1L))
+    val batchRes = EventStream.gapSessions(Tables.events(spark, sf))
+    assert(canon(streamRes) === canon(batchRes))
+    assert(streamRes.count() > 0)
+  }
+
+  test("session_window agrees with the window-function formulation (q20) on counts") {
+    val s = spark
+    import s.implicits._
+    val native = EventStream.gapSessions(Tables.events(spark, sf))
+    val q20 = graft.queries.EventQueries.q20Sessionize(spark, sf)
+    // same number of sessions and same total events per user
+    val a = native.groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+      sum($"n_events").as("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = q20.groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+      sum($"n_events").as("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("flatMapGroupsWithState: gap splits within a batch, watermark times out tails") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("fmgws")
+    val min = 60000L
+    // base offset: events AT epoch 0 would tie with the INITIAL watermark
+    // (0 ms) and be dropped as late
+    val base = 1700000000000L
+    def write(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+      rows.map { case (ms, uid, et, v) =>
+        s"""{"ts_ms":$ms,"user_id":$uid,"event_type":"$et","value":$v}"""
+      }.toDF("value").coalesce(1).write.mode("append").text(s"$root/src/$name")
+      // the file source orders by modification time; keep phases distinct
+      Thread.sleep(1100)
+    }
+    // phase 1: user 1 has a gap-split pair of sessions; user 2 one event
+    write("b1", Seq(
+      (base + 0 * min, 1L, "view", 1.0), (base + 10 * min, 1L, "view", 2.0),
+      (base + 50 * min, 1L, "view", 4.0), (base + 55 * min, 1L, "buy", 8.0),
+      (base + 0 * min, 2L, "view", 16.0)))
+    // phase 2: a much later event pushes the watermark past every tail;
+    // phase 3 runs one more batch AT that watermark so the timeouts fire
+    // (the watermark used inside batch N reflects data through batch N-1)
+    write("b2", Seq((base + 10000 * min, 99L, "view", 0.0)))
+    write("b3", Seq((base + 20000 * min, 99L, "view", 0.0)))
+
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "ts_ms LONG, user_id LONG, event_type STRING, value DOUBLE")).as("e"))
+      .select(expr("timestamp_millis(e.ts_ms)").as("ts"),
+        $"e.user_id", $"e.event_type", $"e.value")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.EventRow]
+
+    val q = EventStream.statefulSessions(src, gapMs = 30 * min).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$root/out")
+      .as[EventStream.SessionOut].collect()
+      .filter(_.user_id <= 2).sortBy(r => (r.user_id, r.start_ms))
+    assert(out.length === 3, s"got: ${out.mkString(" / ")}")
+    assert(out(0) === EventStream.SessionOut(1L, base, base + 10 * min, 2, 3.0))
+    assert(out(1) === EventStream.SessionOut(1L, base + 50 * min, base + 55 * min, 2, 12.0))
+    assert(out(2) === EventStream.SessionOut(2L, base, base, 1, 16.0))
+  }
+}
