@@ -126,7 +126,7 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, MinHashSignature}
+  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -135,6 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCentroid(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

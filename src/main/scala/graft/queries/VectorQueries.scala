@@ -99,9 +99,25 @@ object VectorQueries {
        |WHERE cos_r >= 0.40
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+
+  /** q30_ann_ivf — IVF approximate top-k ([[graft.vector.Ivf]]): k-means
+    * cells, probe the 4 closest of 8, exact-score only the probed sliver.
+    * No SQL oracle (k-means is not reasonably DuckDB-expressible); the
+    * driver records a rows-only check, and IvfSpec proves nprobe=k
+    * reproduces the exact brute-force result. */
+  def q30AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
+    val model = graft.vector.Ivf.train(vecs, k = 8, iterations = 2)
+    graft.vector.Ivf.topK(vecs, vecs.filter($"vec_id" < 5), model, nprobe = 4, k = 3)
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_topk"      -> (q25AnnTopK _),
-    "q26_embed_neardup" -> (q26EmbedNearDup _))
+    "q26_embed_neardup" -> (q26EmbedNearDup _),
+    "q30_ann_ivf"       -> (q30AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q25_ann_topk"      -> q25Sql,

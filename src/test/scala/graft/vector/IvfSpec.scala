@@ -1,0 +1,68 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class IvfSpec extends SparkSpec {
+
+  private def vectors(): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+  }
+
+  private def bruteTopK(vecs: DataFrame, queries: DataFrame, k: Int): Map[Long, Seq[Long]] = {
+    val s = spark
+    import s.implicits._
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    vecs.crossJoin(broadcast(queries.select($"vec_id".as("q_id"), $"v".as("qv"))))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        (dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v")))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+  }
+
+  test("training is deterministic and assignment covers multiple cells") {
+    val vecs = vectors()
+    val m1 = Ivf.train(vecs, k = 8, iterations = 2)
+    val m2 = Ivf.train(vecs, k = 8, iterations = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+    val cells = vecs.select(Ivf.cellOf(col("v"), m1).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    assert(cells.length > 1, "degenerate clustering")
+  }
+
+  test("nprobe = k (exhaustive probing) reproduces brute-force top-k exactly") {
+    val vecs = vectors()
+    val queries = vecs.filter(col("vec_id") < 5)
+    val model = Ivf.train(vecs, k = 8, iterations = 2)
+    val ivf = Ivf.topK(vecs, queries, model, nprobe = 8, k = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(ivf === bruteTopK(vecs, queries, 3))
+  }
+
+  test("partial probing trades recall for work but keeps most neighbors") {
+    val vecs = vectors()
+    val queries = vecs.filter(col("vec_id") < 10)
+    val model = Ivf.train(vecs, k = 8, iterations = 2)
+    val exact = bruteTopK(vecs, queries, 3)
+    val approx = Ivf.topK(vecs, queries, model, nprobe = 4, k = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val hits = exact.map { case (q, want) =>
+      want.count(approx.getOrElse(q, Set.empty)).toDouble / want.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.5, s"recall@3 with nprobe=4/8 was $recall")
+  }
+}
