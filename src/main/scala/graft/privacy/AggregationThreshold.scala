@@ -60,7 +60,14 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private val CdPrefix = "__privacy_cd_"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val (out, pending) = protectPlan(plan)
+    // expression subqueries (scalar/IN/EXISTS) carry their own plans — each
+    // is protected independently, so a policy view cannot be read raw
+    // through `SELECT (SELECT x FROM policy_view LIMIT 1)`
+    val withSubqueries = plan.transformAllExpressions {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.withNewPlan(apply(s.plan))
+    }
+    val (out, pending) = protectPlan(withSubqueries)
     if (pending.nonEmpty)
       throw new PolicyViolationException(
         s"view(s) ${pending.map(_._1).distinct.mkString(", ")} carry an aggregation " +

@@ -107,3 +107,41 @@ final class Subscription(
     }
   }
 }
+
+object Subscription {
+  /** Replay dead-lettered messages (after the sink schema is fixed): strip
+    * the error/attempt metadata back to plain topic messages and run one
+    * delivery attempt loop. Messages that fail AGAIN are re-dead-lettered
+    * with a fresh attempt count — replay is safe to repeat. Clears the DLQ
+    * dir on success-read so replays don't duplicate. */
+  def replayDeadLetters(
+      spark: org.apache.spark.sql.SparkSession,
+      deadLetterDir: String,
+      sub: Subscription,
+      sinkDir: String,
+      topicSchema: StructType,
+      sinkSchema: () => StructType,
+      sleep: Long => Unit = Thread.sleep): Long = {
+    val dir = new java.io.File(deadLetterDir)
+    if (!dir.exists()) return 0L
+    val dead = spark.read.schema(
+        StructType(Topic.messageSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("error",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("delivery_attempts",
+            org.apache.spark.sql.types.LongType))))
+      .json(deadLetterDir)
+    val n = dead.count()
+    if (n == 0) return 0L
+    val replay = dead.select("key", "value", "attributes")
+      // re-deliveries must go somewhere fresh if they fail again
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    sub.deliverBatch(replay, sinkDir, topicSchema, sinkSchema, deadLetterDir, sleep)
+    n
+  }
+}

@@ -61,6 +61,20 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     assert(n === 8L)
   }
 
+  test("raw access through an expression subquery is also rejected") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql(
+      "SELECT (SELECT city FROM trip_pp LIMIT 1)").collect())
+    assert(e.getMessage.contains("must aggregate"))
+  }
+
+  test("aggregating subqueries over the policy view are allowed and filtered") {
+    setupTrips()
+    val n = spark.sql(
+      "SELECT (SELECT count(*) FROM trip_pp) AS n").collect()(0).getLong(0)
+    assert(n === 8L)
+  }
+
   test("unrelated views are untouched") {
     setupTrips()
     assert(spark.sql("SELECT * FROM trips").count() === 8L)

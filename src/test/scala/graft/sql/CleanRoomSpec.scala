@@ -41,6 +41,18 @@ class CleanRoomSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS cr_lineitem")
   }
 
+  test("CTAS and INSERT ... SELECT round-trip through the catalog") {
+    try {
+      spark.sql("""CREATE TABLE cr_ctas USING parquet AS
+                  |SELECT n_nationkey, n_name
+                  |FROM parquet.`/root/testdata/sf0.001/nation.parquet`""".stripMargin)
+      val base = spark.table("cr_ctas").count()
+      assert(base === 25L)
+      spark.sql("INSERT INTO cr_ctas SELECT n_nationkey + 100, upper(n_name) FROM cr_ctas")
+      assert(spark.table("cr_ctas").count() === base * 2)
+    } finally spark.sql("DROP TABLE IF EXISTS cr_ctas")
+  }
+
   test("stored procedure runs the clean-room setup and returns the final SELECT (O24)") {
     try {
       CleanRoom.createProcedure(CleanRoom.Procedure("sp_demo", Seq(

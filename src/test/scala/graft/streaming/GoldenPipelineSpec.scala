@@ -124,6 +124,16 @@ class GoldenPipelineSpec extends SparkSpec {
     val del = sink().filter($"id" === 991 && $"__deleted" === "true")
     assert(del.count() === 1)
 
+    // ---- DLQ replay: fixed sink schema -> dead letters deliver -------------
+    val replayed = Subscription.replayDeadLetters(spark, dlqDir, sub, sinkDir,
+      topicSchema, () => registry.latest("people-sink").schema, sleep = _ => ())
+    assert(replayed === 1L)
+    assert(sink().filter($"id" === 996).count() === 1, "replayed row lands after fix")
+    assert(spark.read.parquet(sinkDir).count() === 7) // 5 + delete event + replay
+    // a second replay is a no-op (DLQ was drained)
+    assert(Subscription.replayDeadLetters(spark, dlqDir, sub, sinkDir,
+      topicSchema, () => registry.latest("people-sink").schema, sleep = _ => ()) === 0L)
+
     // ---- retention: pruning every topic file empties the log ---------------
     assert(topic.pruneRetention(retentionSeconds = 0, nowMs = System.currentTimeMillis() + 10000) > 0)
     assert(topic.read.count() === 0)
