@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, EventQueries, MultimodalQueries, PrivacyQueries, TextQueries, VectorQueries}
+import graft.queries.{CoreQueries, EventQueries, MultimodalQueries, PrivacyQueries, StreamQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ EventQueries.queries ++ PrivacyQueries.queries ++
-      TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries
+      TextQueries.queries ++ VectorQueries.queries ++ MultimodalQueries.queries ++
+      StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ EventQueries.oracles ++ PrivacyQueries.oracles ++
-      TextQueries.oracles ++ VectorQueries.oracles ++ MultimodalQueries.oracles
+      TextQueries.oracles ++ VectorQueries.oracles ++ MultimodalQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -59,16 +59,22 @@ object DedupFunctions {
     * bit j of a token's hash = high bit of hex digit j. */
   val SimhashBits = 16
 
+  /** 16-bit SimHash fingerprint via the native one-pass
+    * [[graft.functions.expressions.SimHash16]] expression. */
+  def simhash(toks: Column): Column = call_function("graft_simhash", toks)
+
   /** Per-token md5 hex hashes — materialize this as its own column before
     * calling [[simhashOfHashes]], which references it 16 times (multi-use
     * aliases survive CollapseProject, so the md5 pass runs once per row). */
   def tokenHashes(toks: Column): Column = transform(toks, t => md5(t))
 
-  /** 16-bit SimHash over pre-hashed tokens: per bit, majority vote of the
-    * tokens' hash bits (ties round up). Documents differing in a few tokens
-    * land on nearby (often equal) fingerprints — grouping by fingerprint is
-    * the cheapest near-dup bucketing (one shuffle on a 2-byte key). */
-  def simhashOfHashes(hashes: Column): Column = {
+  /** Composable (interpreted) SimHash over pre-hashed tokens — the
+    * executable spec [[simhash]] is differential-tested against: per bit,
+    * majority vote of the tokens' hash bits (ties round up). Documents
+    * differing in a few tokens land on nearby (often equal) fingerprints —
+    * grouping by fingerprint is the cheapest near-dup bucketing (one
+    * shuffle on a 2-byte key). */
+  private[graft] def simhashOfHashes(hashes: Column): Column = {
     val n = size(hashes)
     val bitCols = (1 to SimhashBits).map { j =>
       val ones = size(filter(hashes, h =>

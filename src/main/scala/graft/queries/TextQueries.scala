@@ -172,8 +172,7 @@ object TextQueries {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
-        DedupFunctions.tokenHashes(TextFunctions.tokens($"text")).as("hs"))
-      .select($"doc_id", DedupFunctions.simhashOfHashes($"hs").as("simhash"))
+        DedupFunctions.simhash(TextFunctions.tokens($"text")).as("simhash"))
       .orderBy($"doc_id")
   }
 

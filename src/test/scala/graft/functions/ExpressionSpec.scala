@@ -58,6 +58,28 @@ class ExpressionSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("graft_simhash equals the composable md5-nibble formulation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("alpha"),
+      Seq("x", "x", "y"),
+      (1 to 50).map(i => s"tok$i"))
+      .toDF("toks")
+    val rows = df.select(
+      DedupFunctions.simhash($"toks").as("native"),
+      DedupFunctions.simhashOfHashes(DedupFunctions.tokenHashes($"toks")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empty array: all-bit-set by tie rule (2*0 >= 0) in both formulations
+    val empty = Seq(Seq.empty[String]).toDF("toks").select(
+      DedupFunctions.simhash($"toks").as("native"),
+      DedupFunctions.simhashOfHashes(DedupFunctions.tokenHashes($"toks")).as("ref"))
+      .head()
+    assert(empty.getLong(0) === empty.getLong(1))
+  }
+
   test("pairExpand produces ordered pairs") {
     val s = spark
     import s.implicits._
