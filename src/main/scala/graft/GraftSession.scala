@@ -12,6 +12,9 @@ object GraftSession {
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // explicit, though default-on: hot join keys split at runtime — the
+    // skew answer for the fact-table joins at 100x scale
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     // events.ts is ns-precision parquet; Spark only reads NANOS as long

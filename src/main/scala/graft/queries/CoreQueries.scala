@@ -371,6 +371,48 @@ object CoreQueries {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** q32_cube — full CUBE over two dimensions (4 grouping sets). Spark
+    * plans this as one Expand + hash aggregate: rows are replicated per
+    * grouping set BEFORE the shuffle but partial aggregation still collapses
+    * them map-side, so the shuffle stays |groups|-sized. */
+  def q32Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum2($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q32Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** q33_corr_subquery — TPC-H Q17-style correlated scalar subquery
+    * (small-quantity orders below 20% of the part's average). Catalyst
+    * DECORRELATES this into an aggregate-then-join — the plan a hand-written
+    * two-pass query would produce; quantities are integer-valued so the
+    * avg threshold is order-independent and oracle-safe in double. */
+  def q33CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q33_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("q33_part")
+    s.sql(
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM q33_lineitem l1 JOIN q33_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM q33_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -387,6 +429,8 @@ object CoreQueries {
     "q17_semijoin"      -> (q17SemiJoin _),
     "q18_antijoin"      -> (q18AntiJoin _),
     "q19_rollup"        -> (q19Rollup _),
+    "q32_cube"          -> (q32Cube _),
+    "q33_corr_subquery" -> (q33CorrSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +449,7 @@ object CoreQueries {
     "q17_semijoin"      -> q17Sql,
     "q18_antijoin"      -> q18Sql,
     "q19_rollup"        -> q19Sql,
+    "q32_cube"          -> q32Sql,
+    "q33_corr_subquery" -> q33Sql,
   )
 }
