@@ -22,17 +22,19 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-grams (shingles), distinct, joined with single spaces.
-    *
-    * Built as `zip_with` over n shifted slices rather than indexed
-    * `element_at` inside a `transform` lambda: higher-order functions are
-    * interpreted (no codegen), and an expression nested in a lambda body is
-    * re-evaluated per ELEMENT — indexing would re-run the upstream
-    * tokenizer O(tokens·n) times per row. zip_with's array arguments are
-    * evaluated once per row; the lambda touches only element variables.
-    * Documents shorter than n tokens yield an empty array (slice length
-    * clamped at 0). */
-  def shingles(toks: Column, n: Int): Column = {
+  /** Word n-grams (shingles), distinct, joined with single spaces, in
+    * first-occurrence order; empty when the document has fewer than n
+    * tokens. Native one-pass implementation
+    * ([[graft.functions.expressions.Shingles]]) — it feeds three branches
+    * of the LSH dedup plan, so per-row cost is paid three times. */
+  def shingles(toks: Column, n: Int): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** Composable reference formulation of [[shingles]] (executable spec for
+    * the differential test): `zip_with` over n shifted slices — argument
+    * arrays evaluate once per row, lambdas touch only element variables
+    * (an indexed `transform` would re-run the tokenizer per element). */
+  private[graft] def shinglesComposable(toks: Column, n: Int): Column = {
     val m = greatest(size(toks) - (n - 1), lit(0))
     val grams = (1 until n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))

@@ -133,7 +133,7 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, SimHash16}
+  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, Shingles, SimHash16}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -147,6 +147,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NearestCentroid(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args(1) match {
+          case Literal(n: Int, _) => Shingles(args(0), n)
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles(arr, n): n must be an integer literal, got $other")
+        }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),

@@ -89,17 +89,20 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs === Set((3L, 5L), (3L, 9L), (5L, 9L)))
   }
 
-  test("shingles equals the indexed formulation on varied inputs") {
+  test("shingles (native) equals both the composable formulation and plain Scala") {
     val s = spark
     import s.implicits._
-    for (text <- Seq("a b c d e", "a", "", "x y", "a a a a", "p q r")) {
+    for (text <- Seq("a b c d e", "a", "", "x y", "a a a a", "p q r",
+                     "é 中 文 x y", "a b a b a b")) {
       val df = Seq(text).toDF("t")
         .select(TextFunctions.tokens($"t").as("toks"))
       val got = df.select(TextFunctions.shingles($"toks", 3)).head().getSeq[String](0)
+      val ref = df.select(TextFunctions.shinglesComposable($"toks", 3)).head().getSeq[String](0)
       val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
       val want = if (toks.size < 3) Seq.empty
                  else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
       assert(got === want, s"text='$text'")
+      assert(got === ref, s"native vs composable, text='$text'")
     }
   }
 }
