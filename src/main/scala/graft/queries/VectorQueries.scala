@@ -13,8 +13,8 @@ import graft.Tables
   * filter both use the ROUNDED value, so a last-ulp difference in summation
   * order between engines cannot flip a rank or a threshold.
   *
-  * All vector math is `zip_with`/`aggregate` column algebra — codegen'd,
-  * no UDFs, no driver-side collects.
+  * All vector math runs through the native codegen'd `graft_dot`
+  * expression — no UDFs, no interpreted lambdas, no driver-side collects.
   */
 object VectorQueries {
 

@@ -1,9 +1,11 @@
 package graft.schema
 
+import java.nio.file.{Files, Path, Paths}
 import java.security.MessageDigest
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One immutable revision of a named schema. The revision id is the first 8
   * hex chars of the MD5 of the schema's canonical JSON — deterministic, so
@@ -53,5 +55,39 @@ final class SchemaRegistry {
 
   def history(name: String): Seq[SchemaRevision] = synchronized {
     revisions.getOrElse(name, Vector.empty)
+  }
+
+  /** Persist the full revision history as JSON files
+    * (`<dir>/<name>/<seq>-<revisionId>.json`, StructType's own JSON
+    * format) — the durable store the reference keeps in its managed
+    * registry. Control-plane-sized: one small file per revision. */
+  def persist(dir: String): Unit = synchronized {
+    revisions.foreach { case (name, revs) =>
+      val d = Paths.get(dir, name)
+      Files.createDirectories(d)
+      revs.zipWithIndex.foreach { case (rev, i) =>
+        Files.writeString(d.resolve(f"$i%05d-${rev.revisionId}.json"), rev.schema.json)
+      }
+    }
+  }
+}
+
+object SchemaRegistry {
+  /** Rebuild a registry from [[SchemaRegistry.persist]] output. */
+  def load(dir: String): SchemaRegistry = {
+    val reg = new SchemaRegistry
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return reg
+    val names = Files.list(root).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_)).sortBy(_.getFileName.toString)
+    for (nameDir <- names) {
+      val files: Seq[Path] = Files.list(nameDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .sortBy(_.getFileName.toString) // seq prefix restores revision order
+      for (f <- files)
+        reg.register(nameDir.getFileName.toString,
+          DataType.fromJson(Files.readString(f)).asInstanceOf[StructType])
+    }
+    reg
   }
 }

@@ -46,6 +46,30 @@ object CleanRoom {
       .write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Date/partition-keyed bulk load: directory partitions on a derived
+    * column give partition PRUNING (whole directories skipped at plan time,
+    * visible as PartitionFilters in the scan) — complementary to
+    * [[loadClustered]]'s row-group skipping WITHIN files. At 100 TB, time-
+    * range queries touch only their partitions' files. */
+  def loadPartitioned(spark: SparkSession, sourceGlob: String, table: String,
+                      partitionExpr: Column, partitionName: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+    spark.read.parquet(sourceGlob)
+      .withColumn(partitionName, partitionExpr)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy(partitionName)
+      .saveAsTable(table)
+  }
+
   /** O22: plain view over a table (`sp_demo_cleanroom.sql:60-63`). */
   def createView(spark: SparkSession, name: String, selectSql: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $selectSql")

@@ -50,16 +50,25 @@ final class Subscription(
     policy: DeliveryPolicy = DeliveryPolicy()) {
 
   /** Start the delivery query. `sinkSchema` is re-evaluated per batch;
-    * `sleep` is injectable so tests don't wait out real backoffs. */
+    * `sleep` is injectable so tests don't wait out real backoffs;
+    * `maxFilesPerBatch` caps micro-batch size (the backpressure knob — at
+    * high volume it bounds executor memory per delivery attempt).
+    *
+    * Delivery semantics are AT-LEAST-ONCE, matching the reference's
+    * Pub/Sub→BigQuery subscription: the checkpoint commits after the batch
+    * closure succeeds, so a crash mid-append can replay a batch. The merge
+    * path ([[graft.merge.MergeSink]]) is the idempotent sink for consumers
+    * that need effective exactly-once per key. */
   def deliverTo(
       sinkDir: String,
       topicSchema: StructType,
       sinkSchema: () => StructType,
       deadLetterDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      sleep: Long => Unit = Thread.sleep): StreamingQuery = {
+      sleep: Long => Unit = Thread.sleep,
+      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
 
-    topic.stream.writeStream
+    topic.stream(maxFilesPerBatch).writeStream
       .queryName(name)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

@@ -78,9 +78,12 @@ final class Topic(val spark: SparkSession, val name: String, val dir: String,
 
   /** Streaming read — one independent cursor per subscription (each
     * subscription brings its own checkpoint, giving Pub/Sub's independent-
-    * cursor fan-out, O9). */
-  def stream: DataFrame =
-    spark.readStream.schema(messageSchema).json(dir)
+    * cursor fan-out, O9). `maxFilesPerBatch` bounds micro-batch size. */
+  def stream(maxFilesPerBatch: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(messageSchema)
+    maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dir)
+  }
 
   /** Batch read of the whole retained log (inspection surface). */
   def read: DataFrame = {

@@ -29,4 +29,20 @@ class SchemaRegistrySpec extends AnyFunSuite {
   test("unknown name throws") {
     assertThrows[NoSuchElementException](new SchemaRegistry().latest("nope"))
   }
+
+  test("persist + load round-trips history, order, and revision ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    val r = new SchemaRegistry
+    r.register("topic", v1)
+    r.register("topic", v2)
+    r.register("sink", v2)
+    r.register("topic", v1) // v1 becomes latest again
+    r.persist(dir)
+
+    val loaded = SchemaRegistry.load(dir)
+    assert(loaded.latest("topic").schema === v1)
+    assert(loaded.latest("sink").schema === v2)
+    assert(loaded.history("topic").map(_.revisionId) === r.history("topic").map(_.revisionId))
+    assert(loaded.history("topic").size === 3)
+  }
 }

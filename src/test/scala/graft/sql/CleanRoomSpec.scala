@@ -41,6 +41,22 @@ class CleanRoomSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS cr_lineitem")
   }
 
+  test("partitioned bulk load: PartitionFilters prune directories (O21 companion)") {
+    import org.apache.spark.sql.functions._
+    CleanRoom.loadPartitioned(spark,
+      "/root/testdata/sf0.001/orders.parquet", "cr_orders_part",
+      date_format(col("o_orderdate"), "yyyy-MM"), "order_month")
+    try {
+      val q = spark.table("cr_orders_part").filter(col("order_month") === "1996-03")
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+      assert(scan.contains("PartitionFilters") && scan.contains("order_month"))
+      val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03")
+      assert(q.count() === raw.count() && q.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS cr_orders_part")
+  }
+
   test("CTAS and INSERT ... SELECT round-trip through the catalog") {
     try {
       spark.sql("""CREATE TABLE cr_ctas USING parquet AS

@@ -40,32 +40,32 @@ class FanOutSpec extends SparkSpec {
     assert(deliver("sub-b") === 3L)
   }
 
-  test("per-key order is preserved source->sink within a key (O8)") {
+  test("per-key order is preserved source->sink across micro-batches (O8)") {
     val root = tmpDir("order")
     val registry = new SchemaRegistry
     val rev = registry.register("t", Fixtures.topicSchema)
     val topic = new Topic(spark, "t", s"$root/topic", rev)
+    val sub = new Subscription("ordered", topic, s"$root/ckpt")
     val s = spark
     import s.implicits._
 
-    // 3 ordered versions of key 7, published in order (separate publishes =
-    // separate files; the file source lists in order of discovery)
-    for (v <- 1 to 3)
+    // 3 ordered versions of key 7: publish + deliver per round, so each
+    // version lands as its own micro-batch (its own sink file). Sink-file
+    // MODIFICATION time (not the uuid-bearing file name) carries batch order.
+    for (v <- 1 to 3) {
       topic.publish(Seq((
         """{"id":7}""",
         s"""{"id":7,"first_name":"v$v","last_name":"x","email":"e","zipcode":$v,"city":"c","country":"u","__deleted":"false"}"""))
         .toDF("key", "value"))
+      sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+        () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
+      Thread.sleep(1100) // distinct mtimes (fs resolution)
+    }
 
-    val sub = new Subscription("ordered", topic, s"$root/ckpt")
-    sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
-      () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
-
-    // the delivered rows for key 7, in sink-file order, carry v1,v2,v3:
-    // zipcode encodes the version; input_file ordering ties to batch order
     val rows = spark.read.parquet(s"$root/sink")
-      .withColumn("f", input_file_name())
-      .orderBy(col("f"))
-      .select("first_name").collect().map(_.getString(0))
+      .select(col("first_name"), col("_metadata.file_modification_time").as("mt"))
+      .orderBy(col("mt"))
+      .collect().map(_.getString(0))
     assert(rows.toSeq === Seq("v1", "v2", "v3"))
   }
 
