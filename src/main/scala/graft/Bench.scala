@@ -15,9 +15,17 @@ object Bench {
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
 
     // warm the JVM/codegen paths once on the smoke SF so per-query numbers
-    // measure the plan, not first-call classloading
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // measure the plan, not first-call classloading. One query per table
+    // family: without this, whichever query runs first (alphabetically the
+    // cdc pair) absorbs several seconds of JSON/codegen warm-up
+    val warmSf = "/root/testdata/sf0.001"
+    for (warm <- Seq(
+      () => SparkEntry.entry(spark),
+      () => SparkEntry.queries("cdc_unwrap")(spark, warmSf),
+      () => SparkEntry.queries("q21_text_stats")(spark, warmSf),
+      () => SparkEntry.queries("q25_ann_topk")(spark, warmSf)))
+      try warm().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
