@@ -69,6 +69,40 @@ class FanOutSpec extends SparkSpec {
     assert(rows.toSeq === Seq("v1", "v2", "v3"))
   }
 
+  test("transient (non-schema) failure kills the query; checkpoint restart replays the batch exactly once") {
+    val root = tmpDir("recover")
+    val registry = new SchemaRegistry
+    val rev = registry.register("t", Fixtures.topicSchema)
+    val topic = new Topic(spark, "t", s"$root/topic", rev)
+    val s = spark
+    import s.implicits._
+    topic.publish(Seq(
+      ("""{"id":1}""", """{"id":1,"first_name":"A","last_name":"x","email":"a@x","zipcode":1,"city":"c","country":"u","__deleted":"false"}"""))
+      .toDF("key", "value"))
+
+    val sub = new Subscription("recover", topic, s"$root/ckpt")
+    // first run: the sink-schema resolver throws (e.g. catalog briefly
+    // unreachable) — NOT a SchemaMismatch, so the query must die, and the
+    // checkpoint must NOT have committed the batch
+    val failing = sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => sys.error("catalog unavailable"), s"$root/dlq")
+    val died = intercept[Exception](failing.awaitTermination())
+    assert(died.getMessage.contains("catalog unavailable"))
+    assert(!new java.io.File(s"$root/sink").exists() ||
+      spark.read.parquet(s"$root/sink").count() === 0)
+
+    // restart with the SAME checkpoint and a healthy resolver: the batch
+    // replays and lands exactly once
+    sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
+    assert(spark.read.parquet(s"$root/sink").count() === 1)
+
+    // and a THIRD run is a no-op (offsets committed)
+    sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
+    assert(spark.read.parquet(s"$root/sink").count() === 1)
+  }
+
   test("pull returns at most n messages with key/value/attributes (O15)") {
     val root = tmpDir("pull")
     val registry = new SchemaRegistry
