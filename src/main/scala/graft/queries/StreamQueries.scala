@@ -71,9 +71,38 @@ object StreamQueries {
       |WHERE event_id % 20 = 0
       |ORDER BY id""".stripMargin
 
+  /** q34_merge_upsert — the [[graft.merge.MergeSink]] latest-wins upsert
+    * under the oracle gate: events applied in TWO batches (split by id
+    * parity, so later batches overwrite earlier state for shared keys);
+    * the final table state must equal the declarative latest-per-key SQL
+    * the oracle states — the O26 convergence contract. */
+  def q34MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-q34").toString
+    val changes = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_millis($"ts").as("ms"))
+    val sink = new graft.merge.MergeSink(s, s"$root/t", "user_id",
+      Seq("ms", "event_id"), numBuckets = 32)
+    sink.merge(changes.filter($"event_id" % 2 === 0))
+    sink.merge(changes.filter($"event_id" % 2 === 1))
+    sink.read()
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  val q34Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q31_stream_e2e" -> (q31StreamE2e _))
+    "q31_stream_e2e"  -> (q31StreamE2e _),
+    "q34_merge_upsert" -> (q34MergeUpsert _))
 
   val oracles: Map[String, String] = Map(
-    "q31_stream_e2e" -> q31Sql)
+    "q31_stream_e2e"  -> q31Sql,
+    "q34_merge_upsert" -> q34Sql)
 }

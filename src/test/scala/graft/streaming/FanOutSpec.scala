@@ -103,6 +103,29 @@ class FanOutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/sink").count() === 1)
   }
 
+  test("maxFilesPerBatch bounds micro-batch size (backpressure knob)") {
+    val root = tmpDir("backpressure")
+    val registry = new SchemaRegistry
+    val rev = registry.register("t", Fixtures.topicSchema)
+    val topic = new Topic(spark, "t", s"$root/topic", rev)
+    val s = spark
+    import s.implicits._
+    for (v <- 1 to 3)
+      topic.publish(Seq((
+        s"""{"id":$v}""",
+        s"""{"id":$v,"first_name":"v$v","last_name":"x","email":"e","zipcode":$v,"city":"c","country":"u","__deleted":"false"}"""))
+        .toDF("key", "value"))
+
+    new Subscription("bp", topic, s"$root/ckpt")
+      .deliverTo(s"$root/sink", Fixtures.topicSchema, () => Fixtures.sinkV1,
+        s"$root/dlq", maxFilesPerBatch = Some(1))
+      .awaitTermination()
+    val sink = spark.read.parquet(s"$root/sink")
+    assert(sink.count() === 3)
+    // one topic file per micro-batch -> one sink file per batch
+    assert(sink.inputFiles.length === 3)
+  }
+
   test("pull returns at most n messages with key/value/attributes (O15)") {
     val root = tmpDir("pull")
     val registry = new SchemaRegistry
