@@ -28,12 +28,6 @@ object DedupFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
 
-  /** Reference (interpreted) formulation of [[minhashSignature]]'s hash
-    * family shape — kept for differential testing of the native expression. */
-  private[graft] def minhashSignatureComposable(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles, s => xxhash64(j, s))))
-
   /** LSH band keys: hash of each `rowsPerBand`-slice of the signature,
     * band index mixed in so equal slices in different bands don't collide.
     * `sig` should be a materialized column (attribute), so the per-band

@@ -107,7 +107,7 @@ object EventQueries {
 
   /** q15_time_window — tumbling 1-hour event-time window aggregation: the
     * batch twin of the Structured Streaming windowed agg in
-    * [[graft.streaming.Subscription]]. Window start is emitted as an epoch-ms
+    * [[graft.streaming.EventStream.hourlyStats]]. Window start is emitted as an epoch-ms
     * BIGINT: Spark's µs timestamps and the oracle's ns timestamps serialize
     * differently, but truncate to identical milliseconds. */
   def q15TimeWindow(s: SparkSession, dir: String): DataFrame = {

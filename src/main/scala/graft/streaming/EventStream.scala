@@ -51,6 +51,38 @@ object EventStream {
         $"n_events", $"sum_value")
   }
 
+  /** Stream-static enrichment join: the static dimension side is re-read
+    * per micro-batch (so dimension updates are picked up) and broadcast
+    * when small — the standard shape for decorating a 100 TB/day stream
+    * with reference data. Works identically in batch mode. */
+  def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
+
+  /** Stream-stream self-join: pairs each purchase with the same user's
+    * clicks in the preceding hour. Both sides carry watermarks, and the
+    * time-bound predicate lets Spark EVICT buffered state older than the
+    * bound — without it a stream-stream join buffers forever. Identical
+    * semantics in batch mode (the specs' oracle). */
+  def purchasesWithRecentClicks(events: DataFrame,
+                                watermarkDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+        $"click_ts" <= $"purchase_ts")
+      .select($"user_id", $"purchase_id", $"click_id",
+        unix_millis($"purchase_ts").as("purchase_ms"),
+        unix_millis($"click_ts").as("click_ms"), $"value")
+  }
+
   final case class EventRow(ts: java.sql.Timestamp, user_id: Long,
                             event_type: String, value: Double)
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)

@@ -81,6 +81,27 @@ class EventStreamSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("stream-stream interval join: stream ≡ batch (purchases x preceding clicks)") {
+    val streamRes = streamed(EventStream.purchasesWithRecentClicks(_),
+      _.filter(col("user_id") =!= -1L))
+    val batchRes = EventStream.purchasesWithRecentClicks(Tables.events(spark, sf))
+    assert(canon(streamRes) === canon(batchRes))
+    assert(streamRes.count() > 0)
+  }
+
+  test("stream-static enrichment join broadcasts the dimension side") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"),
+      ("view", "engagement"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val out = EventStream.enrich(Tables.events(spark, sf), dim, "event_type")
+    assert(out.filter($"category" === "revenue").count() ===
+      Tables.events(spark, sf).filter($"event_type" === "purchase").count())
+    val plan = { out.collect(); out.queryExecution.executedPlan.toString }
+    assert(plan.contains("Broadcast"), "dimension side should broadcast")
+  }
+
   test("flatMapGroupsWithState: gap splits within a batch, watermark times out tails") {
     val s = spark
     import s.implicits._
