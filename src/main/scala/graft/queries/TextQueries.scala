@@ -169,6 +169,61 @@ object TextQueries {
        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+
+  /** q35_quality_filter — training-data curation: keep documents passing
+    * the quality gates (length band, stopword-ratio band, confident
+    * language guess), emit them with their scores and the verdict reason
+    * for the rejects. The shape of a 100 TB corpus-cleaning pass: one
+    * codegen'd scan, no shuffle until the final (tiny) ordered output. */
+  def q35QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = size($"toks")
+    val nStop = TextFunctions.stopwordCount($"toks")
+    Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        floor(nStop * lit(1000000.0) / nTok).cast("long").as("stop_ratio_e6"),
+        TextFunctions.langId($"toks").as("lang_guess"))
+      .withColumn("verdict",
+        when($"n_tokens" < 20, lit("too_short"))
+          .when($"n_tokens" > 2000, lit("too_long"))
+          .when($"stop_ratio_e6" < 50000, lit("low_stopword"))
+          .when($"lang_guess" === "und", lit("unknown_lang"))
+          .otherwise(lit("keep")))
+      .orderBy($"doc_id")
+  }
+
+  val q35Sql: String = {
+    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+    val stopCnt = s"len(list_filter(toks, t -> t IN (${stops.map(m => s"'$m'").mkString(",")})))"
+    val en = Seq("the", "a", "of", "and", "is")
+    val fr = Seq("le", "la", "et", "les", "des")
+    val es = Seq("el", "los", "que", "y", "las")
+    val de = Seq("der", "die", "und", "das", "ist")
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    s"""SELECT doc_id, n_tokens, stop_ratio_e6, lang_guess,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 2000 THEN 'too_long'
+       |       WHEN stop_ratio_e6 < 50000 THEN 'low_stopword'
+       |       WHEN lang_guess = 'und' THEN 'unknown_lang'
+       |       ELSE 'keep' END AS verdict
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(floor($stopCnt * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_e6,
+       |    CASE
+       |      WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
+       |      WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
+       |      WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
+       |      WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
+       |      ELSE 'und' END AS lang_guess
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q27
 
   /** q27_simhash — per-document 16-bit SimHash fingerprint (near-dup
@@ -196,11 +251,13 @@ object TextQueries {
     "q21_text_stats"        -> (q21TextStats _),
     "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
     "q24_dedup_minhash"     -> (q24DedupMinhash _),
-    "q27_simhash"           -> (q27Simhash _))
+    "q27_simhash"           -> (q27Simhash _),
+    "q35_quality_filter"    -> (q35QualityFilter _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats"        -> q21Sql,
     "q23_dedup_fingerprint" -> q23Sql,
     "q24_dedup_minhash"     -> q24Sql,
-    "q27_simhash"           -> q27Sql)
+    "q27_simhash"           -> q27Sql,
+    "q35_quality_filter"    -> q35Sql)
 }
