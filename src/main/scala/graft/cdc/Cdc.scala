@@ -68,5 +68,5 @@ object Cdc {
   def toKeyedJson(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.select(
       to_json(struct(keyCols.map(col): _*)).as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }
