@@ -247,17 +247,44 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q36
+
+  /** q36_vocab_topk — corpus vocabulary statistics: explode tokens
+    * (Generate), aggregate counts and document frequency, top 50 terms.
+    * The generator multiplies rows ~100× but the partial aggregation
+    * collapses them map-side before the shuffle, so the exchange carries
+    * |vocabulary| rows, not |tokens|. */
+  def q36VocabTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n_occurrences".desc, $"token")
+      .limit(50)
+  }
+
+  val q36Sql: String =
+    s"""SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |FROM (SELECT doc_id, unnest($Toks) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n_occurrences DESC, token
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"        -> (q21TextStats _),
     "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
     "q24_dedup_minhash"     -> (q24DedupMinhash _),
     "q27_simhash"           -> (q27Simhash _),
-    "q35_quality_filter"    -> (q35QualityFilter _))
+    "q35_quality_filter"    -> (q35QualityFilter _),
+    "q36_vocab_topk"        -> (q36VocabTopK _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats"        -> q21Sql,
     "q23_dedup_fingerprint" -> q23Sql,
     "q24_dedup_minhash"     -> q24Sql,
     "q27_simhash"           -> q27Sql,
-    "q35_quality_filter"    -> q35Sql)
+    "q35_quality_filter"    -> q35Sql,
+    "q36_vocab_topk"        -> q36Sql)
 }
