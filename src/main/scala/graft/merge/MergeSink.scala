@@ -32,9 +32,13 @@ final class MergeSink(
     df.withColumn(partCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)))
 
   /** Merge one batch of change rows into the table: latest row per key wins,
-    * ordering by `orderCols` (e.g. change timestamp, then a unique
-    * change id as tie-break) — both compared descending. Idempotent:
-    * re-applying a batch yields the identical table state. */
+    * ordering by `orderCols` (e.g. change timestamp, then a unique change id)
+    * — all compared descending. When `orderCols` still tie (the caller has
+    * no unique change id), a content hash of the FULL row breaks the tie, so
+    * the winner is a pure function of row content — never of batch order or
+    * partition layout. Idempotent AND deterministic: re-applying a batch, or
+    * applying the same rows in any order, yields the identical table state.
+    * (Two fully identical rows tie harmlessly: either one is the same row.) */
   def merge(batch: DataFrame): Unit = {
     val spark = this.spark
     val newPart = withPart(batch)
@@ -49,8 +53,10 @@ final class MergeSink(
       else None
     val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
 
+    // column order fixed by name so the hash is layout-independent
+    val contentHash = xxhash64(all.columns.sorted.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(c => col(c).desc) :+ col(partCol).desc: _*)
+      .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
     val merged = all
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -3,10 +3,12 @@ package graft.privacy
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, View}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Aggregation-threshold privacy policy for a view (O23) — the semantics of
@@ -26,16 +28,51 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 final case class AggregationThresholdPolicy(unitColumn: String, threshold: Int)
 
-/** Session-global registry of policy-bearing view names. Driver-side
-  * control-plane metadata (a few entries), like the schema registry. */
-object PolicyCatalog {
-  private val policies = new ConcurrentHashMap[String, AggregationThresholdPolicy]()
+/** A policy bound to one view INSTANCE: `viewCreateTime` is the catalog
+  * creation timestamp of the view at registration time. A later
+  * `CREATE OR REPLACE` mints a fresh catalog entry with a fresh createTime,
+  * so a stale policy no longer matches — replacing a view without
+  * re-declaring its policy drops the policy, exactly as BigQuery's
+  * view-OPTIONS semantics do (options not restated are gone). */
+private[privacy] final case class BoundPolicy(
+    policy: AggregationThresholdPolicy, viewCreateTime: Long)
 
-  def setPolicy(viewName: String, policy: AggregationThresholdPolicy): Unit =
-    policies.put(viewName.toLowerCase, policy)
-  def policyFor(viewName: String): Option[AggregationThresholdPolicy] =
+/** Session-global registry of policy-bearing views. Driver-side
+  * control-plane metadata (a few entries), like the schema registry.
+  *
+  * Policies are scoped to the RESOLVED view identity (name + catalog
+  * createTime), never to a bare name: a subquery alias that happens to
+  * share a policy view's name is not a view and is never enforced against,
+  * and a re-created view does not inherit the policy of its predecessor. */
+object PolicyCatalog {
+  private val policies = new ConcurrentHashMap[String, BoundPolicy]()
+
+  /** Attach a policy to an EXISTING view (temp, global-temp or catalog).
+    * Registration resolves the view's creation timestamp so enforcement can
+    * later prove it is looking at the same view instance. */
+  def setPolicy(spark: SparkSession, viewName: String,
+                policy: AggregationThresholdPolicy): Unit = {
+    val ct = viewCreateTime(spark, viewName).getOrElse(throw new NoSuchElementException(
+      s"no view '$viewName' in the catalog to attach a privacy policy to"))
+    policies.put(viewName.toLowerCase, BoundPolicy(policy, ct))
+  }
+
+  def removePolicy(viewName: String): Unit = { policies.remove(viewName.toLowerCase); () }
+
+  /** Policy for one resolved view occurrence — name AND creation instant
+    * must match (see class doc). */
+  def policyFor(viewName: String, viewCreateTime: Long): Option[AggregationThresholdPolicy] =
     Option(policies.get(viewName.toLowerCase))
+      .filter(_.viewCreateTime == viewCreateTime).map(_.policy)
+
   def clear(): Unit = policies.clear()
+
+  private def viewCreateTime(spark: SparkSession, name: String): Option[Long] = {
+    val cat = spark.sessionState.catalog
+    cat.getRawTempView(name).map(_.tableMeta.createTime)
+      .orElse(cat.getRawGlobalTempView(name).map(_.tableMeta.createTime))
+      .orElse(scala.util.Try(cat.getTableMetadata(TableIdentifier(name)).createTime).toOption)
+  }
 }
 
 final class PolicyViolationException(msg: String)
@@ -43,9 +80,11 @@ final class PolicyViolationException(msg: String)
     errorClass = "_LEGACY_ERROR_TEMP_3100", messageParameters = Map("message" -> msg))
 
 /** The one custom Catalyst rule this engine needs (SURVEY.md §4). Injected
-  * post-resolution: at that point temp-view references still appear as
-  * [[SubqueryAlias]] nodes carrying the view name, so policy views are
-  * identifiable by name.
+  * post-resolution: at that point view references still appear as resolved
+  * [[View]] nodes carrying their catalog metadata ([[View]] elimination
+  * only happens in the optimizer), so policy views are identifiable by
+  * their true catalog identity — name plus creation timestamp — and a
+  * subquery alias that merely shares the name never triggers enforcement.
   *
   * For each policy-view reference, the NEAREST enclosing [[Aggregate]] is
   * rewritten from `Agg[groups, aggs]` to
@@ -54,10 +93,16 @@ final class PolicyViolationException(msg: String)
   * groups, so at scale it costs one extra distinct-count in the same
   * aggregation pass (no extra shuffle). A reference with no enclosing
   * aggregate anywhere fails analysis.
-  */
+  *
+  * Rewritten aggregates are marked with a [[TreeNodeTag]] (NOT by the shape
+  * or names of their expressions): the query author is the adversary in the
+  * clean-room threat model, and anything an author can type — such as an
+  * alias spelled like an internal name — must not be able to impersonate a
+  * completed rewrite. Author-written aliases using the reserved prefix over
+  * a policy view are rejected outright. */
 class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val CdPrefix = "__privacy_cd_"
+  import AggregationThresholdRule.{CdPrefix, ProtectedTag}
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // expression subqueries (scalar/IN/EXISTS) carry their own plans — each
@@ -79,29 +124,34 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * not yet covered by an enclosing Aggregate. */
   private def protectPlan(p: LogicalPlan): (LogicalPlan, Seq[(String, AggregationThresholdPolicy)]) =
     p match {
-      case s: SubqueryAlias =>
-        val (child, pending) = protectPlan(s.child)
-        val here = PolicyCatalog.policyFor(s.identifier.name).map(s.identifier.name -> _)
-        (s.withNewChildren(Seq(child)), pending ++ here)
+      case v: View =>
+        val (child, pending) = protectPlan(v.child)
+        val name = v.desc.identifier.table
+        val here = PolicyCatalog.policyFor(name, v.desc.createTime).map(name -> _)
+        (v.withNewChildren(Seq(child)), pending ++ here)
 
       case a: Aggregate =>
         val (child, pending) = protectPlan(a.child)
         val a2 = a.withNewChildren(Seq(child)).asInstanceOf[Aggregate]
         if (pending.isEmpty) (a2, Nil)
-        else if (alreadyProtected(a2)) (a2, Nil) // re-analysis of a rewritten subtree
-        else (rewrite(a2, pending), Nil)
+        else if (a2.getTagValue(ProtectedTag).contains(true)) (a2, Nil) // re-analysis of our own rewrite
+        else {
+          val spoofed = a2.aggregateExpressions.collect {
+            case al: Alias if al.name.startsWith(CdPrefix) => al.name
+          }
+          if (spoofed.nonEmpty)
+            throw new PolicyViolationException(
+              s"alias(es) ${spoofed.mkString(", ")} use the reserved privacy prefix " +
+                s"'$CdPrefix' in a query over policy view(s) " +
+                pending.map(_._1).distinct.mkString(", "))
+          (rewrite(a2, pending), Nil)
+        }
 
       case other =>
         val results = other.children.map(protectPlan)
         val rebuilt =
           if (other.children.isEmpty) other else other.withNewChildren(results.map(_._1))
         (rebuilt, results.flatMap(_._2))
-    }
-
-  private def alreadyProtected(a: Aggregate): Boolean =
-    a.aggregateExpressions.exists {
-      case al: Alias => al.name.startsWith(CdPrefix)
-      case _ => false
     }
 
   private def rewrite(a: Aggregate, pending: Seq[(String, AggregationThresholdPolicy)]): LogicalPlan = {
@@ -118,12 +168,26 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (Alias(Count(attr).toAggregateExpression(isDistinct = true), s"$CdPrefix$i")(), t)
     }
     val widened = a.copy(aggregateExpressions = a.aggregateExpressions ++ cds.map(_._1))
+    widened.setTagValue(ProtectedTag, true)
     val cond: Expression = cds
       .map { case (al, t) => GreaterThanOrEqual(al.toAttribute, Literal(t.toLong)) }
       .reduce[Expression](And(_, _))
     val visible: Seq[NamedExpression] = a.aggregateExpressions.map(_.toAttribute)
     Project(visible, Filter(cond, widened))
   }
+}
+
+object AggregationThresholdRule {
+  /** Marks an [[Aggregate]] the rule itself widened — tags live outside the
+    * expression tree, so no user-authored SQL can forge one. Catalyst copies
+    * tags across `withNewChildren`/transform, so the mark survives
+    * re-analysis of composed Datasets. */
+  private[privacy] val ProtectedTag: TreeNodeTag[Boolean] =
+    TreeNodeTag[Boolean]("graft.privacy.aggregationThresholdProtected")
+
+  /** Reserved alias prefix for the injected distinct-counts; user queries
+    * over policy views may not use it (anti-spoofing). */
+  private[privacy] val CdPrefix = "__privacy_cd_"
 }
 
 /** `SparkSessionExtensions` entry point — wire with

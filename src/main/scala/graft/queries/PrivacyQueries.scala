@@ -19,7 +19,7 @@ object PrivacyQueries {
     import org.apache.spark.sql.functions._
     Tables.orders(s, dir).createOrReplaceTempView("orders_pp_base")
     s.sql("CREATE OR REPLACE TEMP VIEW orders_pp AS SELECT * FROM orders_pp_base")
-    PolicyCatalog.setPolicy("orders_pp", AggregationThresholdPolicy("o_custkey", 2))
+    PolicyCatalog.setPolicy(s, "orders_pp", AggregationThresholdPolicy("o_custkey", 2))
     s.sql(
       """SELECT o_orderdate, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -70,18 +70,24 @@ object CleanRoom {
       .saveAsTable(table)
   }
 
-  /** O22: plain view over a table (`sp_demo_cleanroom.sql:60-63`). */
-  def createView(spark: SparkSession, name: String, selectSql: String): Unit =
+  /** O22: plain view over a table (`sp_demo_cleanroom.sql:60-63`).
+    * CREATE OR REPLACE without a policy also DROPS any policy the previous
+    * same-named view carried — view options not restated are gone, matching
+    * BigQuery `CREATE OR REPLACE VIEW ... OPTIONS(...)` semantics. */
+  def createView(spark: SparkSession, name: String, selectSql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $selectSql")
+    graft.privacy.PolicyCatalog.removePolicy(name)
+  }
 
   /** O23 companion: a view carrying an aggregation-threshold privacy policy
     * (`sp_demo_cleanroom.sql:51-57`) — the policy registration plus the
     * view definition in one step; enforcement is the injected Catalyst rule
-    * ([[graft.privacy.AggregationThresholdRule]]). */
+    * ([[graft.privacy.AggregationThresholdRule]]). The policy binds to THIS
+    * view instance (name + catalog createTime), not to the bare name. */
   def createPolicyView(spark: SparkSession, name: String, selectSql: String,
                        privacyUnitColumn: String, threshold: Int): Unit = {
     createView(spark, name, selectSql)
-    graft.privacy.PolicyCatalog.setPolicy(name,
+    graft.privacy.PolicyCatalog.setPolicy(spark, name,
       graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
   }
 

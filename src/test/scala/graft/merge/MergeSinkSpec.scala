@@ -40,6 +40,31 @@ class MergeSinkSpec extends SparkSpec {
     assert(sink.read().orderBy("id").collect().toSeq === before)
   }
 
+  test("ties on (key, ts) resolve deterministically under batch reordering") {
+    // two changes for key 1 with the SAME ts and different payloads: no
+    // ordering column distinguishes them, so the content-hash tie-break must
+    // pick the same winner no matter how the rows are batched or ordered
+    val dup = Seq((1L, "p-alpha", 10L), (1L, "p-beta", 10L), (2L, "q", 5L))
+    val arrangements = Seq(
+      dup, dup.reverse, Seq(dup(1), dup(2), dup(0)))
+    val finals = arrangements.zipWithIndex.map { case (rows, i) =>
+      val sink = new MergeSink(spark, tmpDir(s"merge-det$i") + "/t", "id", Seq("ts"), numBuckets = 8)
+      sink.merge(changes(rows: _*))
+      sink.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(finals.distinct.size === 1, s"nondeterministic merge: $finals")
+
+    // same rows split across two batches, either split order: same result
+    val splitA = { val sk = new MergeSink(spark, tmpDir("merge-detA") + "/t", "id", Seq("ts"), 8)
+      sk.merge(changes(dup(0), dup(2))); sk.merge(changes(dup(1)))
+      sk.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq }
+    val splitB = { val sk = new MergeSink(spark, tmpDir("merge-detB") + "/t", "id", Seq("ts"), 8)
+      sk.merge(changes(dup(1), dup(2))); sk.merge(changes(dup(0)))
+      sk.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq }
+    assert(splitA === splitB)
+    assert(splitA === finals.head)
+  }
+
   test("backfill then stream converges to source state (O25)") {
     val s = spark
     import s.implicits._

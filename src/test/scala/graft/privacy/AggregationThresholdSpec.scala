@@ -22,7 +22,7 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
       .toDF("trip_id", "customer_id", "city", "fare")
       .createOrReplaceTempView("trips")
     spark.sql("CREATE OR REPLACE TEMP VIEW trip_pp AS SELECT * FROM trips")
-    PolicyCatalog.setPolicy("trip_pp", AggregationThresholdPolicy("customer_id", 2))
+    PolicyCatalog.setPolicy(spark, "trip_pp", AggregationThresholdPolicy("customer_id", 2))
   }
 
   test("groups below the distinct-unit threshold are suppressed") {
@@ -84,6 +84,50 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     setupTrips()
     val agg = spark.sql("SELECT city, count(*) AS n FROM trip_pp GROUP BY city")
     val out = agg.filter("n >= 0").orderBy("city").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("A", "C"))
+  }
+
+  // --- adversarial cases: the query author is the attacker -----------------
+
+  test("reserved-prefix alias spoofing cannot disable the threshold") {
+    setupTrips()
+    // pre-fix, an author-written `__privacy_cd_0` alias made the rule believe
+    // the aggregate was already protected and city B (1 distinct customer)
+    // leaked. Now the rewrite mark is a TreeNodeTag — unforgeable from SQL —
+    // and reserved-prefix aliases over a policy view are rejected outright,
+    // so the attack yields an error, never an under-threshold row.
+    val e = intercept[Exception](spark.sql(
+      "SELECT city, count(*) AS __privacy_cd_0 FROM trip_pp GROUP BY city").collect())
+    assert(e.getMessage.contains("reserved privacy prefix"))
+  }
+
+  test("a subquery alias sharing the view name is NOT enforced against") {
+    setupTrips()
+    // `trip_pp` here is a derived-relation alias, not the policy view —
+    // enforcement keys on resolved view identity, so raw access is fine
+    val out = spark.sql("SELECT * FROM (SELECT 1 AS x) AS trip_pp").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("a re-created view without the policy reads raw (no stale-policy leak)") {
+    setupTrips()
+    assert(intercept[Exception](spark.sql("SELECT * FROM trip_pp").collect())
+      .getMessage.contains("must aggregate"))
+    // replace the view WITHOUT re-declaring the policy: the policy dies with
+    // the old view instance (CREATE OR REPLACE ... OPTIONS semantics)
+    graft.sql.CleanRoom.createView(spark, "trip_pp", "SELECT * FROM trips")
+    assert(spark.sql("SELECT * FROM trip_pp").count() === 8L)
+  }
+
+  test("re-created view WITH a re-declared policy is enforced again") {
+    setupTrips()
+    graft.sql.CleanRoom.createPolicyView(spark, "trip_pp",
+      "SELECT * FROM trips", "customer_id", 2)
+    val e = intercept[Exception](spark.sql("SELECT * FROM trip_pp").collect())
+    assert(e.getMessage.contains("must aggregate"))
+    val out = spark.sql(
+      "SELECT city, count(*) AS n FROM trip_pp GROUP BY city")
+      .collect().map(_.getString(0)).sorted
     assert(out.toSeq === Seq("A", "C"))
   }
 }
