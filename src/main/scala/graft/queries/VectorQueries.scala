@@ -101,17 +101,72 @@ object VectorQueries {
 
   // ---------------------------------------------------------------- q30
 
-  /** q30_ann_ivf — IVF approximate top-k ([[graft.vector.Ivf]]): k-means
-    * cells, probe the 4 closest of 8, exact-score only the probed sliver.
-    * No SQL oracle (k-means is not reasonably DuckDB-expressible); the
-    * driver records a rows-only check, and IvfSpec proves nprobe=k
-    * reproduces the exact brute-force result. */
+  /** q30_ann_ivf — the IVF READ path ([[graft.vector.Ivf.topK]]) under a
+    * FROZEN coarse quantizer ([[graft.vector.IvfFrozen]], trained once by
+    * `graft.tools.FreezeIvf`): codegen'd nearest-centroid assignment, probe
+    * the 4 closest of 8 cells, exact cosine re-score of only the probed
+    * sliver. Freezing the model is both what makes the query oracle-
+    * checkable (the DuckDB side replays assign/probe/re-score from the same
+    * literal matrix — training alone is not SQL-expressible; IvfSpec covers
+    * it) and the realistic 100 TB deployment: train on a sample once, ship
+    * the quantizer to the scan as a constant. */
   def q30AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
-    val model = graft.vector.Ivf.train(vecs, k = 8, iterations = 2)
-    graft.vector.Ivf.topK(vecs, vecs.filter($"vec_id" < 5), model, nprobe = 4, k = 3)
+    graft.vector.Ivf.topK(vecs, vecs.filter($"vec_id" < 5),
+        graft.vector.IvfFrozen.model, nprobe = 4, k = 3)
       .orderBy($"q_id", $"rank")
+  }
+
+  /** DuckDB literal that parses to the exact same double: `Double.toString`
+    * round-trips, and the `E` exponent marker forces DOUBLE (not DECIMAL)
+    * parsing. */
+  private def sqlDouble(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** The frozen centroid matrix as a DuckDB VALUES list. */
+  private def centroidValues: String =
+    graft.vector.IvfFrozen.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(sqlDouble).mkString(", ")}])"
+    }.mkString(",\n    ")
+
+  /** q30 oracle: the identical read path in DuckDB, from the identical
+    * frozen constants. Assignment replays [[graft.functions.expressions.NearestCentroid]]'s
+    * arithmetic (sequential Σ(v_i−c_i)², argmin with lowest-cell tie-break),
+    * probing replays [[graft.vector.Ivf.topK]]'s q·q − 2q·c + c·c expansion,
+    * and the re-score uses the shared round-then-rank cosine convention. */
+  def q30Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    def dt(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, cents.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("e.v", "cents.c")}, cents.cell) AS rn
+       |    FROM e CROSS JOIN cents) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, cents.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY (${dt("q.v", "q.v")} - 2.0*${dt("q.v", "cents.c")}) + ${dt("cents.c", "cents.c")},
+       |                                  cents.cell) AS rn
+       |    FROM e q CROSS JOIN cents WHERE q.vec_id < 5) t WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    round(${dt("p.qv", "a.v")} / (sqrt(${dt("p.qv", "p.qv")}) * sqrt(${dt("a.v", "a.v")})), 4) AS cos_r
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -121,5 +176,6 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q25_ann_topk"      -> q25Sql,
-    "q26_embed_neardup" -> q26Sql)
+    "q26_embed_neardup" -> q26Sql,
+    "q30_ann_ivf"       -> q30Sql)
 }

@@ -73,13 +73,17 @@ object Ivf {
       .select($"q_id", $"qv", $"cell")
 
     val assigned = vectors.select($"vec_id", $"v", cellOf($"v", model).as("cell"))
-    val byCos = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    // rank on the ROUNDED cosine (with the id tie-break): ranking and output
+    // then use the same grid-snapped value, so a last-ulp summation-order
+    // difference between engines cannot flip a rank — the q25 convention
+    val byCos = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
     assigned.join(broadcast(probes), "cell")
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        (dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v")))).as("cos"))
+        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 4)
+          .as("cos_r"))
       .withColumn("rank", row_number().over(byCos).cast("long"))
       .filter($"rank" <= k)
-      .select($"q_id", $"rank", $"neighbor_id", round($"cos", 4).as("cos_r"))
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
   }
 }

@@ -23,8 +23,9 @@ class IvfSpec extends SparkSpec {
       .partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
     vecs.crossJoin(broadcast(queries.select($"vec_id".as("q_id"), $"v".as("qv"))))
       .filter($"vec_id" =!= $"q_id")
+      // same round-then-rank convention as Ivf.topK
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        (dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v")))).as("cos"))
+        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 4).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .collect().groupBy(_.getLong(0))
