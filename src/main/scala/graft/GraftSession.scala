@@ -15,6 +15,16 @@ object GraftSession {
     // explicit, though default-on: hot join keys split at runtime — the
     // skew answer for the fact-table joins at 100x scale
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // keep observed metrics (Dataset.observe / CollectMetrics) trustworthy:
+    // AQE's empty-relation propagation replaces an already-executed stage
+    // subtree with an empty LocalRelation when its output turns out empty,
+    // and any CollectMetrics node inside the replaced subtree vanishes
+    // before metric harvest — so exactly the degenerate runs that shed work
+    // (e.g. the LSH hot-bucket cap dropping everything) would lose their
+    // "I shed work" counters. The rule only saves skipping already-cheap
+    // downstream stages of an empty intermediate; observability wins.
+    .config("spark.sql.adaptive.optimizer.excludedRules",
+      "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     // events.ts is ns-precision parquet; Spark only reads NANOS as long

@@ -19,8 +19,12 @@ import graft.functions.{DedupFunctions, TextFunctions}
   */
 object TextQueries {
 
-  /** DuckDB fragment: whitespace tokens of `text`. */
-  private val Toks = """string_split_regex(trim(text), '\s+')"""
+  /** DuckDB fragment: whitespace tokens of `text` — aligned with
+    * [[TextFunctions.tokens]] on EMPTY documents: Spark yields `[]` where a
+    * bare `string_split_regex('')` would yield `['']`, so the empty case is
+    * made explicit on the oracle side too. */
+  private val Toks =
+    """CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(text), '\s+') END"""
   /** DuckDB fragment: distinct 3-gram shingles over `toks`. */
   private val Shingles3 =
     """list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') for i in range(1, len(toks)-1)])"""
@@ -47,8 +51,11 @@ object TextQueries {
         TextFunctions.punctCount($"text").cast("long").as("n_punct"),
         // ratio emitted as floor(r * 1e6): one deterministic double division +
         // floor serializes identically in both engines (round() half-grid
-        // cases would not)
-        floor(nStop * lit(1000000.0) / nTok).cast("long").as("stop_ratio_e6"),
+        // cases would not). Empty documents (0 tokens) emit NULL explicitly —
+        // 0.0/0 is NaN and the engines disagree on casting NaN to integer
+        when(nTok === 0, lit(null).cast("long"))
+          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
+          .as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
       .orderBy($"doc_id")
   }
@@ -66,7 +73,8 @@ object TextQueries {
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
        |  CAST(${cnt(stops)} AS BIGINT) AS n_stop,
        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-       |  CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_e6,
+       |  CASE WHEN len(toks) = 0 THEN NULL
+       |       ELSE CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
        |  CASE
        |    WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
        |    WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
@@ -103,7 +111,9 @@ object TextQueries {
        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
        |  count(*) OVER (PARTITION BY fp) AS n_copies
        |FROM (SELECT doc_id,
-       |        md5(list_aggregate(list_sort($Shingles3), 'string_agg', '|')) AS fp
+       |        -- coalesce: string_agg over an empty shingle set (doc with
+       |        -- <3 tokens) is NULL in DuckDB but '' under Spark concat_ws
+       |        md5(coalesce(list_aggregate(list_sort($Shingles3), 'string_agg', '|'), '')) AS fp
        |      FROM (SELECT doc_id, $Toks AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
 
@@ -118,7 +128,19 @@ object TextQueries {
     * all-pairs — affordable at sf0.01 only — which also proves the LSH
     * candidate set loses no true pair on this data (true pairs sit at
     * J ≥ 0.96, where 8×2 bands miss with p ≈ 1e-10). */
-  def q24DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def q24DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    q24DedupMinhashCapped(s, dir, maxBucket = 1000, observer = None)
+
+  /** q24 with the hot-bucket cap exposed and OBSERVED: `dropped_buckets` /
+    * `dropped_ids` / `max_bucket_size` are collected as named metrics during
+    * the query's one action (`Dataset.observe` — a CollectMetrics node costs
+    * no extra job and no extra pass), so a run that sheds recall to the cap
+    * says so in its metrics instead of silently losing pairs — the engine's
+    * "no silent caps" bar. Pass an [[Observation]] to read them directly;
+    * otherwise they land on the query-execution listener bus under
+    * `"q24_lsh"`. */
+  def q24DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int,
+                            observer: Option[org.apache.spark.sql.Observation]): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val sh = docs
@@ -137,13 +159,25 @@ object TextQueries {
     // and shuffles only (bk, doc_id) pairs
     // hot-bucket guard: a degenerate band key (e.g. boilerplate-dominated
     // corpora) would expand quadratically; buckets past the cap are skipped
-    // — the standard LSH frequency cap, analogous to stop-shingle removal.
-    // Never triggers on this corpus (max observed bucket ≪ cap), so the
-    // exact all-pairs oracle stays byte-identical.
-    val maxBucket = 1000
-    val cand = bands.groupBy($"bk")
+    // AND counted (observed metrics above). Never triggers on this corpus
+    // (max observed bucket ≪ cap), so the exact all-pairs oracle stays
+    // byte-identical.
+    val buckets = bands.groupBy($"bk")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .filter(size($"ids") > 1)
+    val dropped = (size($"ids") > maxBucket).cast("int")
+    val observed = observer match {
+      case Some(o) => buckets.observe(o,
+        coalesce(sum(dropped), lit(0)).as("dropped_buckets"),
+        coalesce(sum(when(size($"ids") > maxBucket, size($"ids")).otherwise(0)), lit(0)).as("dropped_ids"),
+        coalesce(max(size($"ids")), lit(0)).as("max_bucket_size"))
+      case None => buckets.observe("q24_lsh",
+        coalesce(sum(dropped), lit(0)).as("dropped_buckets"),
+        coalesce(sum(when(size($"ids") > maxBucket, size($"ids")).otherwise(0)), lit(0)).as("dropped_ids"),
+        coalesce(max(size($"ids")), lit(0)).as("max_bucket_size"))
+    }
+    val cand = observed
+      .filter(size($"ids") <= maxBucket)
       .select(explode(DedupFunctions.pairExpand($"ids")).as("p"))
       .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
@@ -184,7 +218,10 @@ object TextQueries {
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id",
         nTok.cast("long").as("n_tokens"),
-        floor(nStop * lit(1000000.0) / nTok).cast("long").as("stop_ratio_e6"),
+        // same empty-document NULL convention as q21
+        when(nTok === 0, lit(null).cast("long"))
+          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
+          .as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
       .withColumn("verdict",
         when($"n_tokens" < 20, lit("too_short"))
@@ -213,7 +250,8 @@ object TextQueries {
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(floor($stopCnt * 1000000.0 / len(toks)) AS BIGINT) AS stop_ratio_e6,
+       |    CASE WHEN len(toks) = 0 THEN NULL
+       |         ELSE CAST(floor($stopCnt * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
        |    CASE
        |      WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
        |      WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'

@@ -91,6 +91,66 @@ object CleanRoom {
       graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
   }
 
+  /** O22 durable variant: a PERSISTENT (catalog) view — the reference's
+    * clean-room views are dataset-level objects
+    * (`/root/reference/sql/sp_demo_cleanroom.sql:51-63`), visible to every
+    * session over the warehouse, not session-scoped TEMP views. Survives a
+    * session restart (a new SparkSession over the same catalog/warehouse);
+    * like [[createView]], replacing it without a policy drops any policy. */
+  def createDurableView(spark: SparkSession, name: String, selectSql: String): Unit = {
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS $selectSql")
+    graft.privacy.PolicyCatalog.removePolicy(name)
+  }
+
+  /** O23 durable variant: persistent view + aggregation-threshold policy. */
+  def createDurablePolicyView(spark: SparkSession, name: String, selectSql: String,
+                              privacyUnitColumn: String, threshold: Int): Unit = {
+    createDurableView(spark, name, selectSql)
+    graft.privacy.PolicyCatalog.setPolicy(spark, name,
+      graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
+  }
+
+  private val ExpiresProp = "graft.expires_at_ms"
+
+  /** Table expiration (`bq mk --expiration 3600`,
+    * `/root/reference/README.md:389`): stamp an absolute expiry instant on
+    * the table. Enforced in two places, like BigQuery: reads through
+    * [[readTable]] treat an expired table as absent, and the
+    * [[expireTables]] maintenance sweep physically drops expired tables. */
+  def setTableExpiration(spark: SparkSession, table: String, expiresAtMs: Long): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('$ExpiresProp'='$expiresAtMs')")
+
+  def tableExpiresAt(spark: SparkSession, table: String): Option[Long] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(ExpiresProp).map(_.toLong)
+
+  /** Expiration-honoring read: an expired table no longer exists for
+    * queries (and is dropped on first touch), exactly as a BigQuery table
+    * past its expiration time. */
+  def readTable(spark: SparkSession, table: String,
+                nowMs: Long = System.currentTimeMillis()): DataFrame = {
+    if (tableExpiresAt(spark, table).exists(_ <= nowMs)) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      throw new NoSuchElementException(s"table '$table' expired")
+    }
+    spark.table(table)
+  }
+
+  /** Maintenance sweep: drop every expired table in the current database.
+    * Driver-side work is catalog-sized (table names + properties), never
+    * data-sized. Returns the dropped table names. */
+  def expireTables(spark: SparkSession, nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val cat = spark.sessionState.catalog
+    val expired = cat.listTables(cat.getCurrentDatabase).filter { ident =>
+      scala.util.Try(cat.getTableMetadata(ident)).toOption
+        .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
+          t.properties.get(ExpiresProp).exists(_.toLong <= nowMs))
+    }
+    expired.foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${i.quotedString}"))
+    expired.map(_.table)
+  }
+
   /** O24: stored procedures — a named, ordered statement list executed via
     * `spark.sql` (`sp_demo_cleanroom.sql:1-2,79`). Returns the result of
     * the LAST statement, like a procedure ending in a SELECT. */

@@ -25,8 +25,13 @@ object SinkMaintenance {
 
   final case class CompactionStats(filesBefore: Int, filesAfter: Int, rows: Long)
 
+  /** Name of the swap manifest written (underscore-prefixed, so Spark
+    * readers ignore it) before any destructive step of the file swap. */
+  private[streaming] val SwapManifest = "_graft_compaction_swap"
+
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    recoverSwap(dir) // finish any swap a previous crash interrupted
     val root = new File(dir)
     val parts = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -43,15 +48,54 @@ object SinkMaintenance {
     val after = spark.read.parquet(tmp).count()
     require(after == before, s"compaction row mismatch: $before -> $after; sink untouched")
 
-    // swap: drop old part files, move compacted ones in
-    parts.foreach(_.delete())
     val newParts = Option(new File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
+
+    // Crash-safe swap: write a manifest FIRST, then move the compacted
+    // files in (their job-UUID names cannot collide with the old ones),
+    // then delete the old parts, then drop the manifest. A crash at any
+    // point leaves either the untouched sink (manifest not yet written) or
+    // a state [[recoverSwap]] completes idempotently on the next call —
+    // the sink is never left empty (the pre-fix ordering deleted the old
+    // files before moving the new ones in, losing the sink if the process
+    // died between the two steps).
+    val manifest = Paths.get(dir, SwapManifest)
+    val lines = Seq(s"TMP $tmp") ++
+      newParts.map(f => s"NEW ${f.getName}") ++ parts.map(f => s"OLD ${f.getName}")
+    Files.writeString(manifest, lines.mkString("\n"))
+
     newParts.foreach { f =>
       Files.move(f.toPath, Paths.get(dir, f.getName), StandardCopyOption.ATOMIC_MOVE)
     }
+    parts.foreach(_.delete())
+    Files.deleteIfExists(manifest)
     def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
     rm(new File(tmp))
     CompactionStats(parts.length, newParts.length, before)
+  }
+
+  /** Idempotently finish a swap interrupted by a crash: re-apply every step
+    * recorded in the manifest (moves of staged files that still exist,
+    * deletes of old files that still exist), then clear the manifest and
+    * staging dir. Safe to call when no manifest exists (no-op). */
+  private[streaming] def recoverSwap(dir: String): Boolean = {
+    val manifest = Paths.get(dir, SwapManifest)
+    if (!Files.exists(manifest)) return false
+    val lines = Files.readAllLines(manifest)
+    val tmp = lines.stream.filter(_.startsWith("TMP ")).findFirst.get.substring(4)
+    lines.forEach { l =>
+      if (l.startsWith("NEW ")) {
+        val name = l.substring(4)
+        val staged = Paths.get(tmp, name)
+        if (Files.exists(staged))
+          Files.move(staged, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      } else if (l.startsWith("OLD ")) {
+        Files.deleteIfExists(Paths.get(dir, l.substring(4))); ()
+      }
+    }
+    Files.deleteIfExists(manifest)
+    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(new File(tmp))
+    true
   }
 }

@@ -42,6 +42,20 @@ final case class DeliveryPolicy(
   * executors the cluster has. Per-key ordering (O8) holds because the file
   * log preserves publish order within a micro-batch and the conformance
   * path is order-preserving (no shuffle between source and sink files).
+  *
+  * Ack-deadline analog (the reference's 60 s `ack_deadline_seconds`,
+  * `/root/reference/terraform/main.tf:381`): in Pub/Sub, a subscriber that
+  * takes messages and dies without acking sees them REDELIVERED once the
+  * deadline lapses. Here the checkpoint commit IS the ack — it happens only
+  * after the batch closure returns — so a subscriber that dies mid-delivery
+  * (even after its sink append) leaves the offset uncommitted and the next
+  * start of the same subscription redelivers the batch. Same at-least-once
+  * contract as Pub/Sub redelivery (the append may duplicate; the merge sink
+  * is the idempotent consumer). The one divergence: there is no broker-side
+  * lease timer, so redelivery happens at the next (re)start rather than
+  * after a fixed 60 s — a deliberate simplification of a knob that only
+  * controls WHEN the broker gives up on a silent consumer. FanOutSpec pins
+  * the behavior with a crash injected between append and checkpoint commit.
   */
 final class Subscription(
     val name: String,
@@ -66,7 +80,11 @@ final class Subscription(
       deadLetterDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       sleep: Long => Unit = Thread.sleep,
-      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+      maxFilesPerBatch: Option[Int] = None,
+      // test-only fault-injection seam: runs after the batch is delivered
+      // but BEFORE the checkpoint commit (the "ack") — throwing here
+      // simulates a subscriber dying mid-delivery
+      onBatchDelivered: () => Unit = () => ()): StreamingQuery = {
 
     topic.stream(maxFilesPerBatch).writeStream
       .queryName(name)
@@ -74,6 +92,7 @@ final class Subscription(
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         deliverBatch(batch, sinkDir, topicSchema, sinkSchema, deadLetterDir, sleep)
+        onBatchDelivered()
         ()
       }
       .start()

@@ -38,21 +38,25 @@ final class Topic(val spark: SparkSession, val name: String, val dir: String,
     */
   def publish(keyed: DataFrame): DataFrame = {
     val msgs = stamp(keyed)
-    // FAILFAST throws while EVALUATING from_json, so the filter below (which
-    // references the parsed column, defeating column pruning) forces every
-    // payload through the parser before anything is appended — Pub/Sub
-    // rejects at publish time, so must we.
+    // SINGLE-PASS validate + append: the FAILFAST parse lives inside the
+    // write plan as a filter predicate, so every payload is proven readable
+    // under the topic schema DURING the one append job — the batch is read
+    // and parsed once, not scanned twice (validate pass + append pass).
+    // The predicate keeps every row (FAILFAST never yields a null struct
+    // for a non-null input — it throws), but because it references the
+    // parsed column it cannot be pruned or folded away. A non-conforming
+    // payload fails the job before any file is committed (v1 file
+    // committer: task output only becomes visible at job commit), so
+    // rejection stays atomic — Pub/Sub rejects at publish time, so must we.
+    val parsed = from_json(col("value"), schema.schema, Map("mode" -> "FAILFAST"))
     try {
-      msgs.withColumn("parsed",
-          from_json(col("value"), schema.schema, Map("mode" -> "FAILFAST")))
-        .filter(col("parsed").isNull && col("value").isNotNull)
-        .limit(1).count()
+      msgs.filter(parsed.isNotNull || col("value").isNull)
+        .write.mode("append").json(dir)
     } catch {
       case e: Exception =>
         throw new IllegalArgumentException(
           s"message does not conform to topic schema '${schema.name}' rev ${schema.revisionId}", e)
     }
-    msgs.write.mode("append").json(dir)
     msgs
   }
 

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hot-key skew posture check for the per-key window queries (q16/q20): one
+  * user owns half the table. The window shuffle puts that whole key in one
+  * partition — the documented skew note — and the queries must stay correct
+  * and complete (AQE handles the partition-size imbalance; a per-key window
+  * cannot be split without changing semantics). */
+class SkewSpec extends SparkSpec {
+
+  test("q16/q20 stay correct under a hot key owning half the events table") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("skew")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+    // hot user 1: 50k events, 1 min apart -> one 50k-event session
+    val hot = spark.range(0, 50000).select(
+      ($"id" + 1000000L).as("event_id"),
+      timestamp_millis(lit(base) + $"id" * 60000L).as("ts"),
+      lit(1L).as("user_id"),
+      lit("view").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props"))
+    // cold users 2..101: 50 events each, 1 h apart -> 50 one-event sessions
+    val cold = spark.range(0, 100 * 50).select(
+      ($"id" + 2000000L).as("event_id"),
+      timestamp_millis(lit(base) + ($"id" % 50) * 3600000L).as("ts"),
+      (($"id" / 50) + 2L).cast("long").as("user_id"),
+      lit("view").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props"))
+    hot.unionByName(cold).write.parquet(s"$dir/events.parquet")
+
+    val q20 = EventQueries.q20Sessionize(spark, dir)
+    val hotRow = q20.filter($"user_id" === 1L).collect()
+    assert(hotRow.length === 1, "hot user must collapse into ONE session")
+    assert(hotRow(0).getLong(2) === 50000L)
+    assert(q20.count() === 1L + 100L * 50L)
+
+    val q16 = EventQueries.q16CdcLatest(spark, dir)
+    assert(q16.count() === 101L) // one latest row per user
+    val hotLatest = q16.filter($"user_id" === 1L).collect()(0).getLong(1)
+    assert(hotLatest === 1000000L + 49999L) // the max-ts event wins
+  }
+}

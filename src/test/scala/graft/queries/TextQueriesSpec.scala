@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.Observation
+
+import graft.SparkSpec
+
+/** Text-operator edge semantics: the LSH hot-bucket cap must be OBSERVED
+  * (never silent), and empty/short documents must follow the exact
+  * conventions the DuckDB oracles replay (empty token array, NULL stopword
+  * ratio, md5('') fingerprint, all-bits simhash). */
+class TextQueriesSpec extends SparkSpec {
+
+  /** Write a documents.parquet with the given (doc_id, text) rows and return
+    * its sf-style directory. */
+  private def corpus(prefix: String, rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir(prefix)
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q24 hot-bucket cap is counted and surfaced; the job still completes") {
+    // 30 identical documents: every band key collides into one bucket per
+    // band, each of size 30 — far past a cap of 10
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = corpus("lshcap", (0L until 30L).map(i => (i, text)))
+    val obs = Observation()
+    val out = TextQueries.q24DedupMinhashCapped(spark, dir, maxBucket = 10,
+      observer = Some(obs))
+    val n = out.count() // completes despite the degenerate corpus
+    assert(n === 0L) // every candidate pair lived in a capped bucket -> shed
+    val m = obs.get
+    assert(m("dropped_buckets").toString.toLong > 0L, s"metrics: $m")
+    assert(m("max_bucket_size").toString.toInt === 30)
+    assert(m("dropped_ids").toString.toLong >= 30L)
+  }
+
+  test("q24 under the default cap reports zero dropped buckets") {
+    val docs = (0L until 20L).map(i => (i, s"doc $i has its own words w$i x$i y$i z$i"))
+    val dir = corpus("lshok", docs)
+    val obs = Observation()
+    TextQueries.q24DedupMinhashCapped(spark, dir, maxBucket = 1000,
+      observer = Some(obs)).count()
+    val m = obs.get
+    assert(m("dropped_buckets").toString.toLong === 0L)
+  }
+
+  test("empty and short documents follow the oracle-aligned conventions") {
+    val dir = corpus("edge", Seq(
+      (1L, ""), // empty
+      (2L, "   "), // whitespace-only
+      (3L, "one two"), // too short for 3-shingles
+      (4L, "the quick brown fox jumps over the lazy dog")))
+
+    // q21: 0 tokens -> NULL ratio, 'und' language; no crash, no NaN
+    val q21 = TextQueries.q21TextStats(spark, dir).collect()
+    val byId = q21.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 0L) // n_tokens
+    assert(byId(1L).isNullAt(5)) // stop_ratio_e6 NULL for empty doc
+    assert(byId(2L).getLong(1) === 0L)
+    assert(byId(2L).isNullAt(5))
+    assert(byId(4L).getString(6) === "en")
+    assert(!byId(4L).isNullAt(5))
+
+    // q23: fingerprint of a shingle-less doc is md5("") — equal for docs 1-3
+    val q23 = TextQueries.q23DedupFingerprint(spark, dir).collect()
+    val fps = q23.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === "d41d8cd98f00b204e9800998ecf8427e")
+    assert(fps(1L) === fps(2L) && fps(2L) === fps(3L))
+    assert(fps(4L) !== fps(1L))
+
+    // q27: simhash of zero tokens = every majority vote ties at 0 >= 0 ->
+    // all 16 bits set
+    val q27 = TextQueries.q27Simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q27(1L) === 0xFFFFL)
+    assert(q27(2L) === 0xFFFFL)
+
+    // q35: empty doc is a 'too_short' reject with NULL ratio, not a crash
+    val q35 = TextQueries.q35QualityFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(q35(1L) === "too_short")
+
+    // q36: empty docs contribute no vocabulary rows
+    val q36 = TextQueries.q36VocabTopK(spark, dir).collect()
+    assert(q36.forall(_.getString(0).nonEmpty))
+
+    // q24 excludes shingle-less docs from both sides of the candidate join
+    assert(TextQueries.q24DedupMinhash(spark, dir).collect()
+      .forall(r => r.getLong(0) === 4L || r.getLong(1) === 4L) )
+  }
+}

@@ -82,6 +82,78 @@ class CleanRoomSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS cr_trip")
   }
 
+  test("durable view survives a session restart; temp view does not (O22)") {
+    val s = spark
+    import s.implicits._
+    try {
+      spark.sql("CREATE TABLE dur_base (id BIGINT, v STRING) USING parquet")
+      spark.sql("INSERT INTO dur_base VALUES (1, 'a'), (2, 'b')")
+      CleanRoom.createDurableView(spark, "dur_view", "SELECT * FROM dur_base")
+      CleanRoom.createView(spark, "tmp_view", "SELECT * FROM dur_base")
+      assert(spark.sql("SELECT count(*) FROM dur_view").collect()(0).getLong(0) === 2L)
+
+      // a NEW SparkSession over the same catalog/warehouse: the durable view
+      // resolves, the temp view is gone with its session
+      val s2 = spark.newSession()
+      assert(s2.sql("SELECT count(*) FROM dur_view").collect()(0).getLong(0) === 2L)
+      assert(intercept[Exception](s2.sql("SELECT * FROM tmp_view").collect())
+        .getMessage.toLowerCase.contains("cannot be found"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS dur_view")
+      spark.sql("DROP TABLE IF EXISTS dur_base")
+    }
+  }
+
+  test("durable policy view is enforced from a fresh session too (O23)") {
+    try {
+      spark.sql("CREATE TABLE pol_base (trip_id BIGINT, customer_id BIGINT, city STRING) USING parquet")
+      spark.sql("INSERT INTO pol_base VALUES (1,10,'A'),(2,11,'A'),(3,12,'B')")
+      CleanRoom.createDurablePolicyView(spark, "pol_view",
+        "SELECT * FROM pol_base", "customer_id", 2)
+      val s2 = spark.newSession()
+      val out = s2.sql("SELECT city, count(*) AS n FROM pol_view GROUP BY city")
+        .collect().map(_.getString(0))
+      assert(out.toSeq === Seq("A")) // B: 1 distinct customer, suppressed
+      assert(intercept[Exception](s2.sql("SELECT * FROM pol_view").collect())
+        .getMessage.contains("must aggregate"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS pol_view")
+      spark.sql("DROP TABLE IF EXISTS pol_base")
+      PolicyCatalog.clear()
+    }
+  }
+
+  test("table expiration: expired tables vanish on read and in the sweep (O16)") {
+    try {
+      spark.sql("CREATE TABLE exp_t (id BIGINT) USING parquet")
+      spark.sql("INSERT INTO exp_t VALUES (1)")
+      val now = System.currentTimeMillis()
+      CleanRoom.setTableExpiration(spark, "exp_t", now + 3600 * 1000L)
+      // not yet expired: reads fine
+      assert(CleanRoom.readTable(spark, "exp_t", now).count() === 1L)
+
+      // past expiry: the read rejects and drops, like a BigQuery table at
+      // its expiration time
+      val e = intercept[NoSuchElementException](
+        CleanRoom.readTable(spark, "exp_t", now + 3601 * 1000L))
+      assert(e.getMessage.contains("expired"))
+      assert(!spark.catalog.tableExists("exp_t"))
+
+      // the sweep drops expired tables and leaves live ones alone
+      spark.sql("CREATE TABLE exp_dead (id BIGINT) USING parquet")
+      spark.sql("CREATE TABLE exp_live (id BIGINT) USING parquet")
+      CleanRoom.setTableExpiration(spark, "exp_dead", now - 1000L)
+      CleanRoom.setTableExpiration(spark, "exp_live", now + 3600 * 1000L)
+      val dropped = CleanRoom.expireTables(spark, now)
+      assert(dropped === Seq("exp_dead"))
+      assert(!spark.catalog.tableExists("exp_dead"))
+      assert(spark.catalog.tableExists("exp_live"))
+    } finally {
+      Seq("exp_t", "exp_dead", "exp_live")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("policy view created through the clean-room API enforces the threshold (O23)") {
     val s = spark
     import s.implicits._

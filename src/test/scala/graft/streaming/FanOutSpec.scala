@@ -103,6 +103,40 @@ class FanOutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/sink").count() === 1)
   }
 
+  test("ack-deadline analog: a batch taken but never acked is redelivered (O10)") {
+    val root = tmpDir("ackdeadline")
+    val registry = new SchemaRegistry
+    val rev = registry.register("t", Fixtures.topicSchema)
+    val topic = new Topic(spark, "t", s"$root/topic", rev)
+    val s = spark
+    import s.implicits._
+    topic.publish(Seq(
+      ("""{"id":1}""", """{"id":1,"first_name":"A","last_name":"x","email":"a@x","zipcode":1,"city":"c","country":"u","__deleted":"false"}"""))
+      .toDF("key", "value"))
+
+    val sub = new Subscription("ack", topic, s"$root/ckpt")
+    // the subscriber appends the batch, then dies BEFORE the checkpoint
+    // commit — the Pub/Sub "took the messages, never acked" case
+    // (ack_deadline_seconds, terraform/main.tf:381)
+    val dying = sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => Fixtures.sinkV1, s"$root/dlq",
+      onBatchDelivered = () => sys.error("subscriber died before ack"))
+    intercept[Exception](dying.awaitTermination())
+    assert(spark.read.parquet(s"$root/sink").count() === 1) // append happened...
+
+    // ...but the offset was never committed, so a restarted subscriber gets
+    // the batch AGAIN — redelivery, at-least-once (duplicate append), the
+    // same contract as Pub/Sub ack-deadline expiry
+    sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
+    assert(spark.read.parquet(s"$root/sink").count() === 2)
+
+    // an acked (committed) batch is NOT redelivered on the next start
+    sub.deliverTo(s"$root/sink", Fixtures.topicSchema,
+      () => Fixtures.sinkV1, s"$root/dlq").awaitTermination()
+    assert(spark.read.parquet(s"$root/sink").count() === 2)
+  }
+
   test("maxFilesPerBatch bounds micro-batch size (backpressure knob)") {
     val root = tmpDir("backpressure")
     val registry = new SchemaRegistry
