@@ -41,10 +41,17 @@ object EventQueries {
     StructField("__deleted", StringType)))
 
   /** events rows wrapped into Debezium envelopes, serialized to JSON — the
-    * wire format the CDC pipeline consumes ('error' events play deletes). */
+    * wire format the CDC pipeline consumes ('error' events play deletes).
+    *
+    * Source-sorted by `event_id`: the cdc_* outputs must be id-ordered for
+    * the oracle compare, and a TRAILING global sort would make the range
+    * partitioner's sampling pass re-execute the whole serialize→parse span
+    * (measured ~2× wall time). Sorting the cheap source scan instead costs
+    * one sample of the raw parquet; every downstream op is narrow, so the
+    * order survives to the output — same rows, same order, one JSON pass. */
   private def envelopes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val ev = Tables.events(s, dir).orderBy($"event_id")
     val row = struct($"event_id".as("id"), $"user_id",
       $"event_type".as("etype"), $"value".as("val"))
     val isDel = $"event_type" === "error"
@@ -60,10 +67,9 @@ object EventQueries {
   /** cdc_unwrap — O2+O3+O4: parse envelope JSON, include-filter, flatten with
     * delete-rewrite. Pure narrow ops; one codegen span over the scan. */
   def cdcUnwrap(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val parsed = Cdc.parseEnvelope(envelopes(s, dir), "value", cdcRowSchema)
+    // id order inherited from the source-sorted envelopes (see above)
     Cdc.unwrapRewrite(Cdc.includeFilter(parsed, "debezium_test", "people"))
-      .orderBy($"id")
   }
 
   val cdcUnwrapSql: String =
@@ -74,12 +80,11 @@ object EventQueries {
   /** cdc_conform — O7+O11: topic-schema validation (drops the unknown `val`
     * field) then sink conformance (null-fills the sink-only `age` column). */
   def cdcConform(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val parsed = Cdc.parseEnvelope(envelopes(s, dir), "value", cdcRowSchema)
     val rows = Cdc.unwrapRewrite(Cdc.includeFilter(parsed, "debezium_test", "people"))
+    // id order inherited from the source-sorted envelopes (see above)
     Conform.conformToSink(
       Conform.validateAgainstTopic(rows, topicSchema), topicSchema, sinkSchema)
-      .orderBy($"id")
   }
 
   val cdcConformSql: String =

@@ -41,7 +41,11 @@ object TextQueries {
     // multi-use non-trivial aliases)
     val nStop = TextFunctions.stopwordCount($"toks")
     val nTok = size($"toks")
-    Tables.documents(s, dir)
+    // doc_id order established on the RAW scan, not after the text work: a
+    // trailing orderBy would re-run the tokenize/count span in the range
+    // partitioner's sampling pass; all ops below are narrow, so the source
+    // order survives to the output
+    Tables.documents(s, dir).orderBy($"doc_id")
       .select($"doc_id", $"text", TextFunctions.tokens($"text").as("toks"))
       .select(
         $"doc_id",
@@ -57,7 +61,6 @@ object TextQueries {
           .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
           .as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
-      .orderBy($"doc_id")
   }
 
   val q21Sql: String = {
@@ -214,7 +217,8 @@ object TextQueries {
     import s.implicits._
     val nTok = size($"toks")
     val nStop = TextFunctions.stopwordCount($"toks")
-    Tables.documents(s, dir)
+    // source-sorted for the same reason as q21: narrow ops preserve order
+    Tables.documents(s, dir).orderBy($"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id",
         nTok.cast("long").as("n_tokens"),
@@ -229,7 +233,6 @@ object TextQueries {
           .when($"stop_ratio_e6" < 50000, lit("low_stopword"))
           .when($"lang_guess" === "und", lit("unknown_lang"))
           .otherwise(lit("keep")))
-      .orderBy($"doc_id")
   }
 
   val q35Sql: String = {
@@ -269,10 +272,10 @@ object TextQueries {
     * ONE shuffle on a 2-byte key — the cheapest near-dup blocking). */
   def q27Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    // source-sorted for the same reason as q21: narrow ops preserve order
+    Tables.documents(s, dir).orderBy($"doc_id")
       .select($"doc_id",
         DedupFunctions.simhash(TextFunctions.tokens($"text")).as("simhash"))
-      .orderBy($"doc_id")
   }
 
   val q27Sql: String = {
