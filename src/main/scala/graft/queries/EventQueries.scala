@@ -191,6 +191,32 @@ object EventQueries {
       |    FROM events) marked) sessions
       |GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin
 
+  /** q39_percentile — exact interpolated percentiles (median / p95) of the
+    * event value per type: the latency/score-distribution primitive. Spark's
+    * `percentile` is the sort-based exact aggregate with linear
+    * interpolation — the same definition as DuckDB `quantile_cont` — so the
+    * grid-snapped (round 6) results hash-match. At scale the partial
+    * aggregation ships per-type value buffers, bounded by group count ×
+    * values; for sketch-sized state the approx variant
+    * (`approx_percentile`) is the drop-in, traded out of the oracle gate. */
+  def q39Percentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val q39Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_unwrap"     -> (cdcUnwrap _),
     "cdc_conform"    -> (cdcConform _),
@@ -198,6 +224,7 @@ object EventQueries {
     "q15_time_window" -> (q15TimeWindow _),
     "q16_cdc_latest" -> (q16CdcLatest _),
     "q20_sessionize" -> (q20Sessionize _),
+    "q39_percentile" -> (q39Percentile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +234,6 @@ object EventQueries {
     "q15_time_window" -> q15Sql,
     "q16_cdc_latest" -> q16Sql,
     "q20_sessionize" -> q20Sql,
+    "q39_percentile" -> q39Sql,
   )
 }

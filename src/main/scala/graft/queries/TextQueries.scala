@@ -313,13 +313,92 @@ object TextQueries {
        |ORDER BY n_occurrences DESC, token
        |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+
+  /** q37_tfidf — per-document top-5 terms by TF-IDF, the classic relevance /
+    * keyword-extraction primitive over a training corpus.
+    *
+    * Scale shape: explode → partial-aggregated groupBy(doc, term) (the
+    * exchange carries term COUNTS, not tokens) → document-frequency table by
+    * one more |vocabulary|-sized aggregation → SHUFFLE join on term (the
+    * vocabulary is corpus-sized — never broadcast) → per-doc top-5 via
+    * row_number (WindowGroupLimit prunes partial top-k map-side). The corpus
+    * size joins in as a broadcast 1-row aggregate, so N never touches the
+    * driver. Scores are grid-snapped (round 6) before ranking, the engine's
+    * cross-engine float convention. */
+  def q37Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksDf = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val tc = toksDf
+      .select($"doc_id", size($"toks").as("n_tok"), explode($"toks").as("token"))
+      .groupBy($"doc_id", $"n_tok", $"token") // n_tok is constant per doc
+      .agg(count(lit(1)).as("cnt"))
+    val dft = tc.groupBy($"token").agg(count(lit(1)).as("df_docs"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val score = round(($"cnt".cast("double") / $"n_tok") *
+      log($"n_docs".cast("double") / $"df_docs"), 6)
+    val w = Window.partitionBy($"doc_id").orderBy($"score_r".desc, $"token")
+    tc.join(dft, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_r", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"token", $"score_r")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q37Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tc AS (
+       |  SELECT doc_id, len(toks) AS n_tok, t.token, count(*) AS cnt
+       |  FROM toks, unnest(toks) AS t(token)
+       |  GROUP BY doc_id, len(toks), t.token),
+       |dft AS (SELECT token, count(*) AS df_docs FROM tc GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, rank, token, score_r FROM (
+       |  SELECT tc.doc_id, tc.token,
+       |    round((tc.cnt::DOUBLE / tc.n_tok) * ln(n.n_docs::DOUBLE / dft.df_docs), 6) AS score_r,
+       |    row_number() OVER (PARTITION BY tc.doc_id
+       |      ORDER BY round((tc.cnt::DOUBLE / tc.n_tok) * ln(n.n_docs::DOUBLE / dft.df_docs), 6) DESC,
+       |               tc.token) AS rank
+       |  FROM tc JOIN dft USING (token) CROSS JOIN n) t
+       |WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+
+  /** q38_normalize — canonical text normalization (lowercase, punctuation →
+    * space, whitespace collapse): the standard prep pass before dedup /
+    * tokenization in a corpus pipeline. Pure narrow column algebra — one
+    * codegen pass at scan speed, zero shuffle (source-sorted like q21). */
+  def q38Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id",
+        norm.as("norm_text"),
+        length(norm).cast("long").as("n_chars_norm"))
+  }
+
+  val q38Sql: String =
+    """SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      |FROM (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats"        -> (q21TextStats _),
     "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
     "q24_dedup_minhash"     -> (q24DedupMinhash _),
     "q27_simhash"           -> (q27Simhash _),
     "q35_quality_filter"    -> (q35QualityFilter _),
-    "q36_vocab_topk"        -> (q36VocabTopK _))
+    "q36_vocab_topk"        -> (q36VocabTopK _),
+    "q37_tfidf"             -> (q37Tfidf _),
+    "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
     "q21_text_stats"        -> q21Sql,
@@ -327,5 +406,7 @@ object TextQueries {
     "q24_dedup_minhash"     -> q24Sql,
     "q27_simhash"           -> q27Sql,
     "q35_quality_filter"    -> q35Sql,
-    "q36_vocab_topk"        -> q36Sql)
+    "q36_vocab_topk"        -> q36Sql,
+    "q37_tfidf"             -> q37Sql,
+    "q38_normalize"         -> q38Sql)
 }
