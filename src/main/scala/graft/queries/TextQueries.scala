@@ -390,7 +390,108 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+
+  /** q40_dedup_clusters — near-duplicate CLUSTER assignment: connected
+    * components over the verified LSH pair graph (q24's edges), by
+    * min-label propagation. Every document gets `cluster_id` = the smallest
+    * doc_id reachable through near-dup edges — the "keep one canonical doc
+    * per duplicate cluster" step that follows pair mining in a corpus
+    * pipeline.
+    *
+    * Iterations are FIXED (3): each round is one join + one aggregation,
+    * and labels converge once the iteration count reaches the cluster
+    * diameter — near-dup clusters are cliques or short chains (here
+    * diameter ≤ 2; the spec asserts convergence). Fixed rounds keep the
+    * computation a static, oracle-replayable plan — the oracle replays the
+    * SAME 3 rounds — and bound the cost at scale (k shuffles, never a
+    * data-dependent driver loop). The edge list is localCheckpointed so the
+    * LSH mining pipeline runs once, not once per round. */
+  def q40DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val verts = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", TextFunctions.shingles($"toks", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id")
+    val pairs = q24DedupMinhash(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint(true) // materialize the mined edges once
+    val edges = pairs.unionByName(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+
+    var labels = verts.select($"doc_id", $"doc_id".as("label"))
+    for (_ <- 1 to 3) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "nbr"),
+          $"doc_b" === $"nbr")
+        .groupBy($"doc_a").agg(min($"label").as("nbr_label"))
+      labels = labels.join(nbrMin, $"doc_id" === $"doc_a", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+    }
+    labels.select($"doc_id", $"label".as("cluster_id")).orderBy($"doc_id")
+  }
+
+  /** One min-label propagation round in SQL: new = min(own, min(neighbor)). */
+  private def q40Round(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT l.doc_id, least(l.label, coalesce(n.nbr_label, l.label)) AS label
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT e.doc_a, min(p.label) AS nbr_label
+       |    FROM edges e JOIN $prev p ON e.doc_b = p.doc_id
+       |    GROUP BY e.doc_a) n ON l.doc_id = n.doc_a)""".stripMargin
+
+  val q40Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $Shingles3 AS s
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM sh),
+       |${q40Round("l0", "l1")},
+       |${q40Round("l1", "l2")},
+       |${q40Round("l2", "l3")}
+       |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+
+  /** q41_redact — PII scrubbing, the clean-room-adjacent corpus op: emails
+    * and long digit runs (ids / phone numbers) replaced with typed redaction
+    * tokens, with per-document redaction counts so downstream consumers can
+    * audit scrub rates. Narrow column algebra, one codegen pass
+    * (source-sorted like q21). */
+  def q41Redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val NumRe = "[0-9]{6,}"
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"), NumRe, "<NUM>")
+          .as("redacted"),
+        regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(regexp_replace($"text", EmailRe, "<EMAIL>"), lit(NumRe))
+          .cast("long").as("n_longnums"))
+  }
+
+  val q41Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{6,}"
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num', '<NUM>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$num')) AS BIGINT) AS n_longnums
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_clusters"    -> (q40DedupClusters _),
+    "q41_redact"            -> (q41Redact _),
     "q21_text_stats"        -> (q21TextStats _),
     "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
     "q24_dedup_minhash"     -> (q24DedupMinhash _),
@@ -401,6 +502,8 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q40_dedup_clusters"    -> q40Sql,
+    "q41_redact"            -> q41Sql,
     "q21_text_stats"        -> q21Sql,
     "q23_dedup_fingerprint" -> q23Sql,
     "q24_dedup_minhash"     -> q24Sql,

@@ -46,6 +46,20 @@ class TextQueriesSpec extends SparkSpec {
     assert(m("dropped_buckets").toString.toLong === 0L)
   }
 
+  test("q40: chained near-dups collapse into one cluster within the fixed rounds") {
+    // A~B and B~C are near-dups (Jaccard ≈ 0.57 > 0.5) but A~C is not
+    // (≈ 0.29): a 2-hop chain, so single-hop grouping would split it and
+    // only propagation ≥ diameter merges it. doc 9 is unrelated.
+    val words = (1 to 30).map(i => s"w$i")
+    def doc(from: Int, to: Int) = words.slice(from - 1, to).mkString(" ")
+    val dir = corpus("chain", Seq(
+      (1L, doc(1, 20)), (2L, doc(6, 25)), (3L, doc(11, 30)),
+      (9L, "completely different content about other things entirely unrelated")))
+    val out = TextQueries.q40DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("empty and short documents follow the oracle-aligned conventions") {
     val dir = corpus("edge", Seq(
       (1L, ""), // empty
