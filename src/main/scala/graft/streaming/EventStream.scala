@@ -58,6 +58,20 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, joinCol: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), joinCol)
 
+  /** Streaming dedup by message id — the EFFECTIVELY-ONCE layer over the
+    * engine's at-least-once delivery (O6/O13: checkpoint replay and
+    * ack-deadline redelivery both re-emit messages; the reference's Pub/Sub
+    * has exactly the same duplicate window). `dropDuplicatesWithinWatermark`
+    * keeps one row per id and EVICTS each id's state once the watermark
+    * passes it — so state is bounded by the duplicate horizon (how late a
+    * replay can arrive), not by stream history. Use this between a
+    * subscription and an append sink when the consumer cannot tolerate
+    * duplicates but a full MergeSink upsert is overkill. */
+  def dedupById(events: DataFrame, idCol: String = "event_id",
+                watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stream-stream self-join: pairs each purchase with the same user's
     * clicks in the preceding hour. Both sides carry watermarks, and the
     * time-bound predicate lets Spark EVICT buffered state older than the

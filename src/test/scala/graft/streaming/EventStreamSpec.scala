@@ -154,4 +154,36 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1) === EventStream.SessionOut(1L, base + 50 * min, base + 55 * min, 2, 12.0))
     assert(out(2) === EventStream.SessionOut(2L, base, base, 1, 16.0))
   }
+
+  test("streaming dedup by id: cross-batch replayed duplicates are dropped (effectively-once)") {
+    val root = tmpDir("dedup")
+    val ev = Tables.events(spark, sf)
+    val asJson = (df: DataFrame) =>
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value")).coalesce(1)
+    // batch 1: the full table; batch 2: the first 200 events REPLAYED —
+    // the at-least-once duplicate window (checkpoint replay / unacked
+    // redelivery) reproduced across micro-batch boundaries
+    asJson(ev).write.mode("append").text(s"$root/src/b1")
+    Thread.sleep(1100) // file source orders batches by modification time
+    asJson(ev.orderBy("event_id").limit(200)).write.mode("append").text(s"$root/src/b2")
+
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
+    EventStream.dedupById(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() === ev.count()) // every duplicate dropped
+    // compare at ms precision: the JSON wire format truncates the µs digits
+    val cols = Seq(col("event_id"), unix_millis(col("ts")).as("ms"),
+      col("user_id"), col("event_type"), col("value"))
+    assert(canon(out.select(cols: _*)) === canon(ev.select(cols: _*)))
+  }
 }
