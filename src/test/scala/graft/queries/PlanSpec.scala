@@ -67,6 +67,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native dot product should be in the plan")
   }
 
+  test("q37: vocabulary join is a shuffle join; only the 1-row corpus count broadcasts") {
+    // Plan under auto-broadcast DISABLED — the 100 TB shape, where no size
+    // estimate makes the corpus-sized vocabulary look broadcastable: the
+    // only BroadcastExchange left must be the explicitly hinted 1-row
+    // n_docs aggregate. (At sf0.001 the size estimator and AQE both
+    // legitimately broadcast the tiny vocabulary; those are runtime calls,
+    // not pins in this code.)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val initial = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TextQueries.q37Tfidf(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(initial.linesIterator.count(_.contains("BroadcastExchange")) == 1,
+      "exactly one pinned broadcast: the n_docs scalar")
+    assert(initial.contains("BroadcastNestedLoopJoin"), "1-row corpus count should broadcast")
+    assert(initial.contains("SortMergeJoin") || initial.contains("ShuffledHashJoin"),
+      "vocabulary join must be a shuffle join when nothing is auto-broadcastable")
+    val hints = TextQueries.q37Tfidf(spark, dir).queryExecution.logical.toString
+      .linesIterator.count(l =>
+        l.contains("UnresolvedHint BROADCAST") || l.contains("ResolvedHint"))
+    assert(hints == 1, "exactly one explicit broadcast hint: the n_docs scalar")
+    val p = executed(TextQueries.q37Tfidf(spark, dir)).toString
+    // partial aggregation below the exchange for the explode->count
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("WindowGroupLimit"), "top-5 should prune before the final sort")
+  }
+
+  test("q40: label propagation never multiplies the edge mining pipeline") {
+    val plan = executed(TextQueries.q40DedupClusters(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    // the LSH mining subtree is localCheckpointed: the executed plan reads
+    // the edges from an RDD scan, not 3 re-evaluations of the minhash plan
+    val p = plan.toString
+    assert(!p.contains("graft_minhash"),
+      "edges must come from the checkpoint, not re-mined per propagation round")
+  }
+
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
     // structural check on the OPTIMIZED logical plan: explicit hints resolve
     // to ResolvedHint nodes before AQE; customer/supplier must carry none
