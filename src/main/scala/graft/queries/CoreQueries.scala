@@ -413,7 +413,41 @@ object CoreQueries {
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
+  /** q42_outer_join — FULL OUTER join: high-balance customers against
+    * per-customer order stats. Both null-extension directions are
+    * exercised (orderless customers in the subset; ordered customers
+    * filtered out of the subset). The join shuffles on the key like any
+    * fact join — outer-ness changes null handling, not the exchange
+    * shape — and the pre-join aggregation keeps the orders side one row
+    * per key. */
+  def q42OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 5000.0)
+      .select($"c_custkey", $"c_mktsegment")
+    val ord = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("total"))
+    cust.join(ord, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_mktsegment", $"n_orders", $"total")
+      .orderBy($"custkey")
+  }
+
+  val q42Sql: String =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_mktsegment, o.n_orders, o.total
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_outer_join"    -> (q42OuterJoin _),
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg"       -> (q3JoinAgg _),
@@ -434,6 +468,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_outer_join"    -> q42Sql,
     "q1_agg"            -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join_agg"       -> q3Sql,
