@@ -69,9 +69,15 @@ object PolicyCatalog {
 
   private def viewCreateTime(spark: SparkSession, name: String): Option[Long] = {
     val cat = spark.sessionState.catalog
-    cat.getRawTempView(name).map(_.tableMeta.createTime)
-      .orElse(cat.getRawGlobalTempView(name).map(_.tableMeta.createTime))
-      .orElse(scala.util.Try(cat.getTableMetadata(TableIdentifier(name)).createTime).toOption)
+    val ident = name.split('.') match {
+      case Array(db, t) => TableIdentifier(t, Some(db)) // dataset-qualified view
+      case _            => TableIdentifier(name)
+    }
+    (if (ident.database.isEmpty)
+       cat.getRawTempView(name).map(_.tableMeta.createTime)
+         .orElse(cat.getRawGlobalTempView(name).map(_.tableMeta.createTime))
+     else None)
+      .orElse(scala.util.Try(cat.getTableMetadata(ident).createTime).toOption)
   }
 }
 
@@ -126,8 +132,13 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     p match {
       case v: View =>
         val (child, pending) = protectPlan(v.child)
-        val name = v.desc.identifier.table
-        val here = PolicyCatalog.policyFor(name, v.desc.createTime).map(name -> _)
+        // a policy may be registered under the bare or the dataset-qualified
+        // name — the createTime match makes either lookup instance-exact
+        val bare = v.desc.identifier.table
+        val names = v.desc.identifier.database.map(db => s"$db.$bare").toSeq :+ bare
+        val here = names.view
+          .flatMap(n => PolicyCatalog.policyFor(n, v.desc.createTime).map(n -> _))
+          .headOption
         (v.withNewChildren(Seq(child)), pending ++ here)
 
       case a: Aggregate =>

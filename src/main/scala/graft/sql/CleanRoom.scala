@@ -25,14 +25,22 @@ object CleanRoom {
     * BigQuery clustering's data-skipping, in Parquet terms. At 100 TB the
     * repartition is the one (unavoidable) shuffle and everything else is
     * embarrassingly parallel. */
+  /** Warehouse directory of a (possibly database-qualified) managed table. */
+  private def tableDir(spark: SparkSession, table: String): java.io.File = {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    table.split('.') match {
+      case Array(db, t) => new java.io.File(warehouse, s"$db.db/$t")
+      case _            => new java.io.File(warehouse, table)
+    }
+  }
+
   def loadClustered(spark: SparkSession, sourceGlob: String, table: String,
                     clusterKey: String): Unit = {
     // LOAD DATA OVERWRITE semantics, robust across JVMs: an in-memory
     // catalog forgets managed tables on restart but their warehouse
     // directories survive — clear both
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val loc = tableDir(spark, table)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -54,8 +62,7 @@ object CleanRoom {
   def loadPartitioned(spark: SparkSession, sourceGlob: String, table: String,
                       partitionExpr: Column, partitionName: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val loc = tableDir(spark, table)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -108,6 +115,24 @@ object CleanRoom {
     createDurableView(spark, name, selectSql)
     graft.privacy.PolicyCatalog.setPolicy(spark, name,
       graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
+  }
+
+  /** The reference's `sp_demo_cleanroom` procedure, replayed 1:1
+    * (`/root/reference/sql/sp_demo_cleanroom.sql:43-63`): clustered bulk
+    * load of the shared `trip` table into the `cleanroom_data` dataset,
+    * then the publisher dataset's two durable views — one carrying the
+    * aggregation-threshold privacy policy (threshold 2 on `customer_id`),
+    * one without. Datasets are databases here; views are catalog
+    * (dataset-level) objects, visible from any session over the warehouse,
+    * exactly like the reference's. */
+  def spDemoCleanroom(spark: SparkSession, sourceGlob: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS cleanroom_data")
+    spark.sql("CREATE DATABASE IF NOT EXISTS cleanroom_data_publisher")
+    loadClustered(spark, sourceGlob, "cleanroom_data.trip", "trip_id")
+    createDurablePolicyView(spark, "cleanroom_data_publisher.trip",
+      "SELECT * FROM cleanroom_data.trip", "customer_id", 2)
+    createDurableView(spark, "cleanroom_data_publisher.trip_no_pp",
+      "SELECT * FROM cleanroom_data.trip")
   }
 
   private val ExpiresProp = "graft.expires_at_ms"

@@ -154,6 +154,53 @@ class CleanRoomSpec extends SparkSpec {
     }
   }
 
+  test("sp_demo_cleanroom replays the reference procedure end to end (O21-O24)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("spdemo")
+    try {
+      // the shared trip parquet the reference LOADs from gs://
+      // (sp_demo_cleanroom.sql:43-47): city A has 2 distinct customers,
+      // city B has 1
+      Seq((1L, 101L, "A", 10.0), (2L, 102L, "A", 20.0), (3L, 101L, "A", 5.0),
+          (4L, 201L, "B", 7.0))
+        .toDF("trip_id", "customer_id", "city", "fare")
+        .write.parquet(s"$root/trips")
+      CleanRoom.spDemoCleanroom(spark, s"$root/trips")
+
+      // plain view: raw access allowed (trip_no_pp, sql:60-63)
+      assert(spark.sql("SELECT * FROM cleanroom_data_publisher.trip_no_pp").count() === 4L)
+      // policy view: raw access rejected; under-threshold groups suppressed
+      // (sql:51-57, threshold 2 on customer_id)
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM cleanroom_data_publisher.trip").collect())
+      assert(e.getMessage.contains("must aggregate"))
+      val cities = spark.sql(
+        "SELECT city, count(*) AS n FROM cleanroom_data_publisher.trip GROUP BY city")
+        .collect().map(_.getString(0))
+      assert(cities.toSeq === Seq("A")) // B: 1 distinct customer
+
+      // the publisher views are dataset-level: a fresh session still
+      // resolves them and the policy still binds
+      val s2 = spark.newSession()
+      assert(s2.sql("SELECT * FROM cleanroom_data_publisher.trip_no_pp").count() === 4L)
+      assert(intercept[Exception](
+        s2.sql("SELECT * FROM cleanroom_data_publisher.trip").collect())
+        .getMessage.contains("must aggregate"))
+
+      // clustered load produced key-ordered files (CLUSTER BY trip_id)
+      val files = spark.sql("SELECT * FROM cleanroom_data.trip").inputFiles
+      assert(files.nonEmpty)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS cleanroom_data_publisher.trip")
+      spark.sql("DROP VIEW IF EXISTS cleanroom_data_publisher.trip_no_pp")
+      spark.sql("DROP TABLE IF EXISTS cleanroom_data.trip")
+      spark.sql("DROP DATABASE IF EXISTS cleanroom_data_publisher")
+      spark.sql("DROP DATABASE IF EXISTS cleanroom_data")
+      PolicyCatalog.clear()
+    }
+  }
+
   test("policy view created through the clean-room API enforces the threshold (O23)") {
     val s = spark
     import s.implicits._
