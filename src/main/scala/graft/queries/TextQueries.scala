@@ -489,9 +489,39 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q43
+
+  /** q43_stratified_sample — DETERMINISTIC stratified sampling: keep 50% of
+    * English documents and ~20% of every other language, selected by an
+    * md5-hex bucket of the document id (`substr(md5(id),1,2)` compared
+    * against a per-stratum hex threshold — 256 uniform buckets).
+    *
+    * Training-data pipelines need REPRODUCIBLE samples (a re-run must pick
+    * the same documents, and adding data must not reshuffle old picks), so
+    * `Dataset.sample`'s seeded-but-partitioning-dependent RNG is the wrong
+    * tool at scale; a content hash is stable under repartitioning, retries
+    * and growth. Pure narrow filter — scan speed, no shuffle, and the
+    * oracle replays the identical hash. */
+  def q43StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    val threshold = when($"lang" === "en", lit("80")).otherwise(lit("33"))
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .filter(bucket < threshold)
+      .select($"doc_id", $"lang", bucket.as("bucket"))
+  }
+
+  val q43Sql: String =
+    """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |      < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_clusters"    -> (q40DedupClusters _),
     "q41_redact"            -> (q41Redact _),
+    "q43_stratified_sample" -> (q43StratifiedSample _),
     "q21_text_stats"        -> (q21TextStats _),
     "q23_dedup_fingerprint" -> (q23DedupFingerprint _),
     "q24_dedup_minhash"     -> (q24DedupMinhash _),
@@ -504,6 +534,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q40_dedup_clusters"    -> q40Sql,
     "q41_redact"            -> q41Sql,
+    "q43_stratified_sample" -> q43Sql,
     "q21_text_stats"        -> q21Sql,
     "q23_dedup_fingerprint" -> q23Sql,
     "q24_dedup_minhash"     -> q24Sql,
