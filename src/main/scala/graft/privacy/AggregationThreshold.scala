@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Intersect, LogicalPlan, Project, Union, View, WithCTE}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.SparkSessionExtensions
@@ -118,7 +118,7 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
         s.withNewPlan(apply(s.plan))
     }
-    val (out, pending) = protectPlan(withSubqueries)
+    val (out, pending) = protectPlan(withSubqueries, Map.empty)
     if (pending.nonEmpty)
       throw new PolicyViolationException(
         s"view(s) ${pending.map(_._1).distinct.mkString(", ")} carry an aggregation " +
@@ -126,12 +126,31 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     out
   }
 
+  private type Pending = Seq[(String, AggregationThresholdPolicy)]
+
   /** Bottom-up walk returning the rewritten plan plus policy-view references
-    * not yet covered by an enclosing Aggregate. */
-  private def protectPlan(p: LogicalPlan): (LogicalPlan, Seq[(String, AggregationThresholdPolicy)]) =
+    * not yet covered by an enclosing Aggregate. `cteEnv` carries each CTE
+    * definition's unprotected policy references to its reference sites, so
+    * a policy view read through `WITH x AS (...)` is enforced at the
+    * aggregate over `x`, exactly as if inlined. */
+  private def protectPlan(p: LogicalPlan, cteEnv: Map[Long, Pending]): (LogicalPlan, Pending) =
     p match {
+      case w: WithCTE =>
+        // definitions resolve in order; later ones may reference earlier ones
+        var env = cteEnv
+        val newDefs = w.cteDefs.map { d =>
+          val (c2, pend) = protectPlan(d.child, env)
+          env = env + (d.id -> pend)
+          d.copy(child = c2)
+        }
+        val (main, pendingMain) = protectPlan(w.plan, env)
+        (w.copy(plan = main, cteDefs = newDefs), pendingMain)
+
+      case r: CTERelationRef =>
+        (r, cteEnv.getOrElse(r.cteId, Nil))
+
       case v: View =>
-        val (child, pending) = protectPlan(v.child)
+        val (child, pending) = protectPlan(v.child, cteEnv)
         // a policy may be registered under the bare or the dataset-qualified
         // name — the createTime match makes either lookup instance-exact
         val bare = v.desc.identifier.table
@@ -142,7 +161,7 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (v.withNewChildren(Seq(child)), pending ++ here)
 
       case a: Aggregate =>
-        val (child, pending) = protectPlan(a.child)
+        val (child, pending) = protectPlan(a.child, cteEnv)
         val a2 = a.withNewChildren(Seq(child)).asInstanceOf[Aggregate]
         if (pending.isEmpty) (a2, Nil)
         else if (a2.getTagValue(ProtectedTag).contains(true)) (a2, Nil) // re-analysis of our own rewrite
@@ -159,10 +178,25 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
 
       case other =>
-        val results = other.children.map(protectPlan)
+        val results = other.children.map(protectPlan(_, cteEnv))
         val rebuilt =
           if (other.children.isEmpty) other else other.withNewChildren(results.map(_._1))
-        (rebuilt, results.flatMap(_._2))
+        val pending = results.flatMap(_._2)
+        // Set operations that MERGE a policy view's rows with other row
+        // sources are rejected outright: inside a later aggregate the
+        // merged column would count attacker-supplied privacy units toward
+        // the threshold, and the attacker can subtract their own known
+        // contribution from the published aggregate — an inflation attack
+        // the per-group distinct count cannot see. Joins stay allowed: a
+        // join can duplicate or filter the view's unit values but never
+        // fabricate new ones.
+        rebuilt match {
+          case (_: Union | _: Intersect | _: Except) if pending.nonEmpty =>
+            throw new PolicyViolationException(
+              s"set operations over policy view(s) ${pending.map(_._1).distinct.mkString(", ")} " +
+                "are not allowed: aggregate the policy view directly")
+          case _ => (rebuilt, pending)
+        }
     }
 
   private def rewrite(a: Aggregate, pending: Seq[(String, AggregationThresholdPolicy)]): LogicalPlan = {

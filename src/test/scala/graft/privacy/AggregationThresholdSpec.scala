@@ -119,6 +119,49 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.sql("SELECT * FROM trip_pp").count() === 8L)
   }
 
+  test("a CTE over the policy view cannot smuggle raw rows out") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql(
+      "WITH x AS (SELECT * FROM trip_pp) SELECT * FROM x").collect())
+    assert(e.getMessage.contains("must aggregate"))
+  }
+
+  test("aggregating through a CTE still applies the threshold") {
+    setupTrips()
+    val out = spark.sql(
+      """WITH x AS (SELECT * FROM trip_pp)
+        |SELECT city, count(*) AS n FROM x GROUP BY city""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("A", "C")) // city B suppressed through the CTE
+  }
+
+  test("set operations over the policy view are rejected outright") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM trip_pp UNION ALL SELECT * FROM trip_pp").collect())
+    assert(e.getMessage.contains("set operations"))
+  }
+
+  test("the UNION threshold-inflation attack is rejected") {
+    setupTrips()
+    // the attack: union the policy view with attacker-supplied rows that
+    // add fake distinct customers to an under-threshold group, aggregate,
+    // then subtract the known fake contribution from the published numbers
+    // to recover the suppressed group. The rule must refuse to let a set
+    // operation merge policy rows with other row sources at all.
+    val s = spark
+    import s.implicits._
+    Seq((90L, 901L, "B", 1.0), (91L, 902L, "B", 1.0))
+      .toDF("trip_id", "customer_id", "city", "fare")
+      .createOrReplaceTempView("attacker_rows")
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, count(DISTINCT customer_id) AS cd, count(*) AS n FROM
+        |  (SELECT customer_id, city FROM trip_pp
+        |   UNION ALL SELECT customer_id, city FROM attacker_rows) u
+        |GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("set operations"))
+  }
+
   test("re-created view WITH a re-declared policy is enforced again") {
     setupTrips()
     graft.sql.CleanRoom.createPolicyView(spark, "trip_pp",
