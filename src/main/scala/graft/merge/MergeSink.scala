@@ -53,8 +53,20 @@ final class MergeSink(
       else None
     val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
 
-    // column order fixed by name so the hash is layout-independent
-    val contentHash = xxhash64(all.columns.sorted.map(col).toIndexedSeq: _*)
+    // column order fixed by name so the hash is layout-independent; map-typed
+    // columns are excluded (unhashable — their iteration order is undefined,
+    // which is also why they could never break ties deterministically)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = all.schema.fields.toIndexedSeq
+      .filter(f => !hasMap(f.dataType))
+      .map(_.name).sorted.map(c => col(c))
+    val contentHash =
+      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
     val merged = all

@@ -62,7 +62,12 @@ object SinkMaintenance {
     val manifest = Paths.get(dir, SwapManifest)
     val lines = Seq(s"TMP $tmp") ++
       newParts.map(f => s"NEW ${f.getName}") ++ parts.map(f => s"OLD ${f.getName}")
-    Files.writeString(manifest, lines.mkString("\n"))
+    // write-then-rename: the manifest appears ATOMICALLY complete or not at
+    // all — a crash mid-write must not leave a truncated step list for
+    // recovery to half-apply
+    val staging = Paths.get(dir, SwapManifest + ".tmp")
+    Files.writeString(staging, lines.mkString("\n"))
+    Files.move(staging, manifest, StandardCopyOption.ATOMIC_MOVE)
 
     newParts.foreach { f =>
       Files.move(f.toPath, Paths.get(dir, f.getName), StandardCopyOption.ATOMIC_MOVE)

@@ -49,9 +49,13 @@ final class Topic(val spark: SparkSession, val name: String, val dir: String,
     // committer: task output only becomes visible at job commit), so
     // rejection stays atomic — Pub/Sub rejects at publish time, so must we.
     val parsed = from_json(col("value"), schema.schema, Map("mode" -> "FAILFAST"))
+    // degenerate payloads (e.g. the literal string "null") parse to a null
+    // struct WITHOUT tripping FAILFAST — raise explicitly rather than let
+    // the filter silently drop them from the append
+    val gate = parsed.isNotNull || col("value").isNull ||
+      raise_error(concat(lit("payload is not a JSON object: "), col("value")))
     try {
-      msgs.filter(parsed.isNotNull || col("value").isNull)
-        .write.mode("append").json(dir)
+      msgs.filter(gate).write.mode("append").json(dir)
     } catch {
       case e: Exception =>
         throw new IllegalArgumentException(

@@ -65,6 +65,18 @@ class MergeSinkSpec extends SparkSpec {
     assert(splitA === finals.head)
   }
 
+  test("map-typed columns merge fine (excluded from the content-hash tie-break)") {
+    val s = spark
+    import s.implicits._
+    val sink = new MergeSink(spark, tmpDir("merge-map") + "/t", "id", Seq("ts"), numBuckets = 4)
+    val batch = Seq((1L, 10L, Map("a" -> "1")), (1L, 20L, Map("b" -> "2")))
+      .toDF("id", "ts", "props")
+    sink.merge(batch)
+    val out = sink.read().collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 20L) // latest ts wins; map column carried through
+  }
+
   test("backfill then stream converges to source state (O25)") {
     val s = spark
     import s.implicits._

@@ -160,6 +160,21 @@ class FanOutSpec extends SparkSpec {
     assert(sink.inputFiles.length === 3)
   }
 
+  test("publish rejects a degenerate non-object payload instead of dropping it") {
+    val root = tmpDir("nullpayload")
+    val registry = new SchemaRegistry
+    val rev = registry.register("t", Fixtures.topicSchema)
+    val topic = new Topic(spark, "t", s"$root/topic", rev)
+    val s = spark
+    import s.implicits._
+    // the literal string "null" parses to a null struct without tripping
+    // FAILFAST — it must still be a publish REJECTION, never a silent drop
+    val e = intercept[IllegalArgumentException](
+      topic.publish(Seq(("""{"id":1}""", "null")).toDF("key", "value")))
+    assert(e.getMessage.contains("does not conform"))
+    assert(topic.read.count() === 0) // nothing appended
+  }
+
   test("pull returns at most n messages with key/value/attributes (O15)") {
     val root = tmpDir("pull")
     val registry = new SchemaRegistry
