@@ -45,6 +45,20 @@ private[privacy] final case class BoundPolicy(
   * share a policy view's name is not a view and is never enforced against,
   * and a re-created view does not inherit the policy of its predecessor. */
 object PolicyCatalog {
+  /** View TBLPROPERTIES keys for a policy persisted WITH a catalog view
+    * (BigQuery's `OPTIONS(privacy_policy=...)` model): the policy is part
+    * of the view object, survives process restarts over a persistent
+    * catalog, and dies with any CREATE OR REPLACE that omits it. */
+  val UnitProp = "graft.privacy.unit"
+  val ThresholdProp = "graft.privacy.threshold"
+
+  /** Policy declared in a view's own catalog properties, if any. */
+  def fromProperties(props: Map[String, String]): Option[AggregationThresholdPolicy] =
+    for {
+      u <- props.get(UnitProp)
+      t <- props.get(ThresholdProp)
+    } yield AggregationThresholdPolicy(u, t.toInt)
+
   private val policies = new ConcurrentHashMap[String, BoundPolicy]()
 
   /** Attach a policy to an EXISTING view (temp, global-temp or catalog).
@@ -110,15 +124,10 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   import AggregationThresholdRule.{CdPrefix, ProtectedTag}
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    // expression subqueries (scalar/IN/EXISTS) carry their own plans — each
-    // is protected independently, so a policy view cannot be read raw
-    // through `SELECT (SELECT x FROM policy_view LIMIT 1)`
-    val withSubqueries = plan.transformAllExpressions {
-      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-        s.withNewPlan(apply(s.plan))
-    }
-    val (out, pending) = protectPlan(withSubqueries, Map.empty)
+  override def apply(plan: LogicalPlan): LogicalPlan = applyWithEnv(plan, Map.empty)
+
+  private def applyWithEnv(plan: LogicalPlan, cteEnv: CteEnv): LogicalPlan = {
+    val (out, pending) = protectPlan(plan, cteEnv)
     if (pending.nonEmpty)
       throw new PolicyViolationException(
         s"view(s) ${pending.map(_._1).distinct.mkString(", ")} carry an aggregation " +
@@ -126,38 +135,79 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     out
   }
 
-  private type Pending = Seq[(String, AggregationThresholdPolicy)]
+  /** An unprotected policy-view reference: view name, its policy, and the
+    * view's ACTUAL privacy-unit attribute — carried by exprId so that
+    * enforcement counts the real column, never a same-named impostor the
+    * query author aliased or joined into scope. */
+  private type Pending = Seq[(String, AggregationThresholdPolicy, Attribute)]
+  /** CTE id → (definition output, pending below that definition). */
+  private type CteEnv = Map[Long, (Seq[Attribute], Pending)]
 
   /** Bottom-up walk returning the rewritten plan plus policy-view references
     * not yet covered by an enclosing Aggregate. `cteEnv` carries each CTE
     * definition's unprotected policy references to its reference sites, so
     * a policy view read through `WITH x AS (...)` is enforced at the
     * aggregate over `x`, exactly as if inlined. */
-  private def protectPlan(p: LogicalPlan, cteEnv: Map[Long, Pending]): (LogicalPlan, Pending) =
+  private def protectPlan(p0: LogicalPlan, cteEnv: CteEnv): (LogicalPlan, Pending) = {
+    // expression subqueries (scalar/IN/EXISTS) carry their own plans — each
+    // is protected independently (a policy view cannot be read raw through
+    // `SELECT (SELECT x FROM policy_view LIMIT 1)`), and the CURRENT cte
+    // env travels in: a subquery reading an OUTER CTE of a policy view
+    // must still see that CTE's policy
+    val p = p0 match {
+      case w: WithCTE => w // holds no expressions of its own
+      case _ => p0.transformExpressions {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          s.withNewPlan(applyWithEnv(s.plan, cteEnv))
+      }
+    }
     p match {
       case w: WithCTE =>
         // definitions resolve in order; later ones may reference earlier ones
         var env = cteEnv
         val newDefs = w.cteDefs.map { d =>
           val (c2, pend) = protectPlan(d.child, env)
-          env = env + (d.id -> pend)
+          env = env + (d.id -> ((d.child.output, pend)))
           d.copy(child = c2)
         }
         val (main, pendingMain) = protectPlan(w.plan, env)
         (w.copy(plan = main, cteDefs = newDefs), pendingMain)
 
       case r: CTERelationRef =>
-        (r, cteEnv.getOrElse(r.cteId, Nil))
+        cteEnv.get(r.cteId) match {
+          case Some((defOut, pend)) =>
+            // the ref mints fresh attribute ids for the def's output —
+            // remap each pending unit attribute positionally so the exprId
+            // trace survives the CTE boundary
+            val remapped = pend.map { case (n, pol, attr) =>
+              val i = defOut.indexWhere(_.exprId == attr.exprId)
+              (n, pol, if (i >= 0 && i < r.output.size) r.output(i) else attr)
+            }
+            (r, remapped)
+          case None => (r, Nil)
+        }
 
       case v: View =>
         val (child, pending) = protectPlan(v.child, cteEnv)
-        // a policy may be registered under the bare or the dataset-qualified
-        // name — the createTime match makes either lookup instance-exact
         val bare = v.desc.identifier.table
-        val names = v.desc.identifier.database.map(db => s"$db.$bare").toSeq :+ bare
-        val here = names.view
-          .flatMap(n => PolicyCatalog.policyFor(n, v.desc.createTime).map(n -> _))
-          .headOption
+        val qualified = v.desc.identifier.database.map(db => s"$db.$bare")
+        // a policy travels either IN the view's own catalog properties
+        // (durable views — checked first, it IS the view instance's own
+        // declaration) or in the in-memory PolicyCatalog under the bare or
+        // qualified name, instance-matched by createTime
+        val names = qualified.toSeq :+ bare
+        val resolver = spark.sessionState.conf.resolver
+        val here = PolicyCatalog.fromProperties(v.desc.properties)
+          .map(qualified.getOrElse(bare) -> _)
+          .orElse(names.view
+            .flatMap(n => PolicyCatalog.policyFor(n, v.desc.createTime).map(n -> _))
+            .headOption)
+          .map { case (n, pol) =>
+            val attr = v.output.find(a => resolver(a.name, pol.unitColumn)).getOrElse(
+              throw new PolicyViolationException(
+                s"policy view '$n' does not expose its privacy unit column '${pol.unitColumn}'"))
+            (n, pol, attr)
+          }
         (v.withNewChildren(Seq(child)), pending ++ here)
 
       case a: Aggregate =>
@@ -198,18 +248,25 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => (rebuilt, pending)
         }
     }
+  }
 
-  private def rewrite(a: Aggregate, pending: Seq[(String, AggregationThresholdPolicy)]): LogicalPlan = {
-    val resolver = spark.sessionState.conf.resolver
-    // one distinct-count per distinct privacy-unit column, max threshold wins
-    val byUnit = pending.groupBy(_._2.unitColumn.toLowerCase).map { case (_, ps) =>
-      (ps.head._2.unitColumn, ps.map(_._2.threshold).max)
+  private def rewrite(a: Aggregate, pending: Pending): LogicalPlan = {
+    // one distinct-count per distinct privacy-unit ATTRIBUTE (exprId, not
+    // name), max threshold wins
+    val byUnit = pending.groupBy(_._3.exprId).map { case (_, ps) =>
+      (ps.head._3, ps.map(_._2.threshold).max, ps.head._1)
     }.toSeq
-    val cds: Seq[(Alias, Int)] = byUnit.zipWithIndex.map { case ((unit, t), i) =>
-      val attr = a.child.output.find(o => resolver(o.name, unit)).getOrElse(
+    val cds: Seq[(Alias, Int)] = byUnit.zipWithIndex.map { case ((attr, t, viewName), i) =>
+      // the view's REAL unit attribute must reach this aggregate: a
+      // same-named column the author aliased over it (or joined into
+      // scope) has a different exprId and cannot stand in for it —
+      // resolving by name here would let `SELECT trip_id AS customer_id`
+      // inflate the distinct count and unsuppress a protected group
+      if (!a.child.output.exists(_.exprId == attr.exprId))
         throw new PolicyViolationException(
-          s"privacy unit column '$unit' not found below the aggregate " +
-            "(it must not be projected away before aggregation)"))
+          s"privacy unit column '${attr.name}' of policy view '$viewName' is not " +
+            "available below the aggregate (it must be selected through " +
+            "unchanged — not renamed, shadowed or dropped)")
       (Alias(Count(attr).toAggregateExpression(isDistinct = true), s"$CdPrefix$i")(), t)
     }
     val widened = a.copy(aggregateExpressions = a.aggregateExpressions ++ cds.map(_._1))

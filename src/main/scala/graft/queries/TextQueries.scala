@@ -169,15 +169,13 @@ object TextQueries {
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") > 1)
     val dropped = (size($"ids") > maxBucket).cast("int")
+    val metrics = Seq(
+      coalesce(sum(dropped), lit(0)).as("dropped_buckets"),
+      coalesce(sum(when(size($"ids") > maxBucket, size($"ids")).otherwise(0)), lit(0)).as("dropped_ids"),
+      coalesce(max(size($"ids")), lit(0)).as("max_bucket_size"))
     val observed = observer match {
-      case Some(o) => buckets.observe(o,
-        coalesce(sum(dropped), lit(0)).as("dropped_buckets"),
-        coalesce(sum(when(size($"ids") > maxBucket, size($"ids")).otherwise(0)), lit(0)).as("dropped_ids"),
-        coalesce(max(size($"ids")), lit(0)).as("max_bucket_size"))
-      case None => buckets.observe("q24_lsh",
-        coalesce(sum(dropped), lit(0)).as("dropped_buckets"),
-        coalesce(sum(when(size($"ids") > maxBucket, size($"ids")).otherwise(0)), lit(0)).as("dropped_ids"),
-        coalesce(max(size($"ids")), lit(0)).as("max_bucket_size"))
+      case Some(o) => buckets.observe(o, metrics.head, metrics.tail: _*)
+      case None    => buckets.observe("q24_lsh", metrics.head, metrics.tail: _*)
     }
     val cand = observed
       .filter(size($"ids") <= maxBucket)

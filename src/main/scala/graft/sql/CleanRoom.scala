@@ -16,15 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object CleanRoom {
 
-  /** O21: `LOAD DATA OVERWRITE … CLUSTER BY k FROM FILES(parquet)`
-    * (`/root/reference/sql/sp_demo_cleanroom.sql:43-47`).
-    *
-    * Rendering: hash-repartition on the cluster key, sort within partitions,
-    * write parquet. Each output file then covers a narrow key range, so
-    * parquet row-group min/max statistics prune scans on the cluster key —
-    * BigQuery clustering's data-skipping, in Parquet terms. At 100 TB the
-    * repartition is the one (unavoidable) shuffle and everything else is
-    * embarrassingly parallel. */
   /** Warehouse directory of a (possibly database-qualified) managed table. */
   private def tableDir(spark: SparkSession, table: String): java.io.File = {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
@@ -34,6 +25,15 @@ object CleanRoom {
     }
   }
 
+  /** O21: `LOAD DATA OVERWRITE … CLUSTER BY k FROM FILES(parquet)`
+    * (`/root/reference/sql/sp_demo_cleanroom.sql:43-47`).
+    *
+    * Rendering: hash-repartition on the cluster key, sort within partitions,
+    * write parquet. Each output file then covers a narrow key range, so
+    * parquet row-group min/max statistics prune scans on the cluster key —
+    * BigQuery clustering's data-skipping, in Parquet terms. At 100 TB the
+    * repartition is the one (unavoidable) shuffle and everything else is
+    * embarrassingly parallel. */
   def loadClustered(spark: SparkSession, sourceGlob: String, table: String,
                     clusterKey: String): Unit = {
     // LOAD DATA OVERWRITE semantics, robust across JVMs: an in-memory
@@ -41,13 +41,7 @@ object CleanRoom {
     // directories survive — clear both
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = tableDir(spark, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) graft.util.FsUtil.deleteRecursively(loc)
     spark.read.parquet(sourceGlob)
       .repartition(col(clusterKey))
       .sortWithinPartitions(clusterKey)
@@ -63,13 +57,7 @@ object CleanRoom {
                       partitionExpr: Column, partitionName: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = tableDir(spark, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
+    if (loc.exists()) graft.util.FsUtil.deleteRecursively(loc)
     spark.read.parquet(sourceGlob)
       .withColumn(partitionName, partitionExpr)
       .write.mode("overwrite").format("parquet")
@@ -109,12 +97,22 @@ object CleanRoom {
     graft.privacy.PolicyCatalog.removePolicy(name)
   }
 
-  /** O23 durable variant: persistent view + aggregation-threshold policy. */
+  /** O23 durable variant: persistent view + aggregation-threshold policy.
+    * The policy is stored IN the view's TBLPROPERTIES — it lives and dies
+    * with the view object itself (BigQuery's `OPTIONS(privacy_policy=...)`
+    * model), so it survives a full process restart over a persistent
+    * catalog and is dropped by any CREATE OR REPLACE that does not restate
+    * it. Enforcement reads the properties off the resolved View node; no
+    * in-memory registration is involved. */
   def createDurablePolicyView(spark: SparkSession, name: String, selectSql: String,
                               privacyUnitColumn: String, threshold: Int): Unit = {
-    createDurableView(spark, name, selectSql)
-    graft.privacy.PolicyCatalog.setPolicy(spark, name,
-      graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $name
+         |TBLPROPERTIES(
+         |  '${graft.privacy.PolicyCatalog.UnitProp}' = '$privacyUnitColumn',
+         |  '${graft.privacy.PolicyCatalog.ThresholdProp}' = '$threshold')
+         |AS $selectSql""".stripMargin)
+    graft.privacy.PolicyCatalog.removePolicy(name)
   }
 
   /** The reference's `sp_demo_cleanroom` procedure, replayed 1:1
@@ -137,6 +135,13 @@ object CleanRoom {
 
   private val ExpiresProp = "graft.expires_at_ms"
 
+  /** Parse a possibly database-qualified name into a TableIdentifier. */
+  private def parseIdent(name: String): org.apache.spark.sql.catalyst.TableIdentifier =
+    name.split('.') match {
+      case Array(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _            => org.apache.spark.sql.catalyst.TableIdentifier(name)
+    }
+
   /** Table expiration (`bq mk --expiration 3600`,
     * `/root/reference/README.md:389`): stamp an absolute expiry instant on
     * the table. Enforced in two places, like BigQuery: reads through
@@ -147,7 +152,7 @@ object CleanRoom {
 
   def tableExpiresAt(spark: SparkSession, table: String): Option[Long] =
     spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(parseIdent(table))
       .properties.get(ExpiresProp).map(_.toLong)
 
   /** Expiration-honoring read: an expired table no longer exists for
@@ -162,12 +167,12 @@ object CleanRoom {
     spark.table(table)
   }
 
-  /** Maintenance sweep: drop every expired table in the current database.
+  /** Maintenance sweep: drop every expired table in EVERY database.
     * Driver-side work is catalog-sized (table names + properties), never
-    * data-sized. Returns the dropped table names. */
+    * data-sized. Returns the dropped tables' bare names. */
   def expireTables(spark: SparkSession, nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cat = spark.sessionState.catalog
-    val expired = cat.listTables(cat.getCurrentDatabase).filter { ident =>
+    val expired = cat.listDatabases().flatMap(db => cat.listTables(db)).filter { ident =>
       scala.util.Try(cat.getTableMetadata(ident)).toOption
         .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
           t.properties.get(ExpiresProp).exists(_.toLong <= nowMs))

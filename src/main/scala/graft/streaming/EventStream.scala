@@ -68,8 +68,9 @@ object EventStream {
     * subscription and an append sink when the consumer cannot tolerate
     * duplicates but a full MergeSink upsert is overkill. */
   def dedupById(events: DataFrame, idCol: String = "event_id",
+                tsCol: String = "ts",
                 watermarkDelay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+    events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
   /** Stream-stream self-join: pairs each purchase with the same user's

@@ -74,8 +74,7 @@ object SinkMaintenance {
     }
     parts.foreach(_.delete())
     Files.deleteIfExists(manifest)
-    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(new File(tmp))
+    graft.util.FsUtil.deleteRecursively(new File(tmp))
     CompactionStats(parts.length, newParts.length, before)
   }
 
@@ -99,8 +98,7 @@ object SinkMaintenance {
       }
     }
     Files.deleteIfExists(manifest)
-    def rm(f: File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
-    rm(new File(tmp))
+    graft.util.FsUtil.deleteRecursively(new File(tmp))
     true
   }
 }

@@ -164,11 +164,7 @@ object Subscription {
     val replay = dead.select("key", "value", "attributes")
       // re-deliveries must go somewhere fresh if they fail again
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(dir)
+    graft.util.FsUtil.deleteRecursively(dir)
     sub.deliverBatch(replay, sinkDir, topicSchema, sinkSchema, deadLetterDir, sleep)
     n
   }

@@ -162,6 +162,57 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     assert(e.getMessage.contains("set operations"))
   }
 
+  test("a scalar subquery over an outer CTE of the policy view is still protected") {
+    setupTrips()
+    // pre-fix bypass: the subquery plan was protected with an EMPTY cte
+    // environment, so the reference to x resolved to no policy and the raw
+    // under-threshold row leaked
+    val e = intercept[Exception](spark.sql(
+      """WITH x AS (SELECT * FROM trip_pp)
+        |SELECT (SELECT customer_id FROM x WHERE city = 'B' LIMIT 1)""".stripMargin)
+      .collect())
+    assert(e.getMessage.contains("must aggregate"))
+  }
+
+  test("aliasing another column to the unit name cannot inflate the distinct count") {
+    setupTrips()
+    // pre-fix bypass: the rule resolved the unit column BY NAME in the
+    // aggregate's child, so `trip_id AS customer_id` (4 distinct trips in
+    // city B vs 1 real customer) passed the threshold and published the
+    // suppressed group. The unit attribute is now traced by exprId.
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, count(*) AS n FROM
+        |  (SELECT city, trip_id AS customer_id FROM trip_pp) t
+        |GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("not available below the aggregate"))
+  }
+
+  test("a joined-in same-named column cannot stand in for the unit column") {
+    setupTrips()
+    val s = spark
+    import s.implicits._
+    // attacker joins a table whose customer_id column is high-cardinality
+    Seq((1L, 9901L), (2L, 9902L), (3L, 9903L), (4L, 9904L),
+        (5L, 9905L), (6L, 9906L), (7L, 9907L), (8L, 9908L))
+      .toDF("trip_id", "customer_id").createOrReplaceTempView("attacker_dim")
+    val e = intercept[Exception](spark.sql(
+      """SELECT t.city, count(*) AS n FROM
+        |  (SELECT p.city, a.customer_id
+        |   FROM trip_pp p JOIN attacker_dim a ON p.trip_id = a.trip_id) t
+        |GROUP BY t.city""".stripMargin).collect())
+    assert(e.getMessage.contains("not available below the aggregate"))
+  }
+
+  test("selecting the real unit column through a projection still enforces") {
+    setupTrips()
+    val out = spark.sql(
+      """SELECT city, count(*) AS n FROM
+        |  (SELECT city, customer_id FROM trip_pp) t
+        |GROUP BY city""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("A", "C"))
+  }
+
   test("re-created view WITH a re-declared policy is enforced again") {
     setupTrips()
     graft.sql.CleanRoom.createPolicyView(spark, "trip_pp",

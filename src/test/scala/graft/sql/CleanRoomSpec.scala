@@ -110,16 +110,43 @@ class CleanRoomSpec extends SparkSpec {
       spark.sql("INSERT INTO pol_base VALUES (1,10,'A'),(2,11,'A'),(3,12,'B')")
       CleanRoom.createDurablePolicyView(spark, "pol_view",
         "SELECT * FROM pol_base", "customer_id", 2)
+      // the policy lives in the view's OWN catalog properties, not in any
+      // in-memory registry — clearing the registry must change nothing
+      PolicyCatalog.clear()
       val s2 = spark.newSession()
       val out = s2.sql("SELECT city, count(*) AS n FROM pol_view GROUP BY city")
         .collect().map(_.getString(0))
       assert(out.toSeq === Seq("A")) // B: 1 distinct customer, suppressed
       assert(intercept[Exception](s2.sql("SELECT * FROM pol_view").collect())
         .getMessage.contains("must aggregate"))
+
+      // CREATE OR REPLACE without restating the policy drops it (view
+      // options semantics) — now raw-readable
+      CleanRoom.createDurableView(spark, "pol_view", "SELECT * FROM pol_base")
+      assert(spark.sql("SELECT * FROM pol_view").count() === 3L)
     } finally {
       spark.sql("DROP VIEW IF EXISTS pol_view")
       spark.sql("DROP TABLE IF EXISTS pol_base")
       PolicyCatalog.clear()
+    }
+  }
+
+  test("expiration works for database-qualified tables and sweeps all databases") {
+    try {
+      spark.sql("CREATE DATABASE IF NOT EXISTS expdb")
+      spark.sql("CREATE TABLE expdb.qt (id BIGINT) USING parquet")
+      spark.sql("INSERT INTO expdb.qt VALUES (1)")
+      val now = System.currentTimeMillis()
+      CleanRoom.setTableExpiration(spark, "expdb.qt", now + 3600 * 1000L)
+      assert(CleanRoom.readTable(spark, "expdb.qt", now).count() === 1L)
+      CleanRoom.setTableExpiration(spark, "expdb.qt", now - 1000L)
+      // the sweep finds expired tables OUTSIDE the current database too
+      val dropped = CleanRoom.expireTables(spark, now)
+      assert(dropped === Seq("qt"))
+      assert(!spark.catalog.tableExists("expdb.qt"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS expdb.qt")
+      spark.sql("DROP DATABASE IF EXISTS expdb")
     }
   }
 
