@@ -3,7 +3,6 @@ package graft.privacy
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Intersect, LogicalPlan, Project, Union, View, WithCTE}
@@ -52,12 +51,22 @@ object PolicyCatalog {
   val UnitProp = "graft.privacy.unit"
   val ThresholdProp = "graft.privacy.threshold"
 
-  /** Policy declared in a view's own catalog properties, if any. */
+  /** Policy declared in a view's own catalog properties, if any.
+    * FAIL-CLOSED on misdeclaration: a half-declared pair (one key missing)
+    * or a non-numeric threshold is a policy the author INTENDED — treating
+    * it as "no policy" would leave the view raw-readable, so both reject
+    * every read of the view instead. */
   def fromProperties(props: Map[String, String]): Option[AggregationThresholdPolicy] =
-    for {
-      u <- props.get(UnitProp)
-      t <- props.get(ThresholdProp)
-    } yield AggregationThresholdPolicy(u, t.toInt)
+    (props.get(UnitProp), props.get(ThresholdProp)) match {
+      case (Some(u), Some(t)) =>
+        val threshold = t.toIntOption.getOrElse(throw new PolicyViolationException(
+          s"view property $ThresholdProp='$t' is not an integer"))
+        Some(AggregationThresholdPolicy(u, threshold))
+      case (None, None) => None
+      case (u, t) => throw new PolicyViolationException(
+        s"incomplete privacy policy on view: $UnitProp=${u.getOrElse("<missing>")}, " +
+          s"$ThresholdProp=${t.getOrElse("<missing>")} — both properties are required")
+    }
 
   private val policies = new ConcurrentHashMap[String, BoundPolicy]()
 
@@ -83,13 +92,10 @@ object PolicyCatalog {
 
   private def viewCreateTime(spark: SparkSession, name: String): Option[Long] = {
     val cat = spark.sessionState.catalog
-    val ident = name.split('.') match {
-      case Array(db, t) => TableIdentifier(t, Some(db)) // dataset-qualified view
-      case _            => TableIdentifier(name)
-    }
+    val ident = graft.util.Names.parseTableIdentifier(spark, name)
     (if (ident.database.isEmpty)
-       cat.getRawTempView(name).map(_.tableMeta.createTime)
-         .orElse(cat.getRawGlobalTempView(name).map(_.tableMeta.createTime))
+       cat.getRawTempView(ident.table).map(_.tableMeta.createTime)
+         .orElse(cat.getRawGlobalTempView(ident.table).map(_.tableMeta.createTime))
      else None)
       .orElse(scala.util.Try(cat.getTableMetadata(ident).createTime).toOption)
   }

@@ -19,10 +19,9 @@ object CleanRoom {
   /** Warehouse directory of a (possibly database-qualified) managed table. */
   private def tableDir(spark: SparkSession, table: String): java.io.File = {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    table.split('.') match {
-      case Array(db, t) => new java.io.File(warehouse, s"$db.db/$t")
-      case _            => new java.io.File(warehouse, table)
-    }
+    val ident = graft.util.Names.parseTableIdentifier(spark, table)
+    new java.io.File(warehouse,
+      ident.database.map(db => s"$db.db/${ident.table}").getOrElse(ident.table))
   }
 
   /** O21: `LOAD DATA OVERWRITE … CLUSTER BY k FROM FILES(parquet)`
@@ -106,12 +105,17 @@ object CleanRoom {
     * in-memory registration is involved. */
   def createDurablePolicyView(spark: SparkSession, name: String, selectSql: String,
                               privacyUnitColumn: String, threshold: Int): Unit = {
+    // plain concatenation — NEVER stripMargin over interpolated user SQL (a
+    // '||' continuation line would be mangled); the unit column is a plain
+    // identifier, enforced here so it cannot break out of the property
+    // literal
+    require(privacyUnitColumn.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"privacy unit column must be a plain identifier, got '$privacyUnitColumn'")
     spark.sql(
-      s"""CREATE OR REPLACE VIEW $name
-         |TBLPROPERTIES(
-         |  '${graft.privacy.PolicyCatalog.UnitProp}' = '$privacyUnitColumn',
-         |  '${graft.privacy.PolicyCatalog.ThresholdProp}' = '$threshold')
-         |AS $selectSql""".stripMargin)
+      s"CREATE OR REPLACE VIEW $name TBLPROPERTIES(" +
+        s"'${graft.privacy.PolicyCatalog.UnitProp}' = '$privacyUnitColumn', " +
+        s"'${graft.privacy.PolicyCatalog.ThresholdProp}' = '$threshold') " +
+        s"AS $selectSql")
     graft.privacy.PolicyCatalog.removePolicy(name)
   }
 
@@ -135,13 +139,6 @@ object CleanRoom {
 
   private val ExpiresProp = "graft.expires_at_ms"
 
-  /** Parse a possibly database-qualified name into a TableIdentifier. */
-  private def parseIdent(name: String): org.apache.spark.sql.catalyst.TableIdentifier =
-    name.split('.') match {
-      case Array(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
-      case _            => org.apache.spark.sql.catalyst.TableIdentifier(name)
-    }
-
   /** Table expiration (`bq mk --expiration 3600`,
     * `/root/reference/README.md:389`): stamp an absolute expiry instant on
     * the table. Enforced in two places, like BigQuery: reads through
@@ -152,7 +149,7 @@ object CleanRoom {
 
   def tableExpiresAt(spark: SparkSession, table: String): Option[Long] =
     spark.sessionState.catalog
-      .getTableMetadata(parseIdent(table))
+      .getTableMetadata(graft.util.Names.parseTableIdentifier(spark, table))
       .properties.get(ExpiresProp).map(_.toLong)
 
   /** Expiration-honoring read: an expired table no longer exists for
@@ -172,11 +169,18 @@ object CleanRoom {
     * data-sized. Returns the dropped tables' bare names. */
   def expireTables(spark: SparkSession, nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cat = spark.sessionState.catalog
-    val expired = cat.listDatabases().flatMap(db => cat.listTables(db)).filter { ident =>
-      scala.util.Try(cat.getTableMetadata(ident)).toOption
-        .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
-          t.properties.get(ExpiresProp).exists(_.toLong <= nowMs))
-    }
+    // keep only DATABASE-QUALIFIED idents: listTables(db) also returns the
+    // session's temp views (database=None) once PER database — unqualified,
+    // they would resolve against the current db, duplicate across the
+    // sweep, and aim the DROP at a same-named temp view instead of the
+    // expired table
+    val expired = cat.listDatabases()
+      .flatMap(db => cat.listTables(db)).filter(_.database.isDefined)
+      .filter { ident =>
+        scala.util.Try(cat.getTableMetadata(ident)).toOption
+          .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
+            t.properties.get(ExpiresProp).exists(_.toLong <= nowMs))
+      }
     expired.foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${i.quotedString}"))
     expired.map(_.table)
   }

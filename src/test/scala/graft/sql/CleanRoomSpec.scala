@@ -131,6 +131,61 @@ class CleanRoomSpec extends SparkSpec {
     }
   }
 
+  test("a half-declared durable policy fails closed, never raw-readable") {
+    try {
+      spark.sql("CREATE TABLE half_base (id BIGINT, customer_id BIGINT) USING parquet")
+      spark.sql("INSERT INTO half_base VALUES (1, 10)")
+      // author declares the unit but typos/omits the threshold key: the
+      // intent to protect is clear, so every read must REJECT, not fall
+      // back to an unprotected view
+      spark.sql(s"""CREATE OR REPLACE VIEW half_view
+        TBLPROPERTIES('${PolicyCatalog.UnitProp}' = 'customer_id')
+        AS SELECT * FROM half_base""")
+      val e = intercept[Exception](
+        spark.sql("SELECT count(*) FROM half_view").collect())
+      assert(e.getMessage.contains("incomplete privacy policy"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS half_view")
+      spark.sql("DROP TABLE IF EXISTS half_base")
+    }
+  }
+
+  test("durable policy view accepts multi-line SQL with || continuations") {
+    try {
+      spark.sql("CREATE TABLE cat_base (first_name STRING, last_name STRING, customer_id BIGINT) USING parquet")
+      spark.sql("INSERT INTO cat_base VALUES ('a','b',1),('c','d',2)")
+      // a '||' at the start of a continuation line used to be eaten by
+      // stripMargin over the interpolated template
+      CleanRoom.createDurablePolicyView(spark, "cat_view",
+        "SELECT first_name\n  || ' ' || last_name AS name, customer_id FROM cat_base",
+        "customer_id", 2)
+      val n = spark.sql("SELECT count(*) AS n FROM cat_view").collect()(0).getLong(0)
+      assert(n === 2L)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS cat_view")
+      spark.sql("DROP TABLE IF EXISTS cat_base")
+    }
+  }
+
+  test("the expiration sweep never touches a temp view shadowing an expired table") {
+    val s = spark
+    import s.implicits._
+    try {
+      spark.sql("CREATE TABLE shadow_t (id BIGINT) USING parquet")
+      CleanRoom.setTableExpiration(spark, "shadow_t", System.currentTimeMillis() - 1000L)
+      Seq((1L, "keep-me")).toDF("id", "v").createOrReplaceTempView("shadow_t")
+      val dropped = CleanRoom.expireTables(spark)
+      assert(dropped === Seq("shadow_t")) // exactly once, not per-database
+      // the DROP hit the qualified managed table; the temp view survives
+      assert(spark.sql("SELECT v FROM shadow_t").collect()(0).getString(0) === "keep-me")
+      assert(!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier("shadow_t", Some("default"))))
+    } finally {
+      spark.catalog.dropTempView("shadow_t")
+      spark.sql("DROP TABLE IF EXISTS default.shadow_t")
+    }
+  }
+
   test("expiration works for database-qualified tables and sweeps all databases") {
     try {
       spark.sql("CREATE DATABASE IF NOT EXISTS expdb")
