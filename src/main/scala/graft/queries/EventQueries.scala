@@ -217,7 +217,61 @@ object EventQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q44_asof_join — AS-OF join, the time-series operator Spark has no
+    * native form of: each purchase is matched to the same user's most
+    * recent click at or before it (the "state of X as of time T" lookup
+    * behind feature backfills and point-in-time-correct training data).
+    *
+    * NOT a range join: the naive `ON c.ms <= p.ms` + max() formulation
+    * explodes to every (purchase × earlier-click) pair before pruning —
+    * quadratic per key. This composition is ONE shuffle, linear state:
+    * both sides are tagged and unioned, sorted per user by (ms, side), and
+    * the last click carries forward via a running `last(_, ignoreNulls)`
+    * window — purchases then just read the carried value. Clicks sort
+    * before purchases at equal ms, so ties match (`<=` semantics, same as
+    * DuckDB's native ASOF JOIN, which is the oracle). The click side is
+    * first deduped to one row per (user, ms) — max event_id wins — so tie
+    * resolution is deterministic in both engines. */
+  def q44AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id")
+      .groupBy($"user_id", $"ms").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("ms"),
+        $"event_id".as("purchase_id"), $"value")
+    val tagged = clicks.select($"user_id", $"ms", lit(0).as("side"), $"click_id",
+        lit(null).cast("long").as("purchase_id"), lit(null).cast("double").as("value"))
+      .unionByName(purchases.select($"user_id", $"ms", lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), $"purchase_id", $"value"))
+    val carry = Window.partitionBy($"user_id").orderBy($"ms", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(carry))
+      .withColumn("asof_click_ms",
+        last(when($"click_id".isNotNull, $"ms"), ignoreNulls = true).over(carry))
+      .filter($"side" === 1)
+      .select($"purchase_id", $"user_id", $"ms".as("purchase_ms"),
+        $"asof_click_id".as("click_id"), $"asof_click_ms".as("click_ms"), $"value")
+      .orderBy($"purchase_id")
+  }
+
+  val q44Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts)),
+      |purchases AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.ms AS purchase_ms,
+      |  c.click_id, c.ms AS click_ms, p.value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.ms <= p.ms
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_join"  -> (q44AsofJoin _),
     "cdc_unwrap"     -> (cdcUnwrap _),
     "cdc_conform"    -> (cdcConform _),
     "q14_events_json" -> (q14EventsJson _),
@@ -228,6 +282,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_asof_join"  -> q44Sql,
     "cdc_unwrap"     -> cdcUnwrapSql,
     "cdc_conform"    -> cdcConformSql,
     "q14_events_json" -> q14Sql,
