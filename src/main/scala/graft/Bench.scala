@@ -2,16 +2,64 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.jdk.CollectionConverters._
+import scala.jdk.OptionConverters._
+
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query seconds.
   *
   * Each query is fully materialized through a `noop` write (not `count()`,
   * which would let Catalyst prune the projections we want to measure).
+  *
+  * Hermeticity: one contended 15-second window on the machine poisons every
+  * query timed inside it (r3 measured a contiguous 2-6x inflated block with
+  * byte-identical plans). Three defenses:
+  *   - refuse to start while another graft/duckdb JVM is live (a detached
+  *     sf0.1 oracle sweep overlapping the bench is exactly the r3 signature);
+  *   - time each query `SPARK_GRAFT_BENCH_REPS` times (default 3) and report
+  *     the MEDIAN — a single contended window then perturbs at most one rep;
+  *   - run the cross-query cleanup (unpersist of leftover localCheckpoint
+  *     blocks, e.g. q40's edge checkpoint) BLOCKING and outside the timed
+  *     window, so cleanup of query N cannot bleed into query N+1's timing
+  *     (the r3 tail's "RDD ... was locally checkpointed" WARN was the async
+  *     sweep racing the next run's checkpoint).
   */
 object Bench {
+
+  /** Command lines of other live processes that would contend with the bench:
+    * another graft JVM (Verify/Bench/ScaleUp/sbt test) or a DuckDB oracle
+    * sweep. Excludes this process and its ancestors (sbt forks us). */
+  private def contendingProcesses(): Seq[String] = {
+    val self = ProcessHandle.current()
+    val ancestors = Iterator.iterate(Option(self))(_.flatMap(_.parent().toScala))
+      .takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses().iterator().asScala
+      .filterNot(p => ancestors.contains(p.pid()))
+      .flatMap(p => p.info().commandLine().toScala)
+      .filter(cmd => (cmd.contains("graft") && cmd.contains("java")) ||
+        cmd.contains("duckdb") || cmd.contains("oracle_check"))
+      .toSeq
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    val busy = contendingProcesses()
+    if (busy.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_FORCE").isEmpty) {
+      System.err.println(
+        "[bench] refusing to run: concurrent graft/duckdb work would poison the timings:\n" +
+          busy.map("  " + _.take(200)).mkString("\n") +
+          "\n[bench] wait for it to finish or set SPARK_GRAFT_BENCH_FORCE=1.")
+      sys.exit(2)
+    }
+
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
 
     // warm the JVM/codegen paths once on the smoke SF so per-query numbers
@@ -31,28 +79,34 @@ object Bench {
       try warm().write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
 
+    // isolate queries: drop any localCheckpoint/persist blocks a query left
+    // behind so they don't tax the NEXT timed window's memory/GC. Blocking:
+    // an async sweep races the next run's own checkpoint of the same lineage
+    def cleanup(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val t = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop any localCheckpoint/persist blocks a query
-      // left behind (e.g. q40's edge checkpoint) so they don't tax the
-      // NEXT query's memory/GC — the cleanup runs outside the timed window
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        if (ok) Some(t) else None
+      }
       // failures report the sentinel -1.0 so a consumer of the JSON line can
       // tell a failed query from a fast one; they are excluded from total
-      (name, if (ok) t else -1.0)
+      (name, if (times.size == reps) median(times) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

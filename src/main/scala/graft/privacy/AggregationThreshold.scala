@@ -1,11 +1,9 @@
 package graft.privacy
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThanOrEqual, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.Count
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Intersect, LogicalPlan, Project, Union, View, WithCTE}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, ExprId, Expression, GreaterThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, CountIf, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Generate, Intersect, LogicalPlan, Project, Union, View, Window, WithCTE}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.SparkSessionExtensions
@@ -27,22 +25,20 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 final case class AggregationThresholdPolicy(unitColumn: String, threshold: Int)
 
-/** A policy bound to one view INSTANCE: `viewCreateTime` is the catalog
-  * creation timestamp of the view at registration time. A later
-  * `CREATE OR REPLACE` mints a fresh catalog entry with a fresh createTime,
-  * so a stale policy no longer matches — replacing a view without
-  * re-declaring its policy drops the policy, exactly as BigQuery's
-  * view-OPTIONS semantics do (options not restated are gone). */
-private[privacy] final case class BoundPolicy(
-    policy: AggregationThresholdPolicy, viewCreateTime: Long)
-
-/** Session-global registry of policy-bearing views. Driver-side
-  * control-plane metadata (a few entries), like the schema registry.
-  *
-  * Policies are scoped to the RESOLVED view identity (name + catalog
-  * createTime), never to a bare name: a subquery alias that happens to
-  * share a policy view's name is not a view and is never enforced against,
-  * and a re-created view does not inherit the policy of its predecessor. */
+/** Policy attachment for views. A policy is never held in a side registry
+  * keyed by name or timestamp — it is stamped INTO the view instance's own
+  * catalog properties (the temp-view registry entry's `CatalogTable` for
+  * session/global-temp views; the persistent catalog entry for durable
+  * views). Enforcement reads the properties off the resolved [[View]] node,
+  * so the binding is physically instance-exact:
+  *   - a subquery alias sharing the view's name is not a view and carries
+  *     no properties — never enforced against;
+  *   - `CREATE OR REPLACE` mints a fresh relation without the properties —
+  *     replacing a view without re-declaring its policy DROPS the policy,
+  *     exactly as BigQuery's view-OPTIONS semantics do (options not
+  *     restated are gone), even when the replacement lands within the same
+  *     clock millisecond as the original (a ms-granularity createTime
+  *     comparison could not tell those apart). */
 object PolicyCatalog {
   /** View TBLPROPERTIES keys for a policy persisted WITH a catalog view
     * (BigQuery's `OPTIONS(privacy_policy=...)` model): the policy is part
@@ -68,36 +64,37 @@ object PolicyCatalog {
           s"$ThresholdProp=${t.getOrElse("<missing>")} — both properties are required")
     }
 
-  private val policies = new ConcurrentHashMap[String, BoundPolicy]()
-
-  /** Attach a policy to an EXISTING view (temp, global-temp or catalog).
-    * Registration resolves the view's creation timestamp so enforcement can
-    * later prove it is looking at the same view instance. */
+  /** Attach a policy to an EXISTING view (temp, global-temp or catalog) by
+    * writing the policy properties onto that view instance's own metadata. */
   def setPolicy(spark: SparkSession, viewName: String,
-                policy: AggregationThresholdPolicy): Unit = {
-    val ct = viewCreateTime(spark, viewName).getOrElse(throw new NoSuchElementException(
-      s"no view '$viewName' in the catalog to attach a privacy policy to"))
-    policies.put(viewName.toLowerCase, BoundPolicy(policy, ct))
-  }
+                policy: AggregationThresholdPolicy): Unit =
+    updateProperties(spark, viewName,
+      _ + (UnitProp -> policy.unitColumn) + (ThresholdProp -> policy.threshold.toString))
 
-  def removePolicy(viewName: String): Unit = { policies.remove(viewName.toLowerCase); () }
+  /** Strip a policy off the view instance (the other way a policy dies is
+    * with the instance itself, via CREATE OR REPLACE / DROP). */
+  def removePolicy(spark: SparkSession, viewName: String): Unit =
+    try updateProperties(spark, viewName, _ - UnitProp - ThresholdProp)
+    catch { case _: NoSuchElementException => () } // no such view -> nothing bound
 
-  /** Policy for one resolved view occurrence — name AND creation instant
-    * must match (see class doc). */
-  def policyFor(viewName: String, viewCreateTime: Long): Option[AggregationThresholdPolicy] =
-    Option(policies.get(viewName.toLowerCase))
-      .filter(_.viewCreateTime == viewCreateTime).map(_.policy)
-
-  def clear(): Unit = policies.clear()
-
-  private def viewCreateTime(spark: SparkSession, name: String): Option[Long] = {
+  private def updateProperties(spark: SparkSession, viewName: String,
+      f: Map[String, String] => Map[String, String]): Unit = {
     val cat = spark.sessionState.catalog
-    val ident = graft.util.Names.parseTableIdentifier(spark, name)
-    (if (ident.database.isEmpty)
-       cat.getRawTempView(ident.table).map(_.tableMeta.createTime)
-         .orElse(cat.getRawGlobalTempView(ident.table).map(_.tableMeta.createTime))
-     else None)
-      .orElse(scala.util.Try(cat.getTableMetadata(ident).createTime).toOption)
+    val ident = graft.util.Names.parseTableIdentifier(spark, viewName)
+    def restamp(rel: org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation) =
+      rel.copy(tableMeta = rel.tableMeta.copy(properties = f(rel.tableMeta.properties)))
+    if (ident.database.isEmpty && cat.getRawTempView(ident.table).isDefined)
+      cat.createTempView(ident.table,
+        restamp(cat.getRawTempView(ident.table).get), overrideIfExists = true)
+    else if (ident.database.isEmpty && cat.getRawGlobalTempView(ident.table).isDefined)
+      cat.createGlobalTempView(ident.table,
+        restamp(cat.getRawGlobalTempView(ident.table).get), overrideIfExists = true)
+    else {
+      val meta = scala.util.Try(cat.getTableMetadata(ident)).getOrElse(
+        throw new NoSuchElementException(
+          s"no view '$viewName' in the catalog to attach a privacy policy to"))
+      cat.alterTable(meta.copy(properties = f(meta.properties)))
+    }
   }
 }
 
@@ -136,7 +133,7 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (out, pending) = protectPlan(plan, cteEnv)
     if (pending.nonEmpty)
       throw new PolicyViolationException(
-        s"view(s) ${pending.map(_._1).distinct.mkString(", ")} carry an aggregation " +
+        s"view(s) ${pending.map(_.view).distinct.mkString(", ")} carry an aggregation " +
           "threshold privacy policy: queries must aggregate (no raw row access)")
     out
   }
@@ -144,8 +141,18 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** An unprotected policy-view reference: view name, its policy, and the
     * view's ACTUAL privacy-unit attribute — carried by exprId so that
     * enforcement counts the real column, never a same-named impostor the
-    * query author aliased or joined into scope. */
-  private type Pending = Seq[(String, AggregationThresholdPolicy, Attribute)]
+    * query author aliased or joined into scope.
+    *
+    * `taint` is the set of attribute ids whose VALUES derive from the unit
+    * column between the view and the enforcing aggregate: the unit attribute
+    * itself plus every projection alias computed from a tainted input
+    * (`customer_id AS cid2`, `concat(customer_id,'') AS c`, an exploded
+    * array of it, ...). The aggregate whitelist consults this set — without
+    * it, one rename below the aggregate would launder raw unit values into
+    * a permitted `sum()`. */
+  private final case class PendingRef(view: String, policy: AggregationThresholdPolicy,
+      attr: Attribute, taint: Set[ExprId])
+  private type Pending = Seq[PendingRef]
   /** CTE id → (definition output, pending below that definition). */
   private type CteEnv = Map[Long, (Seq[Attribute], Pending)]
 
@@ -183,11 +190,17 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
         cteEnv.get(r.cteId) match {
           case Some((defOut, pend)) =>
             // the ref mints fresh attribute ids for the def's output —
-            // remap each pending unit attribute positionally so the exprId
-            // trace survives the CTE boundary
-            val remapped = pend.map { case (n, pol, attr) =>
-              val i = defOut.indexWhere(_.exprId == attr.exprId)
-              (n, pol, if (i >= 0 && i < r.output.size) r.output(i) else attr)
+            // remap each pending unit attribute (and its taint set)
+            // positionally so the exprId trace survives the CTE boundary;
+            // tainted ids not in the def's output cannot escape the CTE
+            val remapped = pend.map { ref =>
+              val i = defOut.indexWhere(_.exprId == ref.attr.exprId)
+              val attr2 = if (i >= 0 && i < r.output.size) r.output(i) else ref.attr
+              val taint2 = ref.taint.flatMap { id =>
+                val j = defOut.indexWhere(_.exprId == id)
+                if (j >= 0 && j < r.output.size) Some(r.output(j).exprId) else None
+              }
+              ref.copy(attr = attr2, taint = taint2 + attr2.exprId)
             }
             (r, remapped)
           case None => (r, Nil)
@@ -196,23 +209,17 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case v: View =>
         val (child, pending) = protectPlan(v.child, cteEnv)
         val bare = v.desc.identifier.table
-        val qualified = v.desc.identifier.database.map(db => s"$db.$bare")
-        // a policy travels either IN the view's own catalog properties
-        // (durable views — checked first, it IS the view instance's own
-        // declaration) or in the in-memory PolicyCatalog under the bare or
-        // qualified name, instance-matched by createTime
-        val names = qualified.toSeq :+ bare
+        val name = v.desc.identifier.database.map(db => s"$db.$bare").getOrElse(bare)
+        // the policy travels IN the view instance's own catalog properties
+        // (for temp views: the registry entry's metadata) — it IS the view's
+        // own declaration, so identity is physical, never name-matched
         val resolver = spark.sessionState.conf.resolver
         val here = PolicyCatalog.fromProperties(v.desc.properties)
-          .map(qualified.getOrElse(bare) -> _)
-          .orElse(names.view
-            .flatMap(n => PolicyCatalog.policyFor(n, v.desc.createTime).map(n -> _))
-            .headOption)
-          .map { case (n, pol) =>
+          .map { pol =>
             val attr = v.output.find(a => resolver(a.name, pol.unitColumn)).getOrElse(
               throw new PolicyViolationException(
-                s"policy view '$n' does not expose its privacy unit column '${pol.unitColumn}'"))
-            (n, pol, attr)
+                s"policy view '$name' does not expose its privacy unit column '${pol.unitColumn}'"))
+            PendingRef(name, pol, attr, Set(attr.exprId))
           }
         (v.withNewChildren(Seq(child)), pending ++ here)
 
@@ -229,7 +236,8 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
             throw new PolicyViolationException(
               s"alias(es) ${spoofed.mkString(", ")} use the reserved privacy prefix " +
                 s"'$CdPrefix' in a query over policy view(s) " +
-                pending.map(_._1).distinct.mkString(", "))
+                pending.map(_.view).distinct.mkString(", "))
+          validateAggregates(a2, pending)
           (rewrite(a2, pending), Nil)
         }
 
@@ -249,18 +257,97 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rebuilt match {
           case (_: Union | _: Intersect | _: Except) if pending.nonEmpty =>
             throw new PolicyViolationException(
-              s"set operations over policy view(s) ${pending.map(_._1).distinct.mkString(", ")} " +
+              s"set operations over policy view(s) ${pending.map(_.view).distinct.mkString(", ")} " +
                 "are not allowed: aggregate the policy view directly")
+          // Window functions over RAW policy rows are rejected: a window
+          // aggregate is not an Aggregate node (no threshold gate fires),
+          // and worse, `first_value(unit) OVER (...)` mints a fresh
+          // attribute carrying raw unit VALUES that a later whitelisted
+          // `sum()` would publish. Windows over the already-aggregated
+          // (suppressed) result remain fine — pending is Nil there.
+          case w: Window if pending.nonEmpty =>
+            throw new PolicyViolationException(
+              s"window functions over policy view(s) ${pending.map(_.view).distinct.mkString(", ")} " +
+                "are not allowed before aggregation: aggregate the policy view first, " +
+                "then window over the aggregated result")
+          // taint propagation: a projection alias computed from a tainted
+          // input carries unit-derived values under a fresh exprId
+          case p: Project if pending.nonEmpty =>
+            (p, pending.map(r => r.copy(taint = r.taint ++ derivedAliases(p.projectList, r.taint))))
+          // explode/posexplode/inline of unit-derived input: the generator
+          // output attrs carry unit-derived values
+          case g: Generate if pending.nonEmpty &&
+              g.generator.references.exists(a => pending.exists(_.taint(a.exprId))) =>
+            (g, pending.map { r =>
+              if (g.generator.references.exists(a => r.taint(a.exprId)))
+                r.copy(taint = r.taint ++ g.generatorOutput.map(_.exprId))
+              else r
+            })
           case _ => (rebuilt, pending)
         }
     }
   }
 
+  /** ExprIds of aliases in `list` whose value derives from any id in `taint`. */
+  private def derivedAliases(list: Seq[NamedExpression], taint: Set[ExprId]): Set[ExprId] =
+    list.collect {
+      case al: Alias if al.child.references.exists(a => taint(a.exprId)) => al.exprId
+    }.toSet
+
+  /** The aggregate-function whitelist (the reference's
+    * `aggregation_threshold_policy` restricts the permitted aggregate list —
+    * BigQuery allows COUNT/COUNTIF/SUM/AVG over such views): the per-group
+    * distinct-unit gate suppresses small groups, but a value-revealing
+    * aggregate (`min(customer_id)`, `collect_list(...)`, `any_value(...)`)
+    * or a targeted predicate (`sum(CASE WHEN customer_id=123 THEN fare END)`,
+    * `count(*) FILTER (WHERE customer_id=123)`) leaks individual data from a
+    * group that PASSES the threshold. Three checks, all fail-closed:
+    *   1. only Count/CountIf/Sum/Average aggregate functions;
+    *   2. no aggregate FILTER clause referencing a unit-derived column;
+    *   3. the unit column (or anything derived from it — see `taint`)
+    *      appears inside an aggregate only as a bare `count([DISTINCT] unit)`.
+    * Grouping expressions MAY reference the unit: a group keyed on (a
+    * function of) the unit column shrinks its own distinct-unit count and
+    * self-suppresses, which is the documented BigQuery behavior. */
+  private def validateAggregates(a: Aggregate, pending: Pending): Unit = {
+    val taint: Set[ExprId] = pending.flatMap(_.taint).toSet
+    val unitIds: Set[ExprId] = pending.map(_.attr.exprId).toSet
+    val views = pending.map(_.view).distinct.mkString(", ")
+    a.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case _: Count | _: CountIf | _: Sum | _: Average => ()
+          case f => throw new PolicyViolationException(
+            s"aggregate function '${f.prettyName}' is not allowed over policy view(s) " +
+              s"$views: only count/count_if/sum/avg are permitted (value-revealing " +
+              "aggregates such as min/max/first/any_value/collect_list/percentile " +
+              "can emit raw privacy-unit-holder data)")
+        }
+        if (ae.filter.exists(_.references.exists(r => taint(r.exprId))))
+          throw new PolicyViolationException(
+            s"aggregate FILTER predicates over policy view(s) $views may not reference " +
+              "the privacy unit column: a unit-targeted filter isolates an individual " +
+              "inside a group that passes the threshold")
+        val isBareUnitCount = ae.aggregateFunction match {
+          case Count(Seq(attr: Attribute)) if unitIds(attr.exprId) => true
+          case _ => false
+        }
+        if (!isBareUnitCount &&
+            ae.aggregateFunction.references.exists(r => taint(r.exprId)))
+          throw new PolicyViolationException(
+            s"the privacy unit column of policy view(s) $views (or a column derived " +
+              "from it) may appear in an aggregate only as count([DISTINCT] unit); " +
+              "any other use — sum/avg over it, inside CASE or other expressions — " +
+              "can reveal individual unit values")
+      case _ => ()
+    })
+  }
+
   private def rewrite(a: Aggregate, pending: Pending): LogicalPlan = {
     // one distinct-count per distinct privacy-unit ATTRIBUTE (exprId, not
     // name), max threshold wins
-    val byUnit = pending.groupBy(_._3.exprId).map { case (_, ps) =>
-      (ps.head._3, ps.map(_._2.threshold).max, ps.head._1)
+    val byUnit = pending.groupBy(_.attr.exprId).map { case (_, ps) =>
+      (ps.head.attr, ps.map(_.policy.threshold).max, ps.head.view)
     }.toSeq
     val cds: Seq[(Alias, Int)] = byUnit.zipWithIndex.map { case ((attr, t, viewName), i) =>
       // the view's REAL unit attribute must reach this aggregate: a

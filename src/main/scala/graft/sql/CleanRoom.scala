@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object CleanRoom {
 
-  /** Warehouse directory of a (possibly database-qualified) managed table. */
+  /** Warehouse directory of a (possibly database-qualified) managed table.
+    * An unqualified name resolves against the session's CURRENT database —
+    * with `USE somedb` active, the managed table lives at
+    * `<warehouse>/somedb.db/<table>`, and cleaning `<warehouse>/<table>`
+    * instead would delete the wrong path. `default` is the bare-warehouse
+    * case (its location IS the warehouse root). */
   private def tableDir(spark: SparkSession, table: String): java.io.File = {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val ident = graft.util.Names.parseTableIdentifier(spark, table)
+    val db = ident.database
+      .orElse(Some(spark.sessionState.catalog.getCurrentDatabase))
+      .filterNot(_ == "default")
     new java.io.File(warehouse,
-      ident.database.map(db => s"$db.db/${ident.table}").getOrElse(ident.table))
+      db.map(d => s"$d.db/${ident.table}").getOrElse(ident.table))
   }
 
   /** O21: `LOAD DATA OVERWRITE … CLUSTER BY k FROM FILES(parquet)`
@@ -69,15 +77,16 @@ object CleanRoom {
     * same-named view carried — view options not restated are gone, matching
     * BigQuery `CREATE OR REPLACE VIEW ... OPTIONS(...)` semantics. */
   def createView(spark: SparkSession, name: String, selectSql: String): Unit = {
+    // the replacement relation carries no policy properties — the policy
+    // died with the replaced instance; nothing further to clean up
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $selectSql")
-    graft.privacy.PolicyCatalog.removePolicy(name)
   }
 
   /** O23 companion: a view carrying an aggregation-threshold privacy policy
     * (`sp_demo_cleanroom.sql:51-57`) — the policy registration plus the
     * view definition in one step; enforcement is the injected Catalyst rule
-    * ([[graft.privacy.AggregationThresholdRule]]). The policy binds to THIS
-    * view instance (name + catalog createTime), not to the bare name. */
+    * ([[graft.privacy.AggregationThresholdRule]]). The policy is stamped on
+    * THIS view instance's own metadata, not bound to the bare name. */
   def createPolicyView(spark: SparkSession, name: String, selectSql: String,
                        privacyUnitColumn: String, threshold: Int): Unit = {
     createView(spark, name, selectSql)
@@ -91,10 +100,8 @@ object CleanRoom {
     * session over the warehouse, not session-scoped TEMP views. Survives a
     * session restart (a new SparkSession over the same catalog/warehouse);
     * like [[createView]], replacing it without a policy drops any policy. */
-  def createDurableView(spark: SparkSession, name: String, selectSql: String): Unit = {
+  def createDurableView(spark: SparkSession, name: String, selectSql: String): Unit =
     spark.sql(s"CREATE OR REPLACE VIEW $name AS $selectSql")
-    graft.privacy.PolicyCatalog.removePolicy(name)
-  }
 
   /** O23 durable variant: persistent view + aggregation-threshold policy.
     * The policy is stored IN the view's TBLPROPERTIES — it lives and dies
@@ -116,7 +123,6 @@ object CleanRoom {
         s"'${graft.privacy.PolicyCatalog.UnitProp}' = '$privacyUnitColumn', " +
         s"'${graft.privacy.PolicyCatalog.ThresholdProp}' = '$threshold') " +
         s"AS $selectSql")
-    graft.privacy.PolicyCatalog.removePolicy(name)
   }
 
   /** The reference's `sp_demo_cleanroom` procedure, replayed 1:1
@@ -150,7 +156,19 @@ object CleanRoom {
   def tableExpiresAt(spark: SparkSession, table: String): Option[Long] =
     spark.sessionState.catalog
       .getTableMetadata(graft.util.Names.parseTableIdentifier(spark, table))
-      .properties.get(ExpiresProp).map(_.toLong)
+      .properties.get(ExpiresProp).map(parseExpiry(table, _))
+
+  /** A malformed expiry value (settable via plain ALTER TABLE ... SET
+    * TBLPROPERTIES) must neither crash the sweep nor un-expire the table:
+    * expiry was INTENDED, so fail closed and treat it as already expired —
+    * and never throw, or one bad table would block expiration of every
+    * other table in the sweep. */
+  private def parseExpiry(table: String, raw: String): Long =
+    raw.toLongOption.getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"table '$table': unparseable $ExpiresProp='$raw' — treating as expired")
+      Long.MinValue
+    }
 
   /** Expiration-honoring read: an expired table no longer exists for
     * queries (and is dropped on first touch), exactly as a BigQuery table
@@ -179,7 +197,7 @@ object CleanRoom {
       .filter { ident =>
         scala.util.Try(cat.getTableMetadata(ident)).toOption
           .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
-            t.properties.get(ExpiresProp).exists(_.toLong <= nowMs))
+            t.properties.get(ExpiresProp).exists(parseExpiry(ident.quotedString, _) <= nowMs))
       }
     expired.foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${i.quotedString}"))
     expired.map(_.table)

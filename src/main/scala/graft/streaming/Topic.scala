@@ -57,12 +57,27 @@ final class Topic(val spark: SparkSession, val name: String, val dir: String,
     try {
       msgs.filter(gate).write.mode("append").json(dir)
     } catch {
-      case e: Exception =>
+      // report schema-nonconformance ONLY for the FAILFAST parse / payload
+      // gate failures; an unrelated write failure (disk full, permissions,
+      // committer error) must propagate unchanged, or a caller DLQ-routing
+      // on IllegalArgumentException would misroute infra failures as
+      // bad-message rejections
+      case e: Exception if isSchemaRejection(e) =>
         throw new IllegalArgumentException(
           s"message does not conform to topic schema '${schema.name}' rev ${schema.revisionId}", e)
     }
     msgs
   }
+
+  /** True iff the cause chain contains the FAILFAST parse error or the
+    * payload-gate `raise_error` message (cycle-bounded walk). */
+  private def isSchemaRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20).exists { c =>
+      val m = Option(c.getMessage).getOrElse("")
+      c.getClass.getName.endsWith("BadRecordException") ||
+        m.contains("Malformed records are detected") ||
+        m.contains("payload is not a JSON object")
+    }
 
   /** Streaming publish: per micro-batch, the same validate+stamp+append as
     * batch [[publish]] (the Debezium→Pub/Sub hop in the reference). Caller

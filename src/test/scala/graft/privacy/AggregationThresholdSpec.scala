@@ -9,7 +9,12 @@ import graft.SparkSpec
   * clean-room policy (`/root/reference/sql/sp_demo_cleanroom.sql:51-57`). */
 class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
 
-  override def afterEach(): Unit = PolicyCatalog.clear()
+  // the policy is stamped on the temp-view instance itself; dropping the
+  // view is the cleanup (there is no side registry)
+  override def afterEach(): Unit = {
+    spark.catalog.dropTempView("trip_pp")
+    spark.catalog.dropTempView("trips")
+  }
 
   private def setupTrips(): Unit = {
     val s = spark
@@ -211,6 +216,88 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
         |GROUP BY city""".stripMargin)
       .collect().map(_.getString(0)).sorted
     assert(out.toSeq === Seq("A", "C"))
+  }
+
+  test("value-revealing aggregate functions over the policy view are rejected") {
+    setupTrips()
+    // the threshold gate suppresses small GROUPS, but min/max/collect_list/
+    // any_value emit raw values from groups that PASS it — the reference
+    // policy restricts the permitted aggregate list for exactly this reason
+    for (agg <- Seq("min(customer_id)", "max(customer_id)", "first(customer_id)",
+        "any_value(customer_id)", "collect_list(customer_id)", "collect_set(customer_id)",
+        "min(fare)", "percentile(fare, 0.5)", "mode(fare)")) {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT city, $agg FROM trip_pp GROUP BY city").collect())
+      assert(e.getMessage.contains("not allowed over policy view"), s"for $agg")
+    }
+  }
+
+  test("a unit-targeted CASE inside a permitted aggregate is rejected") {
+    setupTrips()
+    // sum() is whitelisted, but sum(CASE WHEN customer_id=101 THEN fare END)
+    // publishes one individual's exact total from an above-threshold group
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, sum(CASE WHEN customer_id = 101 THEN fare END) AS f
+        |FROM trip_pp GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("only as count"))
+  }
+
+  test("a unit-targeted aggregate FILTER clause is rejected") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, count(*) FILTER (WHERE customer_id = 101) AS n
+        |FROM trip_pp GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("FILTER"))
+  }
+
+  test("renaming the unit column cannot launder it into a permitted sum()") {
+    setupTrips()
+    // both the real unit (so the exprId presence check passes) AND an alias
+    // of it are selected; sum over the ALIAS would publish raw unit values.
+    // Taint tracing marks the alias as unit-derived and rejects the sum.
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, sum(cid2) AS s FROM
+        |  (SELECT city, customer_id, customer_id AS cid2 FROM trip_pp) t
+        |GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("derived"))
+  }
+
+  test("count(DISTINCT unit) itself stays allowed") {
+    setupTrips()
+    val out = spark.sql(
+      "SELECT city, count(DISTINCT customer_id) AS cd FROM trip_pp GROUP BY city")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq(("A", 2L), ("C", 3L)))
+  }
+
+  test("a window aggregate is not an aggregate: windowed projection is rejected") {
+    setupTrips()
+    // count(*) OVER (PARTITION BY city) produces per-ROW output — no
+    // Aggregate node, no threshold gate — and must not pass silently
+    val e = intercept[Exception](spark.sql(
+      "SELECT city, count(*) OVER (PARTITION BY city) AS n FROM trip_pp").collect())
+    assert(e.getMessage.contains("window functions over policy view"))
+  }
+
+  test("a window function below the aggregate cannot smuggle unit values") {
+    setupTrips()
+    // first_value(customer_id) OVER (...) mints a fresh attribute carrying
+    // raw unit values; a later whitelisted sum() would publish them
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, sum(fv) AS s FROM
+        |  (SELECT city, first_value(customer_id) OVER (PARTITION BY city ORDER BY trip_id) AS fv
+        |   FROM trip_pp) t
+        |GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("window functions over policy view"))
+  }
+
+  test("windowing over the aggregated (suppressed) result is allowed") {
+    setupTrips()
+    val out = spark.sql(
+      """SELECT city, n, rank() OVER (ORDER BY n DESC, city) AS r FROM
+        |  (SELECT city, count(*) AS n FROM trip_pp GROUP BY city) g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(("A", 1), ("C", 2)))
   }
 
   test("re-created view WITH a re-declared policy is enforced again") {

@@ -111,8 +111,7 @@ class CleanRoomSpec extends SparkSpec {
       CleanRoom.createDurablePolicyView(spark, "pol_view",
         "SELECT * FROM pol_base", "customer_id", 2)
       // the policy lives in the view's OWN catalog properties, not in any
-      // in-memory registry — clearing the registry must change nothing
-      PolicyCatalog.clear()
+      // session-side state — a fresh session over the same catalog enforces
       val s2 = spark.newSession()
       val out = s2.sql("SELECT city, count(*) AS n FROM pol_view GROUP BY city")
         .collect().map(_.getString(0))
@@ -127,7 +126,6 @@ class CleanRoomSpec extends SparkSpec {
     } finally {
       spark.sql("DROP VIEW IF EXISTS pol_view")
       spark.sql("DROP TABLE IF EXISTS pol_base")
-      PolicyCatalog.clear()
     }
   }
 
@@ -279,7 +277,6 @@ class CleanRoomSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cleanroom_data.trip")
       spark.sql("DROP DATABASE IF EXISTS cleanroom_data_publisher")
       spark.sql("DROP DATABASE IF EXISTS cleanroom_data")
-      PolicyCatalog.clear()
     }
   }
 
@@ -296,6 +293,11 @@ class CleanRoomSpec extends SparkSpec {
       assert(out.map(_.getString(0)).toSeq === Seq("A")) // B: 1 distinct customer
       val e = intercept[Exception](spark.sql("SELECT * FROM cr_trip_pp").collect())
       assert(e.getMessage.contains("must aggregate"))
-    } finally PolicyCatalog.clear()
+    } finally {
+      // the policy rides on the temp view instance — dropping the view is
+      // the cleanup (there is no registry to clear)
+      spark.catalog.dropTempView("cr_trip_pp")
+      spark.catalog.dropTempView("cr_base")
+    }
   }
 }
