@@ -197,8 +197,8 @@ object EventQueries {
     * interpolation — the same definition as DuckDB `quantile_cont` — so the
     * grid-snapped (round 6) results hash-match. At scale the partial
     * aggregation ships per-type value buffers, bounded by group count ×
-    * values; for sketch-sized state the approx variant
-    * (`approx_percentile`) is the drop-in, traded out of the oracle gate. */
+    * values; for sketch-sized state the approx variant is the drop-in —
+    * see [[q45ApproxStats]], whose error contract SketchSpec asserts. */
   def q39Percentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
@@ -216,6 +216,74 @@ object EventQueries {
       |  round(quantile_cont(value, 0.95), 6) AS p95,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q45_approx_stats — the SKETCH aggregates a 100 TB user reaches for
+    * first: `approx_count_distinct` (HyperLogLog++, fixed ~kB state per
+    * group vs an exact distinct's shuffle of every distinct value) and
+    * `approx_percentile` (Greenwald-Khanna-style quantile summary, state
+    * bounded by the accuracy parameter vs `percentile`'s full value
+    * buffer). Both are partial-aggregable one-pass sketches — the at-scale
+    * drop-ins for q12's exact distinct and q39's exact percentiles.
+    *
+    * No DuckDB oracle: its HLL/quantile sketches are different
+    * implementations, so only the driver's rows-only check applies here.
+    * The accuracy CONTRACTS are asserted in SketchSpec instead: HLL++
+    * relative error vs exact distinct within 3×rsd, and the returned
+    * quantiles' empirical rank within the documented 1/accuracy bound. */
+  def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd = 0.05).as("du_approx"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** q46_interval_join — batch twin of the stream-stream interval join
+    * ([[graft.streaming.EventStream.purchasesWithRecentClicks]]): each
+    * purchase paired with the same user's clicks in the preceding hour.
+    * The streaming op compares raw (µs) timestamps so its join predicate
+    * can drive watermark state eviction; this twin compares ms epochs —
+    * the only grid where Spark's µs-truncated and the oracle's ns-precision
+    * timestamps agree (the q44 convention). EventStreamSpec proves the
+    * stream op ≡ its own batch execution; this query puts the batch
+    * semantics under the DuckDB hash gate.
+    *
+    * Scale shape: one shuffle of each filtered side on user_id; per-key
+    * state is bounded by the hour window, output by pair cardinality. */
+  def q46IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), unix_millis($"ts").as("click_ms"),
+        $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("purchase_ms"),
+        $"event_id".as("purchase_id"), $"value")
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ms" >= $"purchase_ms" - lit(3600000L) &&
+        $"click_ms" <= $"purchase_ms")
+      .select($"user_id", $"purchase_id", $"click_id",
+        $"purchase_ms", $"click_ms", $"value")
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  val q46Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user, epoch_ms(ts) AS click_ms, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, epoch_ms(ts) AS purchase_ms, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, purchase_id, click_id, purchase_ms, click_ms, value
+      |FROM purchases p JOIN clicks c ON p.user_id = c.c_user
+      |  AND c.click_ms >= p.purchase_ms - 3600000
+      |  AND c.click_ms <= p.purchase_ms
+      |ORDER BY purchase_id, click_id""".stripMargin
 
   /** q44_asof_join — AS-OF join, the time-series operator Spark has no
     * native form of: each purchase is matched to the same user's most
@@ -279,6 +347,8 @@ object EventQueries {
     "q16_cdc_latest" -> (q16CdcLatest _),
     "q20_sessionize" -> (q20Sessionize _),
     "q39_percentile" -> (q39Percentile _),
+    "q45_approx_stats" -> (q45ApproxStats _),
+    "q46_interval_join" -> (q46IntervalJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +360,9 @@ object EventQueries {
     "q16_cdc_latest" -> q16Sql,
     "q20_sessionize" -> q20Sql,
     "q39_percentile" -> q39Sql,
+    // q45_approx_stats: intentionally NO oracle — sketch outputs are
+    // implementation-specific; the driver's rows-only check + SketchSpec's
+    // accuracy-contract assertions cover it
+    "q46_interval_join" -> q46Sql,
   )
 }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,7 +21,9 @@ object StreamQueries {
   def q31StreamE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
 
-    val root = Files.createTempDirectory("graft-q31").toString
+    // under the per-JVM harness root (shutdown-hook deleted): the sink is
+    // read lazily after this function returns, so no in-function cleanup
+    val root = graft.util.HarnessDirs.newDir("q31")
     val registry = new SchemaRegistry
 
     // the same envelope synthesis as the cdc_* batch twins, restricted to
@@ -57,7 +57,9 @@ object StreamQueries {
       .deliverTo(s"$root/sink", topicSchema, () => sinkSchema, s"$root/dlq")
       .awaitTermination()
 
-    s.read.parquet(s"$root/sink").orderBy($"id")
+    // the swap-aware sink read surface (a no-op manifest check when no
+    // compaction is in flight, a consistent snapshot when one is)
+    graft.streaming.SinkMaintenance.read(s, s"$root/sink").orderBy($"id")
   }
 
   /** End-to-end contract over the streamed subset: unwrap + delete-rewrite
@@ -78,7 +80,7 @@ object StreamQueries {
     * the oracle states — the O26 convergence contract. */
   def q34MergeUpsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = Files.createTempDirectory("graft-q34").toString
+    val root = graft.util.HarnessDirs.newDir("q34")
     val changes = graft.Tables.events(s, dir)
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_millis($"ts").as("ms"))

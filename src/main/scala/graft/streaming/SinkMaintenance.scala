@@ -3,7 +3,7 @@ package graft.streaming
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Maintenance for append sinks: micro-batch delivery produces one-file-
   * per-batch layouts, and at streaming cadence that means millions of tiny
@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
   *    final file swap is driver-side (renames, O(#files) metadata ops);
   *  - row count is verified BEFORE the swap — a failed compaction leaves
   *    the sink untouched;
-  *  - the swap is not transactional for concurrent READERS (a real
-  *    deployment puts a commit-log table format in front); run compaction
-  *    on terminal sinks or in the consumer's maintenance window, and note
-  *    that downstream streaming file-source checkpoints treat compacted
-  *    files as new input.
+  *  - a directory listing taken mid-swap mixes OLD and NEW files; readers
+  *    that may overlap a compaction must go through [[read]], which serves
+  *    a consistent snapshot off the swap manifest (exactly-before or
+  *    exactly-after, never a mix — a commit-log table format generalizes
+  *    the same idea). Downstream streaming file-source checkpoints treat
+  *    compacted files as new input either way.
   */
 object SinkMaintenance {
 
@@ -76,6 +77,46 @@ object SinkMaintenance {
     Files.deleteIfExists(manifest)
     graft.util.FsUtil.deleteRecursively(new File(tmp))
     CompactionStats(parts.length, newParts.length, before)
+  }
+
+  /** Swap-consistent sink read. With no manifest present this is a plain
+    * parquet read of the listed part files. While a swap manifest exists,
+    * the NEW file set is authoritative — every NEW file is verified
+    * complete (row-count checked) before the manifest is written, and each
+    * one lives either already in `dir` or still in the staging dir — so a
+    * reader landing ANYWHERE between the manifest write and the final
+    * cleanup sees exactly the after-rows; it never sees a mix of OLD and
+    * NEW, and never an empty half-swapped directory. The manifest is
+    * re-checked after listing so a swap that STARTS mid-listing triggers a
+    * retry instead of serving a torn snapshot. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val manifest = Paths.get(dir, SwapManifest)
+    def manifestLines(): Option[Seq[String]] =
+      try { if (Files.exists(manifest)) Some(Files.readAllLines(manifest).toArray(Array.empty[String]).toSeq) else None }
+      catch { case _: java.io.IOException => None } // deleted between check and read -> swap done
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      manifestLines() match {
+        case Some(lines) =>
+          val tmp = lines.find(_.startsWith("TMP ")).get.substring(4)
+          val paths = lines.collect { case l if l.startsWith("NEW ") =>
+            val name = l.substring(4)
+            // moves go tmp -> dir only: a file seen in dir stays in dir
+            val inDir = Paths.get(dir, name)
+            if (Files.exists(inDir)) inDir.toString else Paths.get(tmp, name).toString
+          }
+          return spark.read.parquet(paths: _*)
+        case None =>
+          val parts = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+          if (manifestLines().isEmpty) // no swap began while we listed
+            return if (parts.isEmpty) spark.read.parquet(dir)
+            else spark.read.parquet(parts.map(_.getPath).toSeq: _*)
+      }
+    }
+    throw new IllegalStateException(
+      s"sink '$dir': swap manifest kept changing across $attempt read attempts")
   }
 
   /** Idempotently finish a swap interrupted by a crash: re-apply every step

@@ -14,8 +14,20 @@ import org.apache.spark.sql.functions._
   * orders↔lineitem, part/supplier↔lineitem), so selectivities and join
   * fan-outs stay those of the base SF. Dimension tables `region`/`nation`
   * (O(1) size at every SF, like the real TPC-H) are copied unchanged.
-  * `documents` copies share text → the dedup queries see each duplicate
-  * group grow ×N, which is exactly what a crawl corpus does at scale.
+  *
+  * CONTENT is salted per copy, not replicated verbatim — verbatim copies
+  * would grow every duplicate group and every identical-vector clique ×N,
+  * an artificial near-dup density no organic corpus has:
+  *  - `documents.text`: each copy i>0 suffixes every token with a
+  *    copy-specific salt. Token renaming is BIJECTIVE, so all within-copy
+  *    set relations — exact-dup groups, shingle/MinHash/SimHash/Jaccard
+  *    similarities — are exactly the base corpus's, while cross-copy token
+  *    sets are disjoint. Duplicate density therefore stays organic (the
+  *    base corpus's) as the corpus grows ×N.
+  *  - `embeddings.embedding`: each copy i>0 cyclically rotates the vector
+  *    dimensions by i. Rotation preserves norms and within-copy dot
+  *    products exactly (same ANN/near-dup structure per copy) while
+  *    cross-copy vectors decorrelate.
   *
   * Entirely distributed: N unioned selects per table, one parquet write, no
   * driver-side rows.
@@ -44,7 +56,20 @@ object ScaleUp {
     val keys = shifts(name)
     if (keys.isEmpty) base
     else (0 until copies).map { i =>
-      keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * KeyStride)))
+      val shifted = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * KeyStride)))
+      name match {
+        case "documents" if i > 0 =>
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + s"z$i"))
+        case "embeddings" if i > 0 =>
+          // nonzero rotation < dim (64 here; (i-1) % 63 + 1 keeps any copy
+          // count valid)
+          val r = (i - 1) % 63 + 1
+          shifted.withColumn("embedding", expr(
+            s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
+              s"slice(embedding, 1, $r))"))
+        case _ => shifted
+      }
     }.reduce(_ unionByName _)
   }
 

@@ -72,16 +72,19 @@ object Ivf {
       .filter($"r" <= nprobe)
       .select($"q_id", $"qv", $"cell")
 
-    val assigned = vectors.select($"vec_id", $"v", cellOf($"v", model).as("cell"))
+    // norms once per ROW on each side, BEFORE the join — inside the per-pair
+    // projection they would be recomputed O(pairs·d) times (the q25 shape)
+    val assigned = vectors.select($"vec_id", $"v", cellOf($"v", model).as("cell"),
+      sqrt(dot($"v", $"v")).as("nrm"))
+    val probesN = probes.withColumn("qnrm", sqrt(dot($"qv", $"qv")))
     // rank on the ROUNDED cosine (with the id tie-break): ranking and output
     // then use the same grid-snapped value, so a last-ulp summation-order
     // difference between engines cannot flip a rank — the q25 convention
     val byCos = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
-    assigned.join(broadcast(probes), "cell")
+    assigned.join(broadcast(probesN), "cell")
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        round(dot($"qv", $"v") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 4)
-          .as("cos_r"))
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
       .withColumn("rank", row_number().over(byCos).cast("long"))
       .filter($"rank" <= k)
       .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
