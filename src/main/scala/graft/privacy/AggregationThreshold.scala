@@ -3,7 +3,7 @@ package graft.privacy
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, ExprId, Expression, GreaterThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, CountIf, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Generate, Intersect, LogicalPlan, Project, Union, View, Window, WithCTE}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, CTERelationDef, CTERelationRef, Except, Filter, Generate, Intersect, Join, LogicalPlan, Project, Union, View, Window, WithCTE}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.SparkSessionExtensions
@@ -125,7 +125,7 @@ final class PolicyViolationException(msg: String)
   * a policy view are rejected outright. */
 class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  import AggregationThresholdRule.{CdPrefix, ProtectedTag}
+  import AggregationThresholdRule.{CdPrefix, PendingRef, ProtectedTag}
 
   override def apply(plan: LogicalPlan): LogicalPlan = applyWithEnv(plan, Map.empty)
 
@@ -150,8 +150,6 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * array of it, ...). The aggregate whitelist consults this set — without
     * it, one rename below the aggregate would launder raw unit values into
     * a permitted `sum()`. */
-  private final case class PendingRef(view: String, policy: AggregationThresholdPolicy,
-      attr: Attribute, taint: Set[ExprId])
   private type Pending = Seq[PendingRef]
   /** CTE id → (definition output, pending below that definition). */
   private type CteEnv = Map[Long, (Seq[Attribute], Pending)]
@@ -274,6 +272,25 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // input carries unit-derived values under a fresh exprId
           case p: Project if pending.nonEmpty =>
             (p, pending.map(r => r.copy(taint = r.taint ++ derivedAliases(p.projectList, r.taint))))
+          // a join whose CONDITION touches a tainted column makes the whole
+          // other side unit-correlated: which of its rows survive (and how
+          // often) is a function of the unit values, and worse, the author
+          // controls that side's contents — `JOIN (SELECT id, pow(2,id) AS
+          // enc FROM ...) l ON t.customer_id = l.id` then `sum(l.enc)`
+          // publishes an exact bitmask of a group's unit ids through a
+          // whitelisted aggregate. Forward taint cannot see `enc`'s
+          // derivation (it happened in the untainted subtree), so the other
+          // side's ENTIRE output is tainted — fail-closed. Joins on
+          // non-unit keys are untouched, so ordinary enrichment still works.
+          case jn: Join if pending.nonEmpty && jn.condition.isDefined =>
+            val condIds = jn.condition.get.references.map(_.exprId).toSet
+            val (leftPend, rightPend) = (results(0)._2, results(1)._2)
+            val leftIds = jn.left.output.map(_.exprId).toSet
+            val rightIds = jn.right.output.map(_.exprId).toSet
+            def widen(ps: Pending, otherSide: Set[ExprId]) = ps.map { r =>
+              if (condIds.exists(r.taint)) r.copy(taint = r.taint ++ otherSide) else r
+            }
+            (jn, widen(leftPend, rightIds) ++ widen(rightPend, leftIds))
           // explode/posexplode/inline of unit-derived input: the generator
           // output attrs carry unit-derived values
           case g: Generate if pending.nonEmpty &&
@@ -373,6 +390,10 @@ class AggregationThresholdRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object AggregationThresholdRule {
+  /** See the `taint` doc at the use site in [[AggregationThresholdRule]]. */
+  private[privacy] final case class PendingRef(view: String,
+      policy: AggregationThresholdPolicy, attr: Attribute, taint: Set[ExprId])
+
   /** Marks an [[Aggregate]] the rule itself widened — tags live outside the
     * expression tree, so no user-authored SQL can forge one. Catalyst copies
     * tags across `withNewChildren`/transform, so the mark survives

@@ -153,22 +153,21 @@ object CleanRoom {
   def setTableExpiration(spark: SparkSession, table: String, expiresAtMs: Long): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('$ExpiresProp'='$expiresAtMs')")
 
+  /** Throws on a malformed expiry value: the caller set SOME expiration
+    * intent (maybe a far-future one, mistyped — e.g. a date string where
+    * epoch-ms was expected), so neither silently dropping the table (data
+    * loss on a typo) nor silently keeping it readable forever (fail-open)
+    * is right. Reads fail loudly until the property is fixed; the sweep
+    * skips the table (logged) so one bad property never blocks expiration
+    * of every other table. */
   def tableExpiresAt(spark: SparkSession, table: String): Option[Long] =
     spark.sessionState.catalog
       .getTableMetadata(graft.util.Names.parseTableIdentifier(spark, table))
-      .properties.get(ExpiresProp).map(parseExpiry(table, _))
-
-  /** A malformed expiry value (settable via plain ALTER TABLE ... SET
-    * TBLPROPERTIES) must neither crash the sweep nor un-expire the table:
-    * expiry was INTENDED, so fail closed and treat it as already expired —
-    * and never throw, or one bad table would block expiration of every
-    * other table in the sweep. */
-  private def parseExpiry(table: String, raw: String): Long =
-    raw.toLongOption.getOrElse {
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"table '$table': unparseable $ExpiresProp='$raw' — treating as expired")
-      Long.MinValue
-    }
+      .properties.get(ExpiresProp).map { raw =>
+        raw.toLongOption.getOrElse(throw new IllegalStateException(
+          s"table '$table': $ExpiresProp='$raw' is not an epoch-ms long — " +
+            "fix the property (ALTER TABLE ... SET TBLPROPERTIES) before reading"))
+      }
 
   /** Expiration-honoring read: an expired table no longer exists for
     * queries (and is dropped on first touch), exactly as a BigQuery table
@@ -197,7 +196,16 @@ object CleanRoom {
       .filter { ident =>
         scala.util.Try(cat.getTableMetadata(ident)).toOption
           .exists(t => t.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
-            t.properties.get(ExpiresProp).exists(parseExpiry(ident.quotedString, _) <= nowMs))
+            t.properties.get(ExpiresProp).exists { raw =>
+              raw.toLongOption match {
+                case Some(at) => at <= nowMs
+                case None => // skip, never drop-on-typo; see tableExpiresAt
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"expiration sweep: table '${ident.quotedString}' has unparseable " +
+                      s"$ExpiresProp='$raw' — skipped (fix the property)")
+                  false
+              }
+            })
       }
     expired.foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${i.quotedString}"))
     expired.map(_.table)

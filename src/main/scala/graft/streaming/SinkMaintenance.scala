@@ -70,53 +70,31 @@ object SinkMaintenance {
     Files.writeString(staging, lines.mkString("\n"))
     Files.move(staging, manifest, StandardCopyOption.ATOMIC_MOVE)
 
-    newParts.foreach { f =>
-      Files.move(f.toPath, Paths.get(dir, f.getName), StandardCopyOption.ATOMIC_MOVE)
-    }
+    // moveIfPresent, not a bare move: a concurrent [[read]] that saw the
+    // manifest may be completing these very steps (see recoverSwap)
+    newParts.foreach(f => moveIfPresent(f.toPath, Paths.get(dir, f.getName)))
     parts.foreach(_.delete())
     Files.deleteIfExists(manifest)
     graft.util.FsUtil.deleteRecursively(new File(tmp))
     CompactionStats(parts.length, newParts.length, before)
   }
 
-  /** Swap-consistent sink read. With no manifest present this is a plain
-    * parquet read of the listed part files. While a swap manifest exists,
-    * the NEW file set is authoritative — every NEW file is verified
-    * complete (row-count checked) before the manifest is written, and each
-    * one lives either already in `dir` or still in the staging dir — so a
-    * reader landing ANYWHERE between the manifest write and the final
-    * cleanup sees exactly the after-rows; it never sees a mix of OLD and
-    * NEW, and never an empty half-swapped directory. The manifest is
-    * re-checked after listing so a swap that STARTS mid-listing triggers a
-    * retry instead of serving a torn snapshot. */
+  /** Swap-consistent sink read: COMPLETE any visible swap, then read.
+    *
+    * A manifest is only ever written after the NEW file set is fully
+    * staged and row-count verified, so a reader that observes one can
+    * always roll the swap FORWARD itself ([[recoverSwap]] is idempotent
+    * and, via [[moveIfPresent]], tolerant of a concurrent compactor
+    * completing the same steps). After that the directory holds exactly
+    * the after-files; before any manifest exists it holds exactly the
+    * before-files — a reader therefore never observes a mixed or empty
+    * half-swapped directory, whether the swap was abandoned by a crash or
+    * is progressing concurrently. (A NEW compaction starting between this
+    * call and the returned DataFrame's execution is the same exposure as
+    * any listing-based reader; serial maintenance per sink is assumed.) */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val manifest = Paths.get(dir, SwapManifest)
-    def manifestLines(): Option[Seq[String]] =
-      try { if (Files.exists(manifest)) Some(Files.readAllLines(manifest).toArray(Array.empty[String]).toSeq) else None }
-      catch { case _: java.io.IOException => None } // deleted between check and read -> swap done
-    var attempt = 0
-    while (attempt < 8) {
-      attempt += 1
-      manifestLines() match {
-        case Some(lines) =>
-          val tmp = lines.find(_.startsWith("TMP ")).get.substring(4)
-          val paths = lines.collect { case l if l.startsWith("NEW ") =>
-            val name = l.substring(4)
-            // moves go tmp -> dir only: a file seen in dir stays in dir
-            val inDir = Paths.get(dir, name)
-            if (Files.exists(inDir)) inDir.toString else Paths.get(tmp, name).toString
-          }
-          return spark.read.parquet(paths: _*)
-        case None =>
-          val parts = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.startsWith("part-"))
-          if (manifestLines().isEmpty) // no swap began while we listed
-            return if (parts.isEmpty) spark.read.parquet(dir)
-            else spark.read.parquet(parts.map(_.getPath).toSeq: _*)
-      }
-    }
-    throw new IllegalStateException(
-      s"sink '$dir': swap manifest kept changing across $attempt read attempts")
+    recoverSwap(dir)
+    spark.read.parquet(dir)
   }
 
   /** Idempotently finish a swap interrupted by a crash: re-apply every step
@@ -131,9 +109,7 @@ object SinkMaintenance {
     lines.forEach { l =>
       if (l.startsWith("NEW ")) {
         val name = l.substring(4)
-        val staged = Paths.get(tmp, name)
-        if (Files.exists(staged))
-          Files.move(staged, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+        moveIfPresent(Paths.get(tmp, name), Paths.get(dir, name))
       } else if (l.startsWith("OLD ")) {
         Files.deleteIfExists(Paths.get(dir, l.substring(4))); ()
       }
@@ -142,4 +118,11 @@ object SinkMaintenance {
     graft.util.FsUtil.deleteRecursively(new File(tmp))
     true
   }
+
+  /** Move `src` to `dst` if present; a concurrent actor having already
+    * performed this exact move (src gone, dst in place) is success, any
+    * other disappearance is a real error. */
+  private def moveIfPresent(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+    try { if (Files.exists(src)) { Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); () } }
+    catch { case _: java.nio.file.NoSuchFileException if Files.exists(dst) => () }
 }

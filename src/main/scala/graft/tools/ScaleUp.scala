@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * CONTENT is salted per copy, not replicated verbatim — verbatim copies
   * would grow every duplicate group and every identical-vector clique ×N,
   * an artificial near-dup density no organic corpus has:
-  *  - `documents.text`: each copy i>0 suffixes every token with a
+  *  - `documents.text`: every copy suffixes every token with a fixed-width
   *    copy-specific salt. Token renaming is BIJECTIVE, so all within-copy
   *    set relations — exact-dup groups, shingle/MinHash/SimHash/Jaccard
   *    similarities — are exactly the base corpus's, while cross-copy token
@@ -58,16 +58,19 @@ object ScaleUp {
     else (0 until copies).map { i =>
       val shifted = keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * KeyStride)))
       name match {
-        case "documents" if i > 0 =>
+        case "documents" =>
+          // EVERY copy gets a FIXED-WIDTH suffix (z00, z01, ...): suffixes
+          // of equal length can never make tokenA+salt_i == tokenB+salt_j
+          // for i != j, even when a base token already ends in z<digits> —
+          // cross-copy token sets are provably disjoint
           shifted.withColumn("text",
-            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + s"z$i"))
+            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
         case "embeddings" if i > 0 =>
-          // nonzero rotation < dim (64 here; (i-1) % 63 + 1 keeps any copy
-          // count valid)
-          val r = (i - 1) % 63 + 1
+          // distinct nonzero rotation per copy; unique only below the
+          // embedding dimension (64) — main enforces copies <= 64
           shifted.withColumn("embedding", expr(
-            s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
-              s"slice(embedding, 1, $r))"))
+            s"concat(slice(embedding, $i + 1, size(embedding) - $i), " +
+              s"slice(embedding, 1, $i))"))
         case _ => shifted
       }
     }.reduce(_ unionByName _)
@@ -77,6 +80,8 @@ object ScaleUp {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // documents salt is 2-digit; embeddings rotation must stay < dim (64)
+    require(copies >= 1 && copies <= 64, s"copies must be in [1, 64], got $copies")
     val spark = graft.GraftSession.local(appName = "graft-scaleup")
     graft.Tables.names.foreach { t =>
       scaleTable(spark, inDir, t, copies)

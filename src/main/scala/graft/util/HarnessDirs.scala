@@ -12,16 +12,34 @@ import java.nio.file.{Files, Path, Paths}
   * instead of accumulating sink/checkpoint dirs. */
 object HarnessDirs {
 
+  /** Root name `<pid>-<jvm start ms>`: liveness is the PAIR, so a recycled
+    * pid on a busy host cannot keep a dead JVM's root alive forever. */
+  private def isLive(name: String): Boolean = name.split('-') match {
+    case Array(pid, startMs) =>
+      (pid.toLongOption, startMs.toLongOption) match {
+        case (Some(p), Some(s)) => ProcessHandle.of(p).map[Boolean] { h =>
+          h.info().startInstant().map[Boolean](_.toEpochMilli == s).orElse(true)
+        }.orElse(false)
+        case _ => true // unrecognized name: leave it alone
+      }
+    case _ => true
+  }
+
   private lazy val root: Path = {
     val base = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-harness")
     Files.createDirectories(base)
-    val it = Files.list(base).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (p.getFileName.toString.toLongOption.exists(pid => ProcessHandle.of(pid).isEmpty))
-        FsUtil.deleteRecursively(p.toFile)
-    }
-    val mine = base.resolve(ProcessHandle.current().pid().toString)
+    val listing = Files.list(base)
+    try {
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (!isLive(p.getFileName.toString)) FsUtil.deleteRecursively(p.toFile)
+      }
+    } finally listing.close()
+    val self = ProcessHandle.current()
+    val startMs = self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(0L)
+    val mine = base.resolve(s"${self.pid()}-$startMs")
     Files.createDirectories(mine)
     sys.addShutdownHook(FsUtil.deleteRecursively(mine.toFile))
     mine

@@ -300,6 +300,61 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     assert(out.toSeq === Seq(("A", 1), ("C", 2)))
   }
 
+  test("join-laundering the unit column through an attacker relation is rejected") {
+    setupTrips()
+    // the attack forward taint alone cannot see: equi-join the unit column
+    // to a relation whose OTHER column encodes the join key (pow(2, id)),
+    // then sum that column — an exact bitmask of the group's customer ids
+    // through a whitelisted aggregate. A join condition touching the unit
+    // taints the entire other side.
+    val s = spark
+    import s.implicits._
+    (100L to 310L).map(id => (id, math.pow(2.0, (id % 50).toDouble)))
+      .toDF("id", "enc").createOrReplaceTempView("attacker_enc")
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, sum(l.enc) AS s FROM trip_pp t
+        |JOIN attacker_enc l ON t.customer_id = l.id
+        |GROUP BY city""".stripMargin).collect())
+    assert(e.getMessage.contains("derived"))
+  }
+
+  test("joins on non-unit keys still aggregate joined columns freely") {
+    setupTrips()
+    val s = spark
+    import s.implicits._
+    Seq(("A", 10.0), ("B", 20.0), ("C", 30.0)).toDF("city", "tax")
+      .createOrReplaceTempView("city_dim")
+    val out = spark.sql(
+      """SELECT t.city, count(*) AS n, sum(d.tax) AS tax_total
+        |FROM trip_pp t JOIN city_dim d ON t.city = d.city
+        |GROUP BY t.city""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq === Seq("A", "C")) // threshold still suppresses B
+  }
+
+  test("a join ON the unit column still allows count(*)") {
+    setupTrips()
+    val s = spark
+    import s.implicits._
+    Seq((101L, "gold"), (201L, "basic"), (301L, "gold"))
+      .toDF("cid", "tier").createOrReplaceTempView("tiers")
+    val out = spark.sql(
+      """SELECT t.city, count(*) AS n FROM trip_pp t
+        |JOIN tiers x ON t.customer_id = x.cid GROUP BY t.city""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // A: only customer 101 joins -> 1 distinct unit -> suppressed;
+    // C: only 301 joins -> suppressed; B: only 201 -> suppressed
+    assert(out.isEmpty)
+  }
+
+  test("removePolicy detaches the policy from the live view instance") {
+    setupTrips()
+    assert(intercept[Exception](spark.sql("SELECT * FROM trip_pp").collect())
+      .getMessage.contains("must aggregate"))
+    PolicyCatalog.removePolicy(spark, "trip_pp")
+    assert(spark.sql("SELECT * FROM trip_pp").count() === 8L)
+  }
+
   test("re-created view WITH a re-declared policy is enforced again") {
     setupTrips()
     graft.sql.CleanRoom.createPolicyView(spark, "trip_pp",

@@ -88,44 +88,43 @@ class SinkMaintenanceSpec extends SparkSpec {
   test("a reader landing mid-swap sees exactly-before or exactly-after, never a mix") {
     val s = spark
     import s.implicits._
-    val dir = tmpDir("midswap") + "/sink"
-    for (b <- 1 to 10)
-      Seq((b.toLong, s"batch-$b")).toDF("id", "tag")
-        .coalesce(1).write.mode("append").parquet(dir)
-    val data = spark.read.parquet(dir).collect().map(_.toString).sorted
+    // freeze a staged swap at EVERY point of the swap window — manifest
+    // written / after each NEW move / after each OLD delete — and assert a
+    // read at that point returns exactly the data (read() rolls the swap
+    // forward, so each point gets its own freshly staged sink). A raw
+    // directory read mid-window would double-count (old + some new) or
+    // under-count; read() must never.
+    val nOld = 4
+    for (freezePoint <- 0 to (2 + nOld)) {
+      val dir = tmpDir(s"midswap$freezePoint") + "/sink"
+      for (b <- 1 to nOld)
+        Seq((b.toLong, s"batch-$b")).toDF("id", "tag")
+          .coalesce(1).write.mode("append").parquet(dir)
+      val data = spark.read.parquet(dir).collect().map(_.toString).sorted
 
-    // stage a compaction and freeze it at EVERY point of the swap window:
-    // manifest written; then after each NEW move; then after each OLD delete
-    val tmp = dir + ".compact-tmp"
-    spark.read.parquet(dir).repartition(2).write.mode("overwrite").parquet(tmp)
-    val oldParts = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
-    val newParts = new java.io.File(tmp).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, SinkMaintenance.SwapManifest),
-      (Seq(s"TMP $tmp") ++ newParts.map(f => s"NEW ${f.getName}")
-        ++ oldParts.map(f => s"OLD ${f.getName}")).mkString("\n"))
+      val tmp = dir + ".compact-tmp"
+      spark.read.parquet(dir).repartition(2).write.mode("overwrite").parquet(tmp)
+      val oldParts = new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+      val newParts = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, SinkMaintenance.SwapManifest),
+        (Seq(s"TMP $tmp") ++ newParts.map(f => s"NEW ${f.getName}")
+          ++ oldParts.map(f => s"OLD ${f.getName}")).mkString("\n"))
 
-    def readNow(): Array[String] =
-      SinkMaintenance.read(spark, dir).collect().map(_.toString).sorted
+      // apply the first `freezePoint` steps of the swap by hand, then "crash"
+      val steps: Seq[() => Unit] =
+        newParts.map(f => () => { java.nio.file.Files.move(
+          f.toPath, java.nio.file.Paths.get(dir, f.getName)); () }) ++
+        oldParts.map(f => () => { f.delete(); () })
+      steps.take(freezePoint).foreach(_.apply())
 
-    // manifest present, nothing moved yet: NEW set (staged) is served
-    assert(readNow() === data)
-    // a raw directory read HERE would see old+0 new (fine), but...
-    for (f <- newParts) {
-      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(dir, f.getName))
-      // ...a raw read between each move would double-count; read() must not
-      assert(readNow() === data)
+      val seen = SinkMaintenance.read(spark, dir).collect().map(_.toString).sorted
+      assert(seen === data, s"freeze point $freezePoint")
+      // the read rolled the swap forward: manifest gone, compacted layout
+      assert(!new java.io.File(dir, SinkMaintenance.SwapManifest).exists())
+      assert(spark.read.parquet(dir).inputFiles.length === 2)
     }
-    for (f <- oldParts) {
-      f.delete()
-      assert(readNow() === data)
-    }
-    // cleanup completes; plain read takes over
-    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, SinkMaintenance.SwapManifest))
-    graft.util.FsUtil.deleteRecursively(new java.io.File(tmp))
-    assert(readNow() === data)
-    assert(spark.read.parquet(dir).inputFiles.length === 2)
   }
 }
