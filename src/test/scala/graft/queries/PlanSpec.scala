@@ -105,6 +105,25 @@ class PlanSpec extends SparkSpec {
       "edges must come from the checkpoint, not re-mined per propagation round")
   }
 
+  test("q45: sketch aggregates keep map-side partial aggregation (one shuffle)") {
+    val p = executed(EventQueries.q45ApproxStats(spark, dir)).toString
+    // partial ObjectHashAggregate/HashAggregate below the exchange, final
+    // above: the sketches (HLL registers / quantile summaries) merge, the
+    // raw values never all travel
+    assert("Aggregate".r.findAllIn(p).size >= 2, "expected partial+final aggregate")
+    assert(p.contains("approx_count_distinct") || p.contains("approx_percentile"))
+  }
+
+  test("q46: interval join is an equi-shuffle join on user_id, never cartesian") {
+    val plan = executed(EventQueries.q46IntervalJoin(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "interval join must keep the user_id equi-key")
+    val p = plan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), // AQE may downgrade at sf0.001
+      s"expected an equi-join on user_id, got:\n$p")
+  }
+
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
     // structural check on the OPTIMIZED logical plan: explicit hints resolve
     // to ResolvedHint nodes before AQE; customer/supplier must carry none
