@@ -516,7 +516,89 @@ object TextQueries {
       |      < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+
+  /** q47_training_prep — the end-to-end corpus-curation pipeline the
+    * individual operators exist FOR, composed as one dataflow:
+    *
+    *   score (tokens, stopword ratio, language) → quality-filter (q35's
+    *   gates) → exact-dedup on the content fingerprint (q23's md5 over the
+    *   sorted 3-shingle set, min-doc_id canonical) → deterministic
+    *   hash-bucket sample (q43's md5 bucket, 50% here).
+    *
+    * Shape at 100 TB: ONE codegen'd scan does score+filter (narrow, no
+    * shuffle), the dedup is the single hash-partition shuffle on `fp`, and
+    * the sample is again narrow — so the whole prep pass costs one shuffle
+    * of the quality-surviving subset, which is how a petabyte corpus prep
+    * has to be built. The DuckDB oracle replays every stage exactly, so the
+    * gate hash-checks the COMPOSITION, not just the parts. */
+  def q47TrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTok = size($"toks")
+    val nStop = TextFunctions.stopwordCount($"toks")
+    val kept = Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id", $"lang", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"lang", $"toks",
+        nTok.cast("long").as("n_tokens"),
+        when(nTok === 0, lit(null).cast("long"))
+          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
+          .as("stop_ratio_e6"),
+        TextFunctions.langId($"toks").as("lang_guess"))
+      .filter($"n_tokens".between(20, 2000) &&
+        $"stop_ratio_e6" >= 50000 && $"lang_guess" =!= "und")
+    val withFp = kept.select($"doc_id", $"lang", $"n_tokens",
+      md5(concat_ws("|", array_sort(TextFunctions.shingles($"toks", 3)))
+        .cast("binary")).as("fp"))
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val canon = withFp
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    canon.filter(bucket < lit("80"))
+      .select($"doc_id", $"lang", $"n_tokens", $"fp", bucket.as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val q47Sql: String = {
+    val en = Seq("the", "a", "of", "and", "is")
+    val fr = Seq("le", "la", "et", "les", "des")
+    val es = Seq("el", "los", "que", "y", "las")
+    val de = Seq("der", "die", "und", "das", "ist")
+    def cnt(ms: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) = 0 THEN NULL
+       |         ELSE CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
+       |    CASE
+       |      WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
+       |      WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
+       |      WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
+       |      WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
+       |      ELSE 'und' END AS lang_guess
+       |  FROM (SELECT doc_id, lang, text, $Toks AS toks FROM documents)),
+       |kept AS (
+       |  SELECT * FROM scored
+       |  WHERE n_tokens BETWEEN 20 AND 2000 AND stop_ratio_e6 >= 50000
+       |    AND lang_guess <> 'und'),
+       |fps AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    md5(coalesce(list_aggregate(list_sort($Shingles3), 'string_agg', '|'), '')) AS fp
+       |  FROM kept),
+       |canon AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps)
+       |  WHERE rn = 1)
+       |SELECT doc_id, lang, n_tokens, fp,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       |FROM canon
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_training_prep"     -> (q47TrainingPrep _),
     "q40_dedup_clusters"    -> (q40DedupClusters _),
     "q41_redact"            -> (q41Redact _),
     "q43_stratified_sample" -> (q43StratifiedSample _),
@@ -530,6 +612,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q47_training_prep"     -> q47Sql,
     "q40_dedup_clusters"    -> q40Sql,
     "q41_redact"            -> q41Sql,
     "q43_stratified_sample" -> q43Sql,
