@@ -217,6 +217,31 @@ object EventQueries {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q48_sliding_window — hopping-window aggregation (1-hour window,
+    * 15-minute slide): the batch run of the STREAMING operator
+    * [[graft.streaming.EventStream.slidingStats]] (same code path — the
+    * operator is batch/stream agnostic, which is also how EventStreamSpec
+    * proves stream ≡ batch). Every event contributes to window/slide = 4
+    * overlapping windows; the oracle replays that as an explicit ×4
+    * window-start expansion in integer ms arithmetic (`epoch_ms -
+    * epoch_ms % slide - i*slide`), which is exactly Spark's epoch-aligned
+    * window assignment on the ms grid. */
+  def q48SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventStream.slidingStats(Tables.events(s, dir))
+      .orderBy($"ws_ms", $"event_type")
+  }
+
+  val q48Sql: String =
+    """SELECT ws_ms, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT epoch_ms(ts) - (epoch_ms(ts) % 900000) - i * 900000 AS ws_ms,
+      |         event_type, value
+      |  FROM events CROSS JOIN range(4) r(i))
+      |GROUP BY ws_ms, event_type
+      |ORDER BY ws_ms, event_type""".stripMargin
+
   /** q45_approx_stats — the SKETCH aggregates a 100 TB user reaches for
     * first: `approx_count_distinct` (HyperLogLog++, fixed ~kB state per
     * group vs an exact distinct's shuffle of every distinct value) and
@@ -349,6 +374,7 @@ object EventQueries {
     "q39_percentile" -> (q39Percentile _),
     "q45_approx_stats" -> (q45ApproxStats _),
     "q46_interval_join" -> (q46IntervalJoin _),
+    "q48_sliding_window" -> (q48SlidingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,5 +390,6 @@ object EventQueries {
     // implementation-specific; the driver's rows-only check + SketchSpec's
     // accuracy-contract assertions cover it
     "q46_interval_join" -> q46Sql,
+    "q48_sliding_window" -> q48Sql,
   )
 }

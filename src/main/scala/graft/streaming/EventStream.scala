@@ -33,6 +33,22 @@ object EventStream {
         $"n", $"sum_value")
   }
 
+  /** HOPPING (sliding) 1-hour window with a 15-minute slide: each event
+    * lands in 4 overlapping windows — the trailing-hour-refreshed-every-
+    * quarter-hour dashboards are built from. Same watermark/state story as
+    * [[hourlyStats]], ×(window/slide) state entries per key. Batch twin
+    * under the oracle gate: `q48_sliding_window`. */
+  def slidingStats(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(unix_millis($"window.start").as("ws_ms"), $"event_type",
+        $"n", $"sum_value")
+  }
+
   /** Gap-based sessions via native `session_window` (30-min inactivity) —
     * the declarative streaming twin of `q20_sessionize`'s window-function
     * formulation. Catalyst merges overlapping session fragments across

@@ -58,6 +58,18 @@ class EventStreamSpec extends SparkSpec {
     assert(streamRes.count() > 0)
   }
 
+  test("hopping 1h/15min window agg: stream ≡ batch (q48 twin)") {
+    val streamRes = streamed(EventStream.slidingStats(_, watermarkDelay = "0 seconds"),
+      _.filter(col("event_type") =!= "__flush"))
+    val batchRes = EventStream.slidingStats(Tables.events(spark, sf))
+    assert(canon(streamRes) === canon(batchRes))
+    // each event is in exactly window/slide = 4 windows: total n is 4x rows
+    val s = spark
+    import s.implicits._
+    val totalN = batchRes.agg(sum($"n")).collect()(0).getLong(0)
+    assert(totalN === 4L * Tables.events(spark, sf).count())
+  }
+
   test("session_window gap sessions: stream ≡ batch (q20 twin)") {
     val streamRes = streamed(EventStream.gapSessions(_, watermarkDelay = "0 seconds"),
       _.filter(col("user_id") =!= -1L))
