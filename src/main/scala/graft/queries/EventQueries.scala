@@ -310,6 +310,89 @@ object EventQueries {
       |  AND c.click_ms <= p.purchase_ms
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q49_pivot — `groupBy(user).pivot(event_type)`: long→wide reshaping,
+    * the report/feature-matrix primitive. The pivot VALUES are declared
+    * (not discovered), so the plan is a single aggregation pass with a
+    * fixed output schema — no driver-side distinct scan, which is the only
+    * pivot formulation that scales. Spark leaves never-hit cells NULL
+    * (count included), hence the explicit coalesce to 0 to match the
+    * oracle's `count(*) FILTER` semantics. */
+  def q49Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
+  val q49Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+      |  count(*) FILTER (WHERE event_type = 'view')     AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q50_stats_agg — standard-deviation / correlation per event type,
+    * formulated for CROSS-ENGINE bit-exactness: the shuffled partial
+    * aggregates are EXACT decimal sums (Σx, Σx², Σxy on the DECIMAL grid —
+    * associative, order-independent), and the statistics are derived from
+    * them in one final double expression. Native `stddev`/`corr` stream
+    * doubles through engine-specific summation orders, so their last ulps
+    * differ between engines (and between partitionings!) — unacceptable
+    * where a re-run must reproduce byte-identical stats. Same one-shuffle
+    * map-side-combine shape as any sum. */
+  def q50StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"value".cast(DecimalType(18, 2))
+    val y = $"user_id".cast(DecimalType(18, 2))
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      // exact decimal sums → double ONCE, then derive in pure double
+      // arithmetic with the identical expression on the oracle side:
+      // decimal-typed derived arithmetic would hit each engine's own
+      // precision-cap rules, double-typed is IEEE-identical
+      .select($"event_type", $"n".cast(DoubleType).as("nd"), $"n",
+        $"sx".cast(DoubleType).as("sxd"), $"sxx".cast(DoubleType).as("sxxd"),
+        $"sy".cast(DoubleType).as("syd"), $"syy".cast(DoubleType).as("syyd"),
+        $"sxy".cast(DoubleType).as("sxyd"))
+      .select($"event_type", $"n",
+        $"sxd".as("sum_value"),
+        // sample stddev from exact sums: sqrt((Sxx - Sx^2/n) / (n-1))
+        sqrt(($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0))
+          .as("stddev_value"),
+        // Pearson r from exact sums
+        (($"sxyd" - $"sxd" * $"syd" / $"nd") /
+          (sqrt($"sxxd" - $"sxd" * $"sxd" / $"nd") *
+           sqrt($"syyd" - $"syd" * $"syd" / $"nd")))
+          .as("corr_value_user"))
+      .orderBy($"event_type")
+  }
+
+  val q50Sql: String =
+    """SELECT event_type, n,
+      |  sxd AS sum_value,
+      |  sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0)) AS stddev_value,
+      |  (sxyd - sxd * syd / nd) /
+      |    (sqrt(sxxd - sxd * sxd / nd) * sqrt(syyd - syd * syd / nd))
+      |    AS corr_value_user
+      |FROM (
+      |  SELECT event_type, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxxd,
+      |    CAST(sum(CAST(user_id AS DECIMAL(18,2))) AS DOUBLE) AS syd,
+      |    CAST(sum(CAST(user_id AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,2))) AS DOUBLE) AS syyd,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,2))) AS DOUBLE) AS sxyd
+      |  FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** q44_asof_join — AS-OF join, the time-series operator Spark has no
     * native form of: each purchase is matched to the same user's most
     * recent click at or before it (the "state of X as of time T" lookup
@@ -375,6 +458,8 @@ object EventQueries {
     "q45_approx_stats" -> (q45ApproxStats _),
     "q46_interval_join" -> (q46IntervalJoin _),
     "q48_sliding_window" -> (q48SlidingWindow _),
+    "q49_pivot" -> (q49Pivot _),
+    "q50_stats_agg" -> (q50StatsAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,5 +476,7 @@ object EventQueries {
     // accuracy-contract assertions cover it
     "q46_interval_join" -> q46Sql,
     "q48_sliding_window" -> q48Sql,
+    "q49_pivot" -> q49Sql,
+    "q50_stats_agg" -> q50Sql,
   )
 }
