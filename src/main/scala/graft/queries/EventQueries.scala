@@ -310,6 +310,37 @@ object EventQueries {
       |  AND c.click_ms <= p.purchase_ms
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q51_range_frame — RANGE-framed window: per user, the trailing-hour
+    * running sum/count at every event (`rangeBetween(-1h, now)` over the
+    * ms epoch). A RANGE frame bounds by ORDER-BY VALUE distance, not row
+    * count — the per-entity rolling-metric primitive (rate limiting,
+    * trailing spend, burst detection) that ROWS frames cannot express when
+    * events are unevenly spaced. One shuffle on user_id; per-partition
+    * state is the frame's sliding buffer. Decimal-grid sums, the q1/q15
+    * parity convention. */
+  def q51RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+        dec2($"value").as("v"))
+      .select($"user_id", $"event_id", $"ms",
+        sum($"v").over(w).cast(DoubleType).as("trailing_hour_sum"),
+        count(lit(1)).over(w).as("trailing_hour_n"))
+      .orderBy($"user_id", $"ms", $"event_id")
+  }
+
+  val q51Sql: String =
+    """SELECT user_id, event_id, ms,
+      |  CAST(sum(v) OVER w AS DOUBLE) AS trailing_hour_sum,
+      |  count(*) OVER w AS trailing_hour_n
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
   /** q49_pivot — `groupBy(user).pivot(event_type)`: long→wide reshaping,
     * the report/feature-matrix primitive. The pivot VALUES are declared
     * (not discovered), so the plan is a single aggregation pass with a
@@ -460,6 +491,7 @@ object EventQueries {
     "q48_sliding_window" -> (q48SlidingWindow _),
     "q49_pivot" -> (q49Pivot _),
     "q50_stats_agg" -> (q50StatsAgg _),
+    "q51_range_frame" -> (q51RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +510,6 @@ object EventQueries {
     "q48_sliding_window" -> q48Sql,
     "q49_pivot" -> q49Sql,
     "q50_stats_agg" -> q50Sql,
+    "q51_range_frame" -> q51Sql,
   )
 }
