@@ -124,6 +124,15 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on user_id, got:\n$p")
   }
 
+  test("q47: the corpus-prep pipeline reads the source once, no cartesian") {
+    val plan = executed(TextQueries.q47TrainingPrep(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    // score+filter+fingerprint are one narrow pass over ONE scan: a
+    // re-read of documents would mean a stage recomputes the text work
+    val scans = "Scan parquet".r.findAllIn(plan.toString).size
+    assert(scans == 1, s"expected exactly one documents scan, got $scans")
+  }
+
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
     // structural check on the OPTIMIZED logical plan: explicit hints resolve
     // to ResolvedHint nodes before AQE; customer/supplier must carry none
