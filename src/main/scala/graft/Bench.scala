@@ -52,13 +52,25 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
 
-    val busy = contendingProcesses()
-    if (busy.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_FORCE").isEmpty) {
-      System.err.println(
-        "[bench] refusing to run: concurrent graft/duckdb work would poison the timings:\n" +
-          busy.map("  " + _.take(200)).mkString("\n") +
-          "\n[bench] wait for it to finish or set SPARK_GRAFT_BENCH_FORCE=1.")
-      sys.exit(2)
+    // wait-then-refuse: a transient overlap (an oracle sweep finishing, a
+    // harness step draining) becomes a short delay, not a failed bench run;
+    // only a persistent contender aborts
+    val waitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_S", "600").toLong
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORCE").isEmpty) {
+      val deadline = System.nanoTime() + waitS * 1000000000L
+      var busy = contendingProcesses()
+      while (busy.nonEmpty && System.nanoTime() < deadline) {
+        System.err.println(s"[bench] waiting for concurrent work to finish: ${busy.head.take(160)}")
+        Thread.sleep(10000)
+        busy = contendingProcesses()
+      }
+      if (busy.nonEmpty) {
+        System.err.println(
+          "[bench] refusing to run: concurrent graft/duckdb work would poison the timings:\n" +
+            busy.map("  " + _.take(200)).mkString("\n") +
+            s"\n[bench] still busy after ${waitS}s; wait for it or set SPARK_GRAFT_BENCH_FORCE=1.")
+        sys.exit(2)
+      }
     }
 
     val spark = GraftSession.local(cores = cpus, appName = "graft-bench")
