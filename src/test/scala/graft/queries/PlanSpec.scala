@@ -124,6 +124,19 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on user_id, got:\n$p")
   }
 
+  test("q30: vector norms are computed below the probe join, never per pair") {
+    // in a plan printout parents precede children: a sqrt appearing BEFORE
+    // the first join line would be a projection ABOVE the join — the
+    // O(pairs*d) per-candidate recompute this pins against
+    val lines = executed(VectorQueries.q30AnnIvf(spark, dir)).toString.linesIterator.toSeq
+    val firstJoin = lines.indexWhere(l => l.contains("Join"))
+    assert(firstJoin >= 0, "expected a probe join in the q30 plan")
+    val sqrtAbove = lines.take(firstJoin).exists(_.toLowerCase.contains("sqrt"))
+    assert(!sqrtAbove, "norms must be per-row columns below the join, not per-pair")
+    assert(lines.drop(firstJoin).exists(_.toLowerCase.contains("sqrt")),
+      "expected the per-row norm projections below the join")
+  }
+
   test("q47: the corpus-prep pipeline reads the source once, no cartesian") {
     val plan = executed(TextQueries.q47TrainingPrep(spark, dir))
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
