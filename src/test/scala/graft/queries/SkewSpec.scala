@@ -17,12 +17,13 @@ class SkewSpec extends SparkSpec {
     val dir = tmpDir("skew")
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
-    // hot user 1: 50k events, 1 min apart -> one 50k-event session
+    // hot user 1: 50k events, 1 min apart -> one 50k-event session;
+    // alternating click/purchase so the interval join sees the hot key too
     val hot = spark.range(0, 50000).select(
       ($"id" + 1000000L).as("event_id"),
       timestamp_millis(lit(base) + $"id" * 60000L).as("ts"),
       lit(1L).as("user_id"),
-      lit("view").as("event_type"),
+      when($"id" % 2 === 0, lit("click")).otherwise(lit("purchase")).as("event_type"),
       lit(1.0).as("value"),
       lit("{}").as("props"))
     // cold users 2..101: 50 events each, 1 h apart -> 50 one-event sessions
@@ -45,5 +46,21 @@ class SkewSpec extends SparkSpec {
     assert(q16.count() === 101L) // one latest row per user
     val hotLatest = q16.filter($"user_id" === 1L).collect()(0).getLong(1)
     assert(hotLatest === 1000000L + 49999L) // the max-ts event wins
+
+    // q46 interval join: the hot key's entire pair expansion lands in one
+    // join partition. Purchase at odd minute i pairs with clicks (even j)
+    // in [i-60, i]: 30 for i>=61, (i+1)/2 for i<60 ->
+    // sum_{k=1..30} k + 24970*30 = 749565 pairs, all from user 1
+    val q46 = EventQueries.q46IntervalJoin(spark, dir)
+    assert(q46.filter($"click_ms" > $"purchase_ms" ||
+      $"click_ms" < $"purchase_ms" - 3600000L).count() === 0L)
+    assert(q46.count() === 749565L)
+
+    // q51 range frame: one row per event; the hot user's steady-state
+    // trailing-hour frame is 61 events (current + 60 preceding minutes)
+    val q51 = EventQueries.q51RangeFrame(spark, dir)
+    assert(q51.count() === 55000L)
+    assert(q51.filter($"user_id" === 1L)
+      .agg(max($"trailing_hour_n")).collect()(0).getLong(0) === 61L)
   }
 }
