@@ -394,15 +394,22 @@ object EventQueries {
         $"sx".cast(DoubleType).as("sxd"), $"sxx".cast(DoubleType).as("sxxd"),
         $"sy".cast(DoubleType).as("syd"), $"syy".cast(DoubleType).as("syyd"),
         $"sxy".cast(DoubleType).as("sxyd"))
+      // degenerate groups guard, stated IDENTICALLY on both sides: n=1
+      // (stddev divides by 0), zero/cancellation-negative variance (corr
+      // divides by 0; DuckDB would even ERROR on sqrt(<0) where Spark
+      // yields NaN) — all emit NULL, the SQL convention for undefined stats
       .select($"event_type", $"n",
         $"sxd".as("sum_value"),
         // sample stddev from exact sums: sqrt((Sxx - Sx^2/n) / (n-1))
-        sqrt(($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0))
+        when($"nd" > 1.0 && $"sxxd" - $"sxd" * $"sxd" / $"nd" >= 0.0,
+          sqrt(($"sxxd" - $"sxd" * $"sxd" / $"nd") / ($"nd" - 1.0)))
           .as("stddev_value"),
         // Pearson r from exact sums
-        (($"sxyd" - $"sxd" * $"syd" / $"nd") /
-          (sqrt($"sxxd" - $"sxd" * $"sxd" / $"nd") *
-           sqrt($"syyd" - $"syd" * $"syd" / $"nd")))
+        when($"sxxd" - $"sxd" * $"sxd" / $"nd" > 0.0 &&
+             $"syyd" - $"syd" * $"syd" / $"nd" > 0.0,
+          ($"sxyd" - $"sxd" * $"syd" / $"nd") /
+            (sqrt($"sxxd" - $"sxd" * $"sxd" / $"nd") *
+             sqrt($"syyd" - $"syd" * $"syd" / $"nd")))
           .as("corr_value_user"))
       .orderBy($"event_type")
   }
@@ -410,9 +417,11 @@ object EventQueries {
   val q50Sql: String =
     """SELECT event_type, n,
       |  sxd AS sum_value,
-      |  sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0)) AS stddev_value,
-      |  (sxyd - sxd * syd / nd) /
-      |    (sqrt(sxxd - sxd * sxd / nd) * sqrt(syyd - syd * syd / nd))
+      |  CASE WHEN nd > 1.0 AND sxxd - sxd * sxd / nd >= 0.0
+      |       THEN sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0)) END AS stddev_value,
+      |  CASE WHEN sxxd - sxd * sxd / nd > 0.0 AND syyd - syd * syd / nd > 0.0
+      |       THEN (sxyd - sxd * syd / nd) /
+      |            (sqrt(sxxd - sxd * sxd / nd) * sqrt(syyd - syd * syd / nd)) END
       |    AS corr_value_user
       |FROM (
       |  SELECT event_type, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,

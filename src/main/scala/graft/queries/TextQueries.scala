@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,47 @@ object TextQueries {
   /** DuckDB fragment: distinct 3-gram shingles over `toks`. */
   private val Shingles3 =
     """list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') for i in range(1, len(toks)-1)])"""
+
+  // Shared scoring/fingerprint pieces — q21/q35 publish them per document,
+  // q23 dedups on the fingerprint, q47 composes all of them into the prep
+  // pipeline. ONE definition each (Spark column + DuckDB fragment), so the
+  // composition provably runs the same computation as the parts.
+
+  /** floor(stopwords/tokens · 1e6), NULL for empty docs (q21 convention). */
+  private def stopRatioE6(toks: Column): Column = {
+    val nTok = size(toks)
+    when(nTok === 0, lit(null).cast("long"))
+      .otherwise(floor(TextFunctions.stopwordCount(toks) * lit(1000000.0) / nTok)
+        .cast("long"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct 3-shingle set. */
+  private def contentFp(toks: Column): Column =
+    md5(concat_ws("|", array_sort(TextFunctions.shingles(toks, 3))).cast("binary"))
+
+  private def cntSql(ms: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+  private val StopCntSql =
+    cntSql(Seq("the", "a", "of", "and", "to", "is", "in", "it"))
+  private val StopRatioSql =
+    s"CASE WHEN len(toks) = 0 THEN NULL ELSE CAST(floor($StopCntSql * 1000000.0 / len(toks)) AS BIGINT) END"
+  private val LangCaseSql: String = {
+    val en = cntSql(Seq("the", "a", "of", "and", "is"))
+    val fr = cntSql(Seq("le", "la", "et", "les", "des"))
+    val es = cntSql(Seq("el", "los", "que", "y", "las"))
+    val de = cntSql(Seq("der", "die", "und", "das", "ist"))
+    s"""CASE
+       |      WHEN $en > 0 AND $en = greatest($en, $fr, $es, $de) THEN 'en'
+       |      WHEN $fr > 0 AND $fr = greatest($en, $fr, $es, $de) THEN 'fr'
+       |      WHEN $es > 0 AND $es = greatest($en, $fr, $es, $de) THEN 'es'
+       |      WHEN $de > 0 AND $de = greatest($en, $fr, $es, $de) THEN 'de'
+       |      ELSE 'und' END""".stripMargin
+  }
+  /** md5 of the sorted shingles; coalesce because string_agg over an empty
+    * shingle set (doc with <3 tokens) is NULL in DuckDB but '' under Spark
+    * concat_ws. */
+  private val FpSql =
+    s"md5(coalesce(list_aggregate(list_sort($Shingles3), 'string_agg', '|'), ''))"
 
   // ---------------------------------------------------------------- q21
 
@@ -57,36 +98,20 @@ object TextQueries {
         // floor serializes identically in both engines (round() half-grid
         // cases would not). Empty documents (0 tokens) emit NULL explicitly —
         // 0.0/0 is NaN and the engines disagree on casting NaN to integer
-        when(nTok === 0, lit(null).cast("long"))
-          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
-          .as("stop_ratio_e6"),
+        stopRatioE6($"toks").as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
   }
 
-  val q21Sql: String = {
-    val en = Seq("the", "a", "of", "and", "is")
-    val fr = Seq("le", "la", "et", "les", "des")
-    val es = Seq("el", "los", "que", "y", "las")
-    val de = Seq("der", "die", "und", "das", "ist")
-    def cnt(ms: Seq[String]) =
-      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+  val q21Sql: String =
     s"""SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
-       |  CAST(${cnt(stops)} AS BIGINT) AS n_stop,
+       |  CAST($StopCntSql AS BIGINT) AS n_stop,
        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-       |  CASE WHEN len(toks) = 0 THEN NULL
-       |       ELSE CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
-       |  CASE
-       |    WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
-       |    WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
-       |    WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
-       |    WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
-       |    ELSE 'und' END AS lang_guess
+       |  $StopRatioSql AS stop_ratio_e6,
+       |  $LangCaseSql AS lang_guess
        |FROM (SELECT doc_id, text, $Toks AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q23
 
@@ -98,9 +123,7 @@ object TextQueries {
     import s.implicits._
     val withFp = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-      .select($"doc_id",
-        md5(concat_ws("|", array_sort(TextFunctions.shingles($"toks", 3)))
-          .cast("binary")).as("fp"))
+      .select($"doc_id", contentFp($"toks").as("fp"))
     val w = Window.partitionBy($"fp")
     withFp.select(
       $"doc_id", $"fp",
@@ -113,10 +136,7 @@ object TextQueries {
     s"""SELECT doc_id, fp,
        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
        |  count(*) OVER (PARTITION BY fp) AS n_copies
-       |FROM (SELECT doc_id,
-       |        -- coalesce: string_agg over an empty shingle set (doc with
-       |        -- <3 tokens) is NULL in DuckDB but '' under Spark concat_ws
-       |        md5(coalesce(list_aggregate(list_sort($Shingles3), 'string_agg', '|'), '')) AS fp
+       |FROM (SELECT doc_id, $FpSql AS fp
        |      FROM (SELECT doc_id, $Toks AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
 
@@ -213,17 +233,13 @@ object TextQueries {
     * codegen'd scan, no shuffle until the final (tiny) ordered output. */
   def q35QualityFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nTok = size($"toks")
-    val nStop = TextFunctions.stopwordCount($"toks")
     // source-sorted for the same reason as q21: narrow ops preserve order
     Tables.documents(s, dir).orderBy($"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id",
-        nTok.cast("long").as("n_tokens"),
+        size($"toks").cast("long").as("n_tokens"),
         // same empty-document NULL convention as q21
-        when(nTok === 0, lit(null).cast("long"))
-          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
-          .as("stop_ratio_e6"),
+        stopRatioE6($"toks").as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
       .withColumn("verdict",
         when($"n_tokens" < 20, lit("too_short"))
@@ -233,15 +249,7 @@ object TextQueries {
           .otherwise(lit("keep")))
   }
 
-  val q35Sql: String = {
-    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
-    val stopCnt = s"len(list_filter(toks, t -> t IN (${stops.map(m => s"'$m'").mkString(",")})))"
-    val en = Seq("the", "a", "of", "and", "is")
-    val fr = Seq("le", "la", "et", "les", "des")
-    val es = Seq("el", "los", "que", "y", "las")
-    val de = Seq("der", "die", "und", "das", "ist")
-    def cnt(ms: Seq[String]) =
-      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+  val q35Sql: String =
     s"""SELECT doc_id, n_tokens, stop_ratio_e6, lang_guess,
        |  CASE WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN n_tokens > 2000 THEN 'too_long'
@@ -251,17 +259,10 @@ object TextQueries {
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CASE WHEN len(toks) = 0 THEN NULL
-       |         ELSE CAST(floor($stopCnt * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
-       |    CASE
-       |      WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
-       |      WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
-       |      WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
-       |      WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
-       |      ELSE 'und' END AS lang_guess
+       |    $StopRatioSql AS stop_ratio_e6,
+       |    $LangCaseSql AS lang_guess
        |  FROM (SELECT doc_id, $Toks AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q27
 
@@ -534,21 +535,20 @@ object TextQueries {
     * gate hash-checks the COMPOSITION, not just the parts. */
   def q47TrainingPrep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nTok = size($"toks")
-    val nStop = TextFunctions.stopwordCount($"toks")
-    val kept = Tables.documents(s, dir).orderBy($"doc_id")
+    // NO source sort (unlike the all-narrow q21/q35): the fp shuffle below
+    // destroys any pre-established order anyway, and a source orderBy would
+    // add a range exchange whose sampling pass re-runs the scan + gates —
+    // the trailing orderBy alone orders the (small) surviving output
+    val kept = Tables.documents(s, dir)
       .select($"doc_id", $"lang", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"lang", $"toks",
-        nTok.cast("long").as("n_tokens"),
-        when(nTok === 0, lit(null).cast("long"))
-          .otherwise(floor(nStop * lit(1000000.0) / nTok).cast("long"))
-          .as("stop_ratio_e6"),
+        size($"toks").cast("long").as("n_tokens"),
+        stopRatioE6($"toks").as("stop_ratio_e6"),
         TextFunctions.langId($"toks").as("lang_guess"))
       .filter($"n_tokens".between(20, 2000) &&
         $"stop_ratio_e6" >= 50000 && $"lang_guess" =!= "und")
     val withFp = kept.select($"doc_id", $"lang", $"n_tokens",
-      md5(concat_ws("|", array_sort(TextFunctions.shingles($"toks", 3)))
-        .cast("binary")).as("fp"))
+      contentFp($"toks").as("fp"))
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
     val canon = withFp
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
@@ -558,33 +558,19 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  val q47Sql: String = {
-    val en = Seq("the", "a", "of", "and", "is")
-    val fr = Seq("le", "la", "et", "les", "des")
-    val es = Seq("el", "los", "que", "y", "las")
-    val de = Seq("der", "die", "und", "das", "ist")
-    def cnt(ms: Seq[String]) =
-      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
-    val stops = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+  val q47Sql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, toks,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CASE WHEN len(toks) = 0 THEN NULL
-       |         ELSE CAST(floor(${cnt(stops)} * 1000000.0 / len(toks)) AS BIGINT) END AS stop_ratio_e6,
-       |    CASE
-       |      WHEN ${cnt(en)} > 0 AND ${cnt(en)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'en'
-       |      WHEN ${cnt(fr)} > 0 AND ${cnt(fr)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'fr'
-       |      WHEN ${cnt(es)} > 0 AND ${cnt(es)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'es'
-       |      WHEN ${cnt(de)} > 0 AND ${cnt(de)} = greatest(${cnt(en)}, ${cnt(fr)}, ${cnt(es)}, ${cnt(de)}) THEN 'de'
-       |      ELSE 'und' END AS lang_guess
+       |    $StopRatioSql AS stop_ratio_e6,
+       |    $LangCaseSql AS lang_guess
        |  FROM (SELECT doc_id, lang, text, $Toks AS toks FROM documents)),
        |kept AS (
        |  SELECT * FROM scored
        |  WHERE n_tokens BETWEEN 20 AND 2000 AND stop_ratio_e6 >= 50000
        |    AND lang_guess <> 'und'),
        |fps AS (
-       |  SELECT doc_id, lang, n_tokens,
-       |    md5(coalesce(list_aggregate(list_sort($Shingles3), 'string_agg', '|'), '')) AS fp
+       |  SELECT doc_id, lang, n_tokens, $FpSql AS fp
        |  FROM kept),
        |canon AS (
        |  SELECT * FROM (
@@ -595,7 +581,6 @@ object TextQueries {
        |FROM canon
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
        |ORDER BY doc_id""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_training_prep"     -> (q47TrainingPrep _),

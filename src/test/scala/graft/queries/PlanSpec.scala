@@ -137,13 +137,22 @@ class PlanSpec extends SparkSpec {
       "expected the per-row norm projections below the join")
   }
 
-  test("q47: the corpus-prep pipeline reads the source once, no cartesian") {
+  test("q47: the corpus-prep pipeline reads the source once, one data shuffle") {
     val plan = executed(TextQueries.q47TrainingPrep(spark, dir))
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
     // score+filter+fingerprint are one narrow pass over ONE scan: a
     // re-read of documents would mean a stage recomputes the text work
-    val scans = "Scan parquet".r.findAllIn(plan.toString).size
+    val p = plan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected exactly one documents scan, got $scans")
+    // exactly ONE hash shuffle (the fp dedup) and ONE range exchange (the
+    // trailing sort of the small surviving output) — a source-side sort
+    // would add a second rangepartitioning whose sampling pass re-runs the
+    // scan and the quality gates
+    val hash = "hashpartitioning".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p).size
+    assert(hash >= 1 && range <= 1,
+      s"expected one fp hash shuffle and at most the trailing sort, got hash=$hash range=$range")
   }
 
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
