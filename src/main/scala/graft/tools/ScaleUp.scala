@@ -62,9 +62,20 @@ object ScaleUp {
           // EVERY copy gets a FIXED-WIDTH suffix (z00, z01, ...): suffixes
           // of equal length can never make tokenA+salt_i == tokenB+salt_j
           // for i != j, even when a base token already ends in z<digits> —
-          // cross-copy token sets are provably disjoint
+          // cross-copy CONTENT token sets are provably disjoint. The
+          // stopword/language-marker vocabulary is exempt (negative
+          // lookahead): those are the corpus-wide shared function words the
+          // scoring operators key on (stop ratio, langId) — salting them
+          // would turn every scaled copy into unknown-language junk that
+          // the q47 quality gates drop, leaving the downstream pipeline
+          // unexercised at scale. Two copies of a doc then share only its
+          // function words — far below any near-dup threshold.
+          val markers = Seq("the", "a", "of", "and", "to", "is", "in", "it",
+            "le", "la", "et", "les", "des", "el", "los", "que", "y", "las",
+            "der", "die", "und", "das", "ist").mkString("|")
           shifted.withColumn("text",
-            regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
+            regexp_replace(col("text"),
+              s"\\b(?!(?:$markers)\\b)([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
         case "embeddings" if i > 0 =>
           // distinct nonzero rotation per copy; unique only below the
           // embedding dimension (64) — main enforces copies <= 64
