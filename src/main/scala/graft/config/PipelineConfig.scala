@@ -24,16 +24,17 @@ object PipelineConfig {
     * substitution (3+ char ALL-CAPS word that was a template variable the
     * caller forgot to bind) is a deploy error, not a value. */
   def render(template: String, vars: Map[String, String]): String = {
-    val out = vars.toSeq.sortBy(-_._1.length).foldLeft(template) {
-      case (acc, (k, v)) => acc.replace(k, v)
-    }
+    // unbound placeholders are detected on the TEMPLATE's own tokens (a
+    // substituted all-caps VALUE must never false-positive); comments are
+    // free text
     val leftover = raw"\b[A-Z][A-Z0-9_]{2,}\b".r.findAllIn(
-      // only values are placeholder territory; comments are free text
-      out.linesIterator.filterNot(_.trim.startsWith("#")).mkString("\n")
+      template.linesIterator.filterNot(_.trim.startsWith("#")).mkString("\n")
     ).toList.distinct.filter(t => t.contains("_") && !vars.contains(t))
     require(leftover.isEmpty,
       s"unresolved template placeholders: ${leftover.mkString(", ")}")
-    out
+    vars.toSeq.sortBy(-_._1.length).foldLeft(template) {
+      case (acc, (k, v)) => acc.replace(k, v)
+    }
   }
 
   /** Parse `k=v` properties lines; `#` comments and blanks ignored; later
