@@ -347,6 +347,26 @@ class AggregationThresholdSpec extends SparkSpec with BeforeAndAfterEach {
     assert(out.isEmpty)
   }
 
+  test("HAVING cannot smuggle a value-revealing aggregate past the whitelist") {
+    setupTrips()
+    // Spark plans HAVING by widening the Aggregate with the extra
+    // aggregate expression and projecting it away — the whitelist must see
+    // it there, or min(unit) leaks through a clause that never appears in
+    // the SELECT list
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, count(*) AS n FROM trip_pp
+        |GROUP BY city HAVING min(customer_id) > 100""".stripMargin).collect())
+    assert(e.getMessage.contains("not allowed over policy view"))
+  }
+
+  test("ORDER BY cannot smuggle a value-revealing aggregate either") {
+    setupTrips()
+    val e = intercept[Exception](spark.sql(
+      """SELECT city, count(*) AS n FROM trip_pp
+        |GROUP BY city ORDER BY max(customer_id)""".stripMargin).collect())
+    assert(e.getMessage.contains("not allowed over policy view"))
+  }
+
   test("removePolicy detaches the policy from the live view instance") {
     setupTrips()
     assert(intercept[Exception](spark.sql("SELECT * FROM trip_pp").collect())
