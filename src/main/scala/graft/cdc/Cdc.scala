@@ -62,6 +62,15 @@ object Cdc {
     df.select(fields :+ deleted: _*)
   }
 
+  /** O3+O4, `delete.handling.mode=drop`: the other documented unwrap mode —
+    * delete events are removed entirely and no `__deleted` marker column is
+    * added (the sink only ever sees upserts). */
+  def unwrapDrop(df: DataFrame): DataFrame = {
+    val rowSchema = df.schema("after").dataType.asInstanceOf[StructType]
+    df.filter(col("op") =!= "d")
+      .select(rowSchema.fieldNames.toSeq.map(f => col(s"after.`$f`").as(f)): _*)
+  }
+
   /** O5 outbound: serialize rows back to (key, value) JSON — key is the
     * serialized PK struct (the Pub/Sub ordering key in the reference,
     * `/root/reference/README.md:292`), value the full row. */

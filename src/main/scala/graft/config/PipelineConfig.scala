@@ -20,13 +20,21 @@ object PipelineConfig {
 
   /** Substitute every `vars` token in the template (longest token first, so
     * `MYSQL_DATABASENAME` wins over a hypothetical `MYSQL_DATABASE`
-    * prefix). Fail-closed: a known placeholder-looking token that survives
-    * substitution (3+ char ALL-CAPS word that was a template variable the
-    * caller forgot to bind) is a deploy error, not a value. */
+    * prefix).
+    *
+    * Placeholder convention (the reference's): an ALL-CAPS token
+    * CONTAINING AN UNDERSCORE (`PROJECT_ID`, `MYSQL_IP`, ...) — plain
+    * all-caps words (`JSON`, a format name) are legal literal values, so
+    * the convention is what makes unbound-placeholder detection possible
+    * at all. Enforced on both sides: every `vars` key must follow it, and
+    * any template token following it that is NOT bound fails the render
+    * (deploy error, not a value). Detection runs on the TEMPLATE's own
+    * tokens so a substituted all-caps value can never false-positive;
+    * comment lines are free text. */
   def render(template: String, vars: Map[String, String]): String = {
-    // unbound placeholders are detected on the TEMPLATE's own tokens (a
-    // substituted all-caps VALUE must never false-positive); comments are
-    // free text
+    val badKeys = vars.keys.filterNot(_.matches(raw"[A-Z][A-Z0-9]*(_[A-Z0-9]+)+"))
+    require(badKeys.isEmpty,
+      s"template variables must be ALL_CAPS_WITH_UNDERSCORE: ${badKeys.mkString(", ")}")
     val leftover = raw"\b[A-Z][A-Z0-9_]{2,}\b".r.findAllIn(
       template.linesIterator.filterNot(_.trim.startsWith("#")).mkString("\n")
     ).toList.distinct.filter(t => t.contains("_") && !vars.contains(t))
@@ -63,6 +71,13 @@ object PipelineConfig {
       throw new IllegalArgumentException(s"missing required config key '$k'"))
     val table = req("debezium.source.table.include.list")
     val db = req("debezium.source.database.include.list")
+    // fail-loud, never silent garbage: a comma-separated include list would
+    // flow into the single-table filter as one bogus name and publish
+    // nothing. One pipeline per table is the engine's (and the reference
+    // lab's) shape.
+    require(!db.contains(',') && !table.contains(','),
+      s"multi-valued include lists are not supported (db='$db', table='$table'): " +
+        "run one ingest pipeline per table")
     require(table.startsWith(db + "."),
       s"table include '$table' must be qualified by the included database '$db'")
     val unwrapMode = props.getOrElse(

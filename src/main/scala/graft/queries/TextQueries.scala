@@ -48,21 +48,18 @@ object TextQueries {
 
   private def cntSql(ms: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
-  private val StopCntSql =
-    cntSql(Seq("the", "a", "of", "and", "to", "is", "in", "it"))
+  // vocabularies come from TextFunctions — the SAME lists the Spark-side
+  // columns use, so the oracle fragments cannot drift from the engine
+  private val StopCntSql = cntSql(TextFunctions.EnStop)
   private val StopRatioSql =
     s"CASE WHEN len(toks) = 0 THEN NULL ELSE CAST(floor($StopCntSql * 1000000.0 / len(toks)) AS BIGINT) END"
   private val LangCaseSql: String = {
-    val en = cntSql(Seq("the", "a", "of", "and", "is"))
-    val fr = cntSql(Seq("le", "la", "et", "les", "des"))
-    val es = cntSql(Seq("el", "los", "que", "y", "las"))
-    val de = cntSql(Seq("der", "die", "und", "das", "ist"))
-    s"""CASE
-       |      WHEN $en > 0 AND $en = greatest($en, $fr, $es, $de) THEN 'en'
-       |      WHEN $fr > 0 AND $fr = greatest($en, $fr, $es, $de) THEN 'fr'
-       |      WHEN $es > 0 AND $es = greatest($en, $fr, $es, $de) THEN 'es'
-       |      WHEN $de > 0 AND $de = greatest($en, $fr, $es, $de) THEN 'de'
-       |      ELSE 'und' END""".stripMargin
+    val cnts = TextFunctions.LangMarkers.map { case (lang, ms) => lang -> cntSql(ms) }
+    val all = cnts.map(_._2).mkString(", ")
+    val whens = cnts.map { case (lang, c) =>
+      s"      WHEN $c > 0 AND $c = greatest($all) THEN '$lang'"
+    }.mkString("\n")
+    s"CASE\n$whens\n      ELSE 'und' END"
   }
   /** md5 of the sorted shingles; coalesce because string_agg over an empty
     * shingle set (doc with <3 tokens) is NULL in DuckDB but '' under Spark

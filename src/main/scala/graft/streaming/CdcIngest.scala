@@ -30,11 +30,33 @@ object CdcIngest {
     * semantics are literally the deployed code. */
   def transform(raw: DataFrame, rowSchema: StructType,
                 includeDb: String, includeTable: String,
-                keyCols: Seq[String]): DataFrame = {
+                keyCols: Seq[String],
+                deleteRewrite: Boolean = true): DataFrame = {
     val parsed = Cdc.parseEnvelope(raw, "value", rowSchema)
-    val rows = Cdc.unwrapRewrite(Cdc.includeFilter(parsed, includeDb, includeTable))
+    val included = Cdc.includeFilter(parsed, includeDb, includeTable)
+    val rows = if (deleteRewrite) Cdc.unwrapRewrite(included) else Cdc.unwrapDrop(included)
     Cdc.toKeyedJson(rows, keyCols)
   }
+
+  /** O28 companion: start the ingest with every pipeline-shaping setting
+    * taken from a RENDERED CONFIG ([[graft.config.PipelineConfig.cdcSpec]])
+    * — include lists, delete handling, and the offset-flush cadence (which
+    * maps onto micro-batch cadence: offsets commit per micro-batch, so
+    * `offset.flush.interval.ms` becomes the processing trigger interval;
+    * pass an explicit `trigger` to override, e.g. `AvailableNow` for a
+    * bounded backfill). */
+  def startFromConfig(spark: SparkSession,
+                      changeLogDir: String,
+                      rowSchema: StructType,
+                      spec: graft.config.PipelineConfig.CdcPipelineSpec,
+                      keyCols: Seq[String],
+                      topic: Topic,
+                      checkpointDir: String,
+                      trigger: Option[Trigger] = None): StreamingQuery =
+    start(spark, changeLogDir, rowSchema, spec.includeDb, spec.includeTable,
+      keyCols, topic, checkpointDir,
+      trigger.getOrElse(Trigger.ProcessingTime(math.max(0L, spec.offsetFlushMs))),
+      spec.deleteRewrite)
 
   /** Start the ingest query: change-log dir → transform → topic publish. */
   def start(spark: SparkSession,
@@ -45,14 +67,16 @@ object CdcIngest {
             keyCols: Seq[String],
             topic: Topic,
             checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            deleteRewrite: Boolean = true): StreamingQuery = {
     val raw = spark.readStream
       .schema(StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
       .json(changeLogDir)
     topic.publishStream(
-      transform(raw, rowSchema, includeDb, includeTable, keyCols), checkpointDir)
+      transform(raw, rowSchema, includeDb, includeTable, keyCols, deleteRewrite),
+      checkpointDir)
       .trigger(trigger)
       .queryName(s"cdc-ingest-${topic.name}")
       .start()

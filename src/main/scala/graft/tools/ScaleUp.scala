@@ -69,13 +69,21 @@ object ScaleUp {
           // would turn every scaled copy into unknown-language junk that
           // the q47 quality gates drop, leaving the downstream pipeline
           // unexercised at scale. Two copies of a doc then share only its
-          // function words — far below any near-dup threshold.
-          val markers = Seq("the", "a", "of", "and", "to", "is", "in", "it",
-            "le", "la", "et", "les", "des", "el", "los", "que", "y", "las",
-            "der", "die", "und", "das", "ist").mkString("|")
+          // function words — far below any near-dup threshold. (Edge: a
+          // doc consisting SOLELY of function words salts to itself — an
+          // exact cross-copy duplicate; such no-content docs are precisely
+          // what exact dedup collapses, and none exist in the testdata.)
+          // ONE source of truth for the exempt vocabulary: the engine's own
+          // scoring lists (a drift between them and this exemption would
+          // silently break stop-ratio/langId preservation at scale).
+          // Lookbehind, not \b: a leading \b would skip runs preceded by
+          // '_' and leak unsalted content tokens across copies.
+          val markers = (graft.functions.TextFunctions.EnStop ++
+            graft.functions.TextFunctions.LangMarkers.flatMap(_._2))
+            .distinct.mkString("|")
           shifted.withColumn("text",
             regexp_replace(col("text"),
-              s"\\b(?!(?:$markers)\\b)([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
+              s"(?<![A-Za-z0-9])(?!(?:$markers)\\b)([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
         case "embeddings" if i > 0 =>
           // distinct nonzero rotation per copy; unique only below the
           // embedding dimension (64) — main enforces copies <= 64

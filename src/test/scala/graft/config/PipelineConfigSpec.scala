@@ -49,10 +49,16 @@ class PipelineConfigSpec extends SparkSpec {
       includeDb = "debezium_test", includeTable = "people",
       deleteRewrite = true, offsetFlushMs = 0L, topicProject = "demo-project"))
     // an unqualified table include is rejected at config time
-    val bad = PipelineConfig.parse(PipelineConfig.render(template, vars)) +
-      ("debezium.source.table.include.list" -> "otherdb.people")
+    val parsed = PipelineConfig.parse(PipelineConfig.render(template, vars))
+    val bad = parsed + ("debezium.source.table.include.list" -> "otherdb.people")
     assert(intercept[IllegalArgumentException](PipelineConfig.cdcSpec(bad))
       .getMessage.contains("qualified"))
+    // a multi-valued include list fails loud instead of silently filtering
+    // everything through one bogus table name
+    val multi = parsed +
+      ("debezium.source.table.include.list" -> "debezium_test.people,debezium_test.orders")
+    assert(intercept[IllegalArgumentException](PipelineConfig.cdcSpec(multi))
+      .getMessage.contains("one ingest pipeline per table"))
   }
 
   test("a rendered config drives the real ingest pipeline end to end") {
@@ -73,11 +79,14 @@ class PipelineConfigSpec extends SparkSpec {
     val rowSchema = StructType.fromDDL("id LONG, name STRING")
     val topicSchema = StructType.fromDDL("id LONG, name STRING, __deleted STRING")
     val registry = new SchemaRegistry
-    // topic namespaced by the CONFIG's project, wired from the spec fields
+    // topic namespaced by the CONFIG's project; include lists + delete
+    // handling + flush cadence all come from the spec (trigger overridden
+    // to AvailableNow so the bounded test log terminates)
     val topic = new Topic(s, s"${spec.topicProject}-people", s"$root/topic",
       registry.register("cfg-people", topicSchema))
-    CdcIngest.start(s, s"$root/changelog", rowSchema,
-      spec.includeDb, spec.includeTable, Seq("id"), topic, s"$root/ckpt")
+    CdcIngest.startFromConfig(s, s"$root/changelog", rowSchema, spec,
+      Seq("id"), topic, s"$root/ckpt",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       .awaitTermination()
 
     val out = topic.read.selectExpr(
@@ -86,5 +95,24 @@ class PipelineConfigSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_.toString)
     // the other-table row is filtered; the delete is rewritten, not dropped
     assert(out.toSeq === Seq(("1", "false"), ("1", "true")))
+
+    // flip ONLY the config to drop mode: the same wiring now drops the
+    // delete event and emits no __deleted marker — behavior follows config
+    val dropSpec = PipelineConfig.cdcSpec(PipelineConfig.parse(
+      PipelineConfig.render(template, vars)
+        .replace("delete.handling.mode=rewrite", "delete.handling.mode=drop")))
+    assert(!dropSpec.deleteRewrite)
+    val dropTopic = new Topic(s, s"${dropSpec.topicProject}-people-drop",
+      s"$root/topic2",
+      registry.register("cfg-people-drop", StructType.fromDDL("id LONG, name STRING")))
+    CdcIngest.startFromConfig(s, s"$root/changelog", rowSchema, dropSpec,
+      Seq("id"), dropTopic, s"$root/ckpt2",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .awaitTermination()
+    val dropped = dropTopic.read.selectExpr(
+        "get_json_object(value, '$.id') AS id",
+        "get_json_object(value, '$.__deleted') AS deleted").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(dropped.toSeq === Seq(("1", null)))
   }
 }

@@ -149,10 +149,10 @@ class PlanSpec extends SparkSpec {
     // trailing sort of the small surviving output) — a source-side sort
     // would add a second rangepartitioning whose sampling pass re-runs the
     // scan and the quality gates
-    val hash = "hashpartitioning".r.findAllIn(p).size
-    val range = "rangepartitioning".r.findAllIn(p).size
-    assert(hash >= 1 && range <= 1,
-      s"expected one fp hash shuffle and at most the trailing sort, got hash=$hash range=$range")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).size
+    val range = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hash == 1 && range <= 1,
+      s"expected exactly one fp hash shuffle and at most the trailing sort, got hash=$hash range=$range")
   }
 
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
