@@ -60,6 +60,50 @@ class TextQueriesSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("q52: threshold boundary is exact and inclusive (integer gate)") {
+    // A vs B share bigrams {a b, b c, c d} of union size 5 -> J = 3/5
+    // exactly: must be KEPT (>= gate, integer arithmetic). A vs C sits at
+    // J = 1/3, B vs C at 1/4: excluded.
+    val dir = corpus("jacedge", Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "a b c g h")))
+    val out = TextQueries.q52NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0.6)))
+  }
+
+  test("q52: prefix-filter candidates lose no true pair (vs brute force)") {
+    // Mixed corpus: near-dup chains, rare-token-only overlaps, disjoint
+    // docs, duplicate docs. The prefix index must reproduce the exact
+    // all-pairs answer.
+    val words = (1 to 40).map(i => s"w$i")
+    def doc(from: Int, to: Int) = words.slice(from - 1, to).mkString(" ")
+    val rows: Seq[(Long, String)] = Seq(
+      (1L, doc(1, 12)), (2L, doc(2, 13)), (3L, doc(3, 14)), // sliding chain
+      (4L, doc(1, 12)), // exact dup of 1
+      (5L, doc(20, 30)), (6L, doc(21, 31)), // second chain
+      (7L, "totally different text about nothing shared at all"),
+      (8L, doc(35, 40)), (9L, doc(36, 40))) // short overlap
+    val dir = corpus("jacfull", rows)
+    // brute force in plain Scala over the same shingle definition
+    def bigrams(t: String): Set[String] = {
+      val tk = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> bigrams(t) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 5 >= uni * 3
+    } yield (a, b)).toSet
+    val got = TextQueries.q52NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.contains((1L, 4L))) // the exact dup really is in play
+    assert(expected.size >= 3) // and the corpus exercises more than one hit
+  }
+
   test("empty and short documents follow the oracle-aligned conventions") {
     val dir = corpus("edge", Seq(
       (1L, ""), // empty
