@@ -413,7 +413,7 @@ object AggregationThresholdRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, Shingles, SimHash16}
+  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, Shingles, SimHash16, Winnow}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -441,6 +441,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash16(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (args(1), args(2)) match {
+          case (Literal(k: Int, _), Literal(w: Int, _)) => Winnow(args(0), k, w)
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+        }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

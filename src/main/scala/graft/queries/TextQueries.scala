@@ -659,7 +659,53 @@ object TextQueries {
        |      >= 3 * len(list_distinct(list_concat(a.s, b.s)))
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+
+  /** q53_winnow_fingerprint — rolling-hash document fingerprints via
+    * winnowing ([[graft.functions.expressions.Winnow]]; k=8-char grams,
+    * window w=4): the MOSS/plagiarism-detection fingerprint family, with
+    * the guarantee that any shared substring of ≥ w+k-1 = 11 chars between
+    * two documents yields a shared fingerprint. Output is the exploded
+    * (doc_id, fp) relation — grouping by fp is then exactly q23's
+    * hash-partition dedup shape, but robust to partial overlap instead of
+    * whole-content equality.
+    *
+    * Scale shape: pure narrow column work — one codegen'd O(chars) pass per
+    * row (true rolling hash, amortized-O(1) window minima), explode, no
+    * shuffle at all; source-sorted so the trailing order is free (q21's
+    * pattern). The oracle replays hash+selection positionally in SQL
+    * (O(chars·k) there — fine at oracle SF) using the `h·2^20 + (2^20−pos)`
+    * key packing, which is exact because the modulus is 2^20 and oracle
+    * documents are far shorter than 2^20 chars. */
+  def q53WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id",
+        explode(call_function("graft_winnow", $"text", lit(8), lit(4))).as("fp"))
+  }
+
+  val q53Sql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    CAST(list_sum([ascii(substr(text, CAST(u.i + j AS INT), 1)) * (31.0 ** (7 - j))
+       |                   for j in range(0, 8)]) AS BIGINT) % 1048576 AS h
+       |  FROM documents, UNNEST(range(1, length(text) - 8 + 2)) AS u(i)),
+       |win AS (
+       |  SELECT doc_id, i, h,
+       |    h * 1048576 + (1048576 - i) AS key,
+       |    count(*) OVER (PARTITION BY doc_id) AS npos
+       |  FROM pos),
+       |sel AS (
+       |  SELECT doc_id,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |  FROM win
+       |  QUALIFY i <= npos - 4 + 1)
+       |SELECT DISTINCT doc_id, wmin // 1048576 AS fp FROM sel
+       |ORDER BY doc_id, fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_winnow_fingerprint" -> (q53WinnowFingerprint _),
     "q52_ngram_jaccard"     -> (q52NgramJaccard _),
     "q47_training_prep"     -> (q47TrainingPrep _),
     "q40_dedup_clusters"    -> (q40DedupClusters _),
@@ -675,6 +721,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q53_winnow_fingerprint" -> q53Sql,
     "q52_ngram_jaccard"     -> q52Sql,
     "q47_training_prep"     -> q47Sql,
     "q40_dedup_clusters"    -> q40Sql,

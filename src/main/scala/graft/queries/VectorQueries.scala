@@ -169,13 +169,105 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q54
+
+  /** q54_ann_lsh — the LSH-bucketed ANN scale path, complementing q30's
+    * IVF: 16-bit random-hyperplane signature ([[graft.vector.LshPlanes]],
+    * frozen seed — data-independent, nothing to train), banded 4×4; a query
+    * probes only the vectors sharing at least one band key, then exact
+    * cosine re-scores the probed sliver (the shared round-then-rank
+    * convention).
+    *
+    * Scale shape: signature = 16 codegen'd `graft_dot`s against constant
+    * planes — narrow, one pass; the only join is data-bands ⋈ BROADCAST
+    * query-bands (the query side is O(k)); candidates ≈ N/16 per band per
+    * query instead of N. Recall/cost dial = plane count and band shape
+    * (more planes → smaller buckets, fewer bands → lower recall); LshSpec
+    * pins the recall floor on scaled-copy clusters, and the oracle replays
+    * the identical frozen planes, so correctness here means bit-identical
+    * bucketing AND re-scoring — not just "similar" results. */
+  def q54AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.vector.LshPlanes
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    val sigCol = (0 until LshPlanes.Planes).map { b =>
+      when(dot($"v", typedlit(LshPlanes.planes(b).toSeq)) >= 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withSig = e.select($"vec_id", sigCol.as("sig"))
+    // sig is a materialized attribute, so the 16-dot pass runs once per row
+    // and the band extraction below is 4 cheap shift/mask reads of it
+    val bandStructs = array((0 until LshPlanes.Bands).map { t =>
+      struct(lit(t).as("band"),
+        shiftright($"sig", t * LshPlanes.BitsPerBand).bitwiseAND(15).as("bkey"))
+    }: _*)
+    val bands = withSig
+      .select($"vec_id", explode(bandStructs).as("bk"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val qbands = bands.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"band", $"bkey")
+    val cand = bands.join(broadcast(qbands), Seq("band", "bkey"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+      .distinct()
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    cand.join(e, "vec_id").join(broadcast(q), "q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The frozen hyperplane matrix as a DuckDB VALUES list. */
+  private def planeValues: String =
+    graft.vector.LshPlanes.planes.zipWithIndex.map { case (p, b) =>
+      s"($b, [${p.map(sqlDouble).mkString(", ")}])"
+    }.mkString(",\n    ")
+
+  def q54Sql: String = {
+    def dt(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    s"""WITH planes(plane_id, p) AS (VALUES
+       |    $planeValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |bits AS (
+       |  SELECT e.vec_id, planes.plane_id,
+       |    CASE WHEN ${dt("e.v", "planes.p")} >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes),
+       |keys AS (
+       |  SELECT vec_id, plane_id // 4 AS band,
+       |    CAST(SUM(bit << (plane_id % 4)) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY vec_id, plane_id // 4),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS vec_id
+       |  FROM keys q JOIN keys d ON q.band = d.band AND q.bkey = d.bkey
+       |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    round(${dt("q.v", "d.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("d.v", "d.v")})), 4) AS cos_r
+       |  FROM cand c JOIN e q ON q.vec_id = c.q_id JOIN e d ON d.vec_id = c.vec_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_topk"      -> (q25AnnTopK _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
-    "q30_ann_ivf"       -> (q30AnnIvf _))
+    "q30_ann_ivf"       -> (q30AnnIvf _),
+    "q54_ann_lsh"       -> (q54AnnLsh _))
 
   val oracles: Map[String, String] = Map(
     "q25_ann_topk"      -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
-    "q30_ann_ivf"       -> q30Sql)
+    "q30_ann_ivf"       -> q30Sql,
+    "q54_ann_lsh"       -> q54Sql)
 }

@@ -89,6 +89,51 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs === Set((3L, 5L), (3L, 9L), (5L, 9L)))
   }
 
+  test("graft_winnow equals a naive O(n·k·w) reference; coverage + shift invariance hold") {
+    val s = spark
+    import s.implicits._
+    val K = 8; val W = 4; val M = 1 << 20
+
+    // independent reference: positional polynomial hash + per-window
+    // rightmost-argmin, no rolling update, no incremental selection
+    def ref(text: String): Seq[Long] = {
+      val n = text.length; val npos = n - K + 1
+      if (npos < W) return Seq.empty
+      val hs = (0 until npos).map { i =>
+        (0 until K).foldLeft(0L)((h, j) => (h * 31 + text.charAt(i + j)) % M)
+      }
+      val sel = (0 to npos - W).map { t =>
+        (t until t + W).reduceLeft((b, u) => if (hs(u) <= hs(b)) u else b)
+      }
+      sel.map(hs).distinct.sorted
+    }
+
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",          // all-equal hashes: rightmost ties
+      "short",                         // no gram window at all
+      "", "exactly11ch",               // empty / boundary length w+k-1
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "ab" * 40)                       // period-2 repetition
+    for (t <- texts) {
+      val got = Seq(t).toDF("t")
+        .select(call_function("graft_winnow", $"t", lit(K), lit(W)))
+        .head().getSeq[Long](0)
+      assert(got === ref(t), s"text='$t'")
+    }
+
+    // winnowing guarantee: a shared substring of length >= w+k-1 shares a
+    // fingerprint regardless of position shift
+    val shared = "zqxjkvbwpfmg9317dlroca"  // 22 chars >= 11
+    val a = s"AAAA $shared BBBB"
+    val b = s"completely different preamble text $shared and different tail"
+    val fpA = Seq(a).toDF("t").select(call_function("graft_winnow", $"t", lit(K), lit(W)))
+      .head().getSeq[Long](0).toSet
+    val fpB = Seq(b).toDF("t").select(call_function("graft_winnow", $"t", lit(K), lit(W)))
+      .head().getSeq[Long](0).toSet
+    assert((fpA & fpB).nonEmpty)
+  }
+
   test("shingles (native) equals both the composable formulation and plain Scala") {
     val s = spark
     import s.implicits._

@@ -155,6 +155,39 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one fp hash shuffle and at most the trailing sort, got hash=$hash range=$range")
   }
 
+  test("q52: prefix-filter join is never cartesian; candidates shuffle on tokens") {
+    val plan = executed(TextQueries.q52NgramJaccard(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "prefix filtering must index, never all-pairs")
+    // partial aggregation below the df and posting shuffles
+    assert("HashAggregate".r.findAllIn(plan.toString).size >= 2)
+  }
+
+  test("q53: winnowing is one narrow codegen pass — no shuffle except the source sort") {
+    val plan = executed(TextQueries.q53WinnowFingerprint(spark, dir))
+    val p = plan.toString
+    assert(p.contains("graft_winnow"), "native winnow expression should be in the plan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "fingerprinting must not shuffle — it is per-row column work")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
+    // at-scale shape: auto-broadcast off, so the only broadcasts left are
+    // the two explicit hints on the query side (bands + rescore vectors)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val initial = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      VectorQueries.q54AnnLsh(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(initial.linesIterator.count(_.contains("BroadcastExchange")) == 2,
+      "exactly two pinned broadcasts: query band keys and query vectors")
+    val plan = executed(VectorQueries.q54AnnLsh(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "LSH ANN must probe buckets, never scan all pairs per query")
+  }
+
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
     // structural check on the OPTIMIZED logical plan: explicit hints resolve
     // to ResolvedHint nodes before AQE; customer/supplier must carry none
