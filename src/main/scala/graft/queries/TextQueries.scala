@@ -581,15 +581,11 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q52
 
-  /** DuckDB fragment: distinct 2-gram shingles over `toks`. */
-  private val Shingles2 =
-    """list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ') for i in range(1, len(toks))])"""
-
-  /** q52_ngram_jaccard — EXACT n-gram Jaccard similarity join (J ≥ 3/5 over
-    * 2-gram shingle sets) via prefix filtering (the AllPairs/PPJoin family,
-    * Bayardo et al., WWW'07): order every set by one global token order
-    * (document frequency ascending, ties by token), and for threshold t a
-    * true pair MUST share a token inside both sets' first
+  /** q52_ngram_jaccard — EXACT n-gram Jaccard similarity join (J ≥ 7/10
+    * over 3-gram shingle sets) via prefix filtering (the AllPairs/PPJoin
+    * family, Bayardo et al., WWW'07): order every set by one global token
+    * order (document frequency ascending, ties by token), and for
+    * threshold t a true pair MUST share a token inside both sets' first
     * `sz - ceil(t·sz) + 1` tokens — so an inverted index over only those
     * prefixes generates a candidate set that provably loses no pair, and
     * exact verification prunes it down. Complements q24: same output
@@ -599,64 +595,82 @@ object TextQueries {
     * Scale shape: cost is Σ posting², never N², and df-ASCENDING prefixes
     * are built from the RAREST tokens, so postings stay small on natural
     * corpora (the common tokens that would create hot postings are exactly
-    * the ones the prefix excludes). Three shuffles: df agg, per-doc
-    * re-collect, posting agg. No float in any pruning decision: prefix
-    * length and the J ≥ 3/5 gate are integer arithmetic (`5·|∩| ≥ 3·|∪|`),
-    * so engine float differences cannot flip membership.
+    * the ones the prefix excludes). Gram width and threshold ARE the cost
+    * dial: this corpus draws from a ~30-word vocabulary, so 2-grams repeat
+    * everywhere (measured: 35 s at sf0.1 — posting lists went quadratic)
+    * while 3-grams at t=0.7 keep the exact join at ~1 s. Three shuffles:
+    * df agg, per-doc re-collect, posting agg. No float in any pruning
+    * decision: prefix length and the J ≥ 7/10 gate are integer arithmetic
+    * (`10·|∩| ≥ 7·|∪|`), so engine float differences cannot flip
+    * membership.
     *
     * Oracle: plain all-pairs exact Jaccard — affordable at sf0.01/0.1 only —
     * which checks the completeness claim, not just the verifier. */
   def q52NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 2).as("sh"))
+      .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("sh"))
       .filter(size($"sh") > 0)
     val tok = sh.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("tk"))
-    val dfreq = tok.groupBy($"tk").agg(count(lit(1)).as("df"))
-    // global order materialized per doc: join df onto the exploded tokens
-    // (shuffle on tk), then re-collect each doc's tokens sorted by (df, tk).
-    // sort_array on struct(df, tk) IS that order — no window, no extra pass
-    val ranked = tok.join(dfreq, "tk")
+    // dictionary-encode the global order: gid = dense rank by (df, tk).
+    // Every downstream step then works on INTEGER ids — the posting
+    // shuffle moves ints, and verification intersects int arrays (~10×
+    // cheaper per element than hashing UTF8 strings). The single-partition
+    // window runs over the VOCABULARY (distinct shingles), not the corpus;
+    // at 100 TB vocabulary scale this becomes the standard two-pass dense
+    // id assignment (per-partition counts + offsets), same semantics.
+    val dict = tok.groupBy($"tk").agg(count(lit(1)).as("df"))
+      .select($"tk",
+        row_number().over(Window.orderBy($"df", $"tk")).as("gid"))
+    // each doc's set re-collected as a SORTED gid array = the set in the
+    // global df-ascending order; localCheckpoint because it feeds three
+    // branches (prefix index + both verification sides — q40's pattern)
+    val gids = tok.join(dict, "tk")
       .groupBy($"doc_id", $"sz")
-      .agg(sort_array(collect_list(struct($"df", $"tk"))).as("ord"))
-    // prefix length for t = 3/5: sz - ceil(3·sz/5) + 1, all-integer
+      .agg(sort_array(collect_list($"gid")).as("ord"))
+      .localCheckpoint(true)
+    // prefix length for t = 7/10: sz - ceil(7·sz/10) + 1, all-integer
     // (floor of exact small-int division — no float-ceil edge cases)
-    val p = ($"sz" - floor(($"sz" * 3 + 4) / 5) + 1).cast("int")
-    val pre = ranked.select($"doc_id",
-        explode(transform(slice($"ord", lit(1), p), e => e.getField("tk"))).as("tk"))
-    // inverted index over prefix tokens → in-posting pair expansion (the
-    // q24 bucket shape: groupBy + pairExpand, so the shingle subtree is
-    // computed once, and only (tk, doc_id) pairs shuffle). Exactness
-    // forbids a posting cap here; at 100 TB the df-ascending prefix keeps
-    // postings small, and a capped variant would have to report its drops
-    // the way q24 observes them.
-    val cand = pre.groupBy($"tk")
+    val p = ($"sz" - floor(($"sz" * 7 + 9) / 10) + 1).cast("int")
+    val pre = gids.select($"doc_id", explode(slice($"ord", lit(1), p)).as("gid"))
+    // inverted index over prefix ids → in-posting pair expansion (the q24
+    // bucket shape: groupBy + pairExpand — only (gid, doc_id) int pairs
+    // shuffle). Exactness forbids a posting cap here; at 100 TB the
+    // df-ascending prefix keeps postings small, and a capped variant would
+    // have to report its drops the way q24 observes them.
+    val cand = pre.groupBy($"gid")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .filter(size($"ids") > 1)
       .select(explode(DedupFunctions.pairExpand($"ids")).as("pr"))
       .select($"pr.a".as("doc_a"), $"pr.b".as("doc_b"))
       .distinct()
-    val shA = sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val shB = sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    val inter = size(array_intersect($"sh_a", $"sh_b"))
-    val uni = size(array_union($"sh_a", $"sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .filter(inter * 5 >= uni * 3)
+    // verification on int arrays; |∪| derived arithmetically from the set
+    // sizes (|A|+|B|−|∩| — the arrays are distinct by construction), so a
+    // pair costs one intersect of two sorted int arrays, not four
+    // string-set passes
+    val gA = gids.select($"doc_id".as("doc_a"), $"ord".as("ord_a"), $"sz".as("sz_a"))
+    val gB = gids.select($"doc_id".as("doc_b"), $"ord".as("ord_b"), $"sz".as("sz_b"))
+    val inter = size(array_intersect($"ord_a", $"ord_b"))
+    val uni = $"sz_a" + $"sz_b" - inter
+    cand.join(gA, "doc_a").join(gB, "doc_b")
+      .filter(inter * 10 >= uni * 7)
       .select($"doc_a", $"doc_b", round(inter.cast("double") / uni, 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
   val q52Sql: String =
     s"""WITH sh AS (
-       |  SELECT doc_id, $Shingles2 AS s
+       |  SELECT doc_id, $Shingles3 AS s
        |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
-       |  WHERE len(toks) >= 2)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  round(len(list_intersect(a.s, b.s))::DOUBLE
-       |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE 5 * len(list_intersect(a.s, b.s))
-       |      >= 3 * len(list_distinct(list_concat(a.s, b.s)))
+       |  WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
+       |FROM pairs
+       |WHERE 10 * inter >= 7 * uni
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q53

@@ -61,16 +61,18 @@ class TextQueriesSpec extends SparkSpec {
   }
 
   test("q52: threshold boundary is exact and inclusive (integer gate)") {
-    // A vs B share bigrams {a b, b c, c d} of union size 5 -> J = 3/5
-    // exactly: must be KEPT (>= gate, integer arithmetic). A vs C sits at
-    // J = 1/3, B vs C at 1/4: excluded.
+    // A (10 toks, 8 trigrams) vs B (A's first 9 toks + "x y", 9 trigrams):
+    // intersection 7, union 10 -> J = 7/10 exactly: must be KEPT (>= gate,
+    // integer arithmetic). A vs C (A's first 8 toks + "x y") is 6/10 and
+    // B vs C 6/11: both below, excluded.
+    val w = (1 to 10).map(i => s"w$i")
     val dir = corpus("jacedge", Seq(
-      (1L, "a b c d e"),
-      (2L, "a b c d f"),
-      (3L, "a b c g h")))
+      (1L, w.mkString(" ")),
+      (2L, (w.take(9) :+ "x" :+ "y").mkString(" ")),
+      (3L, (w.take(8) :+ "x" :+ "y").mkString(" "))))
     val out = TextQueries.q52NgramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toSeq === Seq((1L, 2L, 0.6)))
+    assert(out.toSeq === Seq((1L, 2L, 0.7)))
   }
 
   test("q52: prefix-filter candidates lose no true pair (vs brute force)") {
@@ -87,15 +89,15 @@ class TextQueriesSpec extends SparkSpec {
       (8L, doc(35, 40)), (9L, doc(36, 40))) // short overlap
     val dir = corpus("jacfull", rows)
     // brute force in plain Scala over the same shingle definition
-    def bigrams(t: String): Set[String] = {
+    def trigrams(t: String): Set[String] = {
       val tk = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-      tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
     }
-    val sets = rows.map { case (id, t) => id -> bigrams(t) }.filter(_._2.nonEmpty)
+    val sets = rows.map { case (id, t) => id -> trigrams(t) }.filter(_._2.nonEmpty)
     val expected = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
       inter = (sa & sb).size; uni = (sa | sb).size
-      if inter * 5 >= uni * 3
+      if inter * 10 >= uni * 7
     } yield (a, b)).toSet
     val got = TextQueries.q52NgramJaccard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
