@@ -103,6 +103,12 @@ object Bench {
     // always cover the full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_BENCH_ONLY queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names.contains).toMap
       case None        => SparkEntry.queries

@@ -63,7 +63,10 @@ object Winnow {
     if (npos < w) return new GenericArrayData(Array.empty[Any])
 
     // Karp-Rabin: h_0 by Horner, then roll with p = 31^(k-1) mod 2^20.
-    // Intermediates fit easily: |h - c·p|·31 < 2^33.
+    // Intermediates fit: c is a UTF-16 unit (< 2^16), p < 2^20, so
+    // |h - c·p|·31 < 2^41 ≪ Long range. (Raising the modulus M shrinks
+    // that headroom as 2^16·M·31 — at M = 2^31 the bound is ~2^52, within
+    // a factor of ~2000 of overflow; re-derive before widening.)
     val hs = new Array[Long](npos)
     var h = 0L
     var j = 0

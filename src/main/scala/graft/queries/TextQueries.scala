@@ -615,13 +615,22 @@ object TextQueries {
     // dictionary-encode the global order: gid = dense rank by (df, tk).
     // Every downstream step then works on INTEGER ids — the posting
     // shuffle moves ints, and verification intersects int arrays (~10×
-    // cheaper per element than hashing UTF8 strings). The single-partition
-    // window runs over the VOCABULARY (distinct shingles), not the corpus;
-    // at 100 TB vocabulary scale this becomes the standard two-pass dense
-    // id assignment (per-partition counts + offsets), same semantics.
-    val dict = tok.groupBy($"tk").agg(count(lit(1)).as("df"))
-      .select($"tk",
-        row_number().over(Window.orderBy($"df", $"tk")).as("gid"))
+    // cheaper per element than hashing UTF8 strings). Dense ids are
+    // assigned DISTRIBUTED: range-partition the vocabulary by (df, tk),
+    // sort within partitions, then zipWithIndex (its extra count job is
+    // the per-partition-offsets pass) — no single-partition window, so the
+    // assignment survives a billion-term vocabulary. Rank values only need
+    // to be a monotone bijection of the (df, tk) order, which this is, for
+    // any range boundaries the sampler picks.
+    val dfreq = tok.groupBy($"tk").agg(count(lit(1)).as("df"))
+    val dict = {
+      val sorted = dfreq.repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          $"df", $"tk")
+        .sortWithinPartitions($"df", $"tk")
+        .select($"tk")
+      sorted.rdd.map(_.getString(0)).zipWithIndex()
+        .map { case (tk, i) => (tk, i + 1) }.toDF("tk", "gid")
+    }
     // each doc's set re-collected as a SORTED gid array = the set in the
     // global df-ascending order; localCheckpoint because it feeds three
     // branches (prefix index + both verification sides — q40's pattern)

@@ -199,9 +199,10 @@ object VectorQueries {
     val withSig = e.select($"vec_id", sigCol.as("sig"))
     // sig is a materialized attribute, so the 16-dot pass runs once per row
     // and the band extraction below is 4 cheap shift/mask reads of it
+    val bandMask = (1 << LshPlanes.BitsPerBand) - 1
     val bandStructs = array((0 until LshPlanes.Bands).map { t =>
       struct(lit(t).as("band"),
-        shiftright($"sig", t * LshPlanes.BitsPerBand).bitwiseAND(15).as("bkey"))
+        shiftright($"sig", t * LshPlanes.BitsPerBand).bitwiseAND(bandMask).as("bkey"))
     }: _*)
     val bands = withSig
       .select($"vec_id", explode(bandStructs).as("bk"))
@@ -233,6 +234,9 @@ object VectorQueries {
   def q54Sql: String = {
     def dt(a: String, b: String) =
       s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    // band geometry interpolated from LshPlanes — turning the plane/band
+    // dial cannot desynchronize the two sides
+    val bpb = graft.vector.LshPlanes.BitsPerBand
     s"""WITH planes(plane_id, p) AS (VALUES
        |    $planeValues),
        |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
@@ -241,9 +245,9 @@ object VectorQueries {
        |    CASE WHEN ${dt("e.v", "planes.p")} >= 0 THEN 1 ELSE 0 END AS bit
        |  FROM e CROSS JOIN planes),
        |keys AS (
-       |  SELECT vec_id, plane_id // 4 AS band,
-       |    CAST(SUM(bit << (plane_id % 4)) AS BIGINT) AS bkey
-       |  FROM bits GROUP BY vec_id, plane_id // 4),
+       |  SELECT vec_id, plane_id // $bpb AS band,
+       |    CAST(SUM(bit << (plane_id % $bpb)) AS BIGINT) AS bkey
+       |  FROM bits GROUP BY vec_id, plane_id // $bpb),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, d.vec_id AS vec_id
        |  FROM keys q JOIN keys d ON q.band = d.band AND q.bkey = d.bkey

@@ -18,9 +18,21 @@ class LshSpec extends SparkSpec {
     assert(p.flatten.forall(x => x >= -1.0 && x < 1.0))
     // distinct planes (a collapsed PRNG would repeat rows)
     assert(p.map(_.toSeq).distinct.length === p.length)
-    // regenerating yields the same values (object is a val, but the spec
-    // documents the contract the oracle literals depend on)
-    assert(p(0)(0) === LshPlanes.planes(0)(0))
+    // independent replay of the generator (SplitMix64 from the documented
+    // seed): a PRNG, seed, or mapping change breaks the q54 oracle
+    // literals, so it must break THIS spec first
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var state = 0x5eed5eedL
+    for (b <- 0 until LshPlanes.Planes; d <- 0 until LshPlanes.Dims) {
+      state += 1
+      val expected = 2.0 * ((mix(state) >>> 11) * (1.0 / (1L << 53))) - 1.0
+      assert(p(b)(d) === expected, s"plane $b dim $d")
+    }
   }
 
   test("scaled copies are guaranteed LSH candidates with cos_r = 1.0") {
