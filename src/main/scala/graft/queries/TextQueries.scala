@@ -579,6 +579,54 @@ object TextQueries {
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+
+  /** q55_pack_shards — training-shard assignment (sequence packing's outer
+    * loop): within each language stratum, documents are packed in doc_id
+    * order into ≈2048-token shards by cumulative token count — shard id =
+    * floor(tokens-before / capacity), so a shard holds consecutive
+    * documents until the budget spills (straddlers allowed, the standard
+    * "pack then split at the boundary" shard layout). Emits each doc's
+    * shard plus the shard-relative offset a writer would start at.
+    *
+    * Scale shape: ONE window (partitioned by the stratum, ordered by
+    * doc_id) — the running sum is the only state, so the pass is one
+    * shuffle on `lang` and linear within partitions. A stratum far larger
+    * than one executor's share gets range-split first (assign provisional
+    * shards per range, then offset by the ranges' totals — the same
+    * offsets trick q52's dense ids use); here strata are language-sized
+    * and the straightforward window is the honest shape. */
+  def q55PackShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 2048L
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        coalesce(sum($"n_tokens").over(w), lit(0L)).as("tokens_before"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        floor($"tokens_before" / cap).cast("long").as("shard_id"),
+        ($"tokens_before" % cap).as("shard_offset"))
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH counted AS (
+       |  SELECT doc_id, lang, CAST(len($Toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM counted)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(floor(tokens_before / 2048) AS BIGINT) AS shard_id,
+       |  CAST(tokens_before % 2048 AS BIGINT) AS shard_offset
+       |FROM cum
+       |ORDER BY lang, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q52
 
   /** q52_ngram_jaccard — EXACT n-gram Jaccard similarity join (J ≥ 7/10
@@ -728,6 +776,7 @@ object TextQueries {
        |ORDER BY doc_id, fp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_pack_shards"       -> (q55PackShards _),
     "q53_winnow_fingerprint" -> (q53WinnowFingerprint _),
     "q52_ngram_jaccard"     -> (q52NgramJaccard _),
     "q47_training_prep"     -> (q47TrainingPrep _),
@@ -744,6 +793,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q55_pack_shards"       -> q55Sql,
     "q53_winnow_fingerprint" -> q53Sql,
     "q52_ngram_jaccard"     -> q52Sql,
     "q47_training_prep"     -> q47Sql,

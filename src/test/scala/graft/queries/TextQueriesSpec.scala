@@ -106,6 +106,27 @@ class TextQueriesSpec extends SparkSpec {
     assert(expected.size >= 3) // and the corpus exercises more than one hit
   }
 
+  test("q55: shard packing is per-stratum, straddlers spill at the boundary") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("pack")
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, doc(1000), "en"), (2L, doc(1500), "en"), (3L, doc(600), "en"),
+      (10L, doc(3000), "fr"), (11L, doc(100), "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q55PackShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // en: tokens-before 0, 1000, 2500 -> shards 0, 0, 1 (doc 2 straddles
+    // the 2048 boundary but is ASSIGNED where it starts); fr independent
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((0L, 1000L)))
+    assert(out(3L) === ((1L, 2500L % 2048L)))
+    assert(out(10L) === ((0L, 0L)))
+    assert(out(11L) === ((1L, 3000L % 2048L)))
+  }
+
   test("empty and short documents follow the oracle-aligned conventions") {
     val dir = corpus("edge", Seq(
       (1L, ""), // empty
