@@ -413,7 +413,7 @@ object AggregationThresholdRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, Shingles, SimHash16, Winnow}
+  import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, Shingles, SimHash16, Winnow}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -441,6 +441,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash16(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectSize(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),

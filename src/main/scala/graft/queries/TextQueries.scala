@@ -702,12 +702,14 @@ object TextQueries {
       .select($"pr.a".as("doc_a"), $"pr.b".as("doc_b"))
       .distinct()
     // verification on int arrays; |∪| derived arithmetically from the set
-    // sizes (|A|+|B|−|∩| — the arrays are distinct by construction), so a
-    // pair costs one intersect of two sorted int arrays, not four
-    // string-set passes
+    // sizes (|A|+|B|−|∩| — the arrays are distinct by construction), and
+    // |∩| is the native merge-scan graft_intersect_size over the SORTED id
+    // arrays — primitive longs, no hash set, no boxing (array_intersect's
+    // hash-set build per pair, evaluated twice once filter pushdown
+    // re-inlines the alias, dominated the query)
     val gA = gids.select($"doc_id".as("doc_a"), $"ord".as("ord_a"), $"sz".as("sz_a"))
     val gB = gids.select($"doc_id".as("doc_b"), $"ord".as("ord_b"), $"sz".as("sz_b"))
-    val inter = size(array_intersect($"ord_a", $"ord_b"))
+    val inter = call_function("graft_intersect_size", $"ord_a", $"ord_b")
     val uni = $"sz_a" + $"sz_b" - inter
     cand.join(gA, "doc_a").join(gB, "doc_b")
       .filter(inter * 10 >= uni * 7)

@@ -134,6 +134,27 @@ class ExpressionSpec extends SparkSpec {
     assert((fpA & fpB).nonEmpty)
   }
 
+  test("graft_intersect_size equals size(array_intersect) on sorted long arrays") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(), Seq(1L, 2L)),
+      (Seq(5L), Seq(5L)),
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 4L, 6L)),
+      ((1L to 100L), (50L to 150L)) match { case (a, b) => (a.toSeq, b.toSeq) })
+    for ((a, b) <- cases) {
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_intersect_size", $"a", $"b").as("native"),
+          size(array_intersect($"a", $"b")).cast("long").as("ref"))
+        .head()
+      assert(row.getLong(0) === row.getLong(1), s"a=$a b=$b")
+    }
+    // null propagation
+    val df = Seq((Some(Seq(1L)), None: Option[Seq[Long]])).toDF("a", "b")
+    assert(df.select(call_function("graft_intersect_size", $"a", $"b")).head().isNullAt(0))
+  }
+
   test("shingles (native) equals both the composable formulation and plain Scala") {
     val s = spark
     import s.implicits._
