@@ -38,14 +38,11 @@ import org.apache.spark.sql.types._
   */
 object CoreQueries {
 
-  /** Exact integer-grid sum (see the convention note above), emitted as
-    * DOUBLE for cross-engine hash parity. */
-  private def gsum(c: Column, scale: Int): Column = {
-    val f = math.pow(10, scale) // exact small power of ten
-    (sum(floor(c * f + lit(0.5))) / f).cast(DoubleType)
-  }
-  private def dsum2(c: Column): Column = gsum(c, 2)
-  private def dsum4(c: Column): Column = gsum(c, 4)
+  /** Exact integer-grid sums (see the convention note above), emitted as
+    * DOUBLE for cross-engine hash parity — shared [[graft.functions.Grid]]
+    * machinery (EventStream's windowed aggregations use the same). */
+  private def dsum2(c: Column): Column = graft.functions.Grid.sum2(c)
+  private def dsum4(c: Column): Column = graft.functions.Grid.sum4(c)
   private def ts(s: String): Column = lit(s).cast(TimestampType)
 
   /** q1_agg — TPC-H Q1-style pricing summary: scan + filter + hash agg.

@@ -24,7 +24,6 @@ import org.apache.spark.sql.types._
   */
 object EventQueries {
 
-  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** The row carried inside the synthetic CDC envelope. */
   private val cdcRowSchema = StructType(Seq(
@@ -120,13 +119,13 @@ object EventQueries {
     Tables.events(s, dir)
       .groupBy(unix_millis(date_trunc("hour", $"ts")).as("hour_ms"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum(dec2($"value")).cast(DoubleType).as("sum_value"))
+        graft.functions.Grid.sum2($"value").as("sum_value"))
       .orderBy($"hour_ms", $"event_type")
   }
 
   val q15Sql: String =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-      |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  count(*) AS n, (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
 
   /** q16_cdc_latest — O26 latest-change-wins merge as a batch query: one row
@@ -171,14 +170,14 @@ object EventQueries {
       .groupBy($"user_id", $"sess_seq")
       .agg(count(lit(1)).as("n_events"),
         min($"ms").as("start_ms"), max($"ms").as("end_ms"),
-        sum(dec2($"value")).cast(DoubleType).as("sum_value"))
+        graft.functions.Grid.sum2($"value").as("sum_value"))
       .orderBy($"user_id", $"sess_seq")
   }
 
   val q20Sql: String =
     """SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, count(*) AS n_events,
       |  min(ms) AS start_ms, max(ms) AS end_ms,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
       |FROM (
       |  SELECT user_id, ms, value,
       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
@@ -234,7 +233,7 @@ object EventQueries {
 
   val q48Sql: String =
     """SELECT ws_ms, event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
       |FROM (
       |  SELECT epoch_ms(ts) - (epoch_ms(ts) % 900000) - i * 900000 AS ws_ms,
       |         event_type, value
@@ -310,6 +309,49 @@ object EventQueries {
       |  AND c.click_ms <= p.purchase_ms
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q56_outer_interval_join — batch twin of the LEFT OUTER stream-stream
+    * interval join ([[graft.streaming.EventStream.purchasesWithRecentClicksOuter]]):
+    * q46's pairing, but every purchase emits — unattributed ones with NULL
+    * click columns (the attribution-pipeline contract: revenue rows must
+    * land even when no touchpoint exists). In streaming the null rows are
+    * watermark-driven (emitted exactly when state eviction proves no match
+    * can arrive); in batch it is a plain left join — EventStreamSpec
+    * proves the two executions agree, this query hash-gates the batch one.
+    *
+    * Scale shape: identical to q46 (one shuffle per side on user_id);
+    * NULL-first ordering pinned on both engines for the hash compare. */
+  def q56OuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), unix_millis($"ts").as("click_ms"),
+        $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("purchase_ms"),
+        $"event_id".as("purchase_id"), $"value")
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ms" >= $"purchase_ms" - lit(3600000L) &&
+        $"click_ms" <= $"purchase_ms",
+      "leftOuter")
+      .select($"user_id", $"purchase_id", $"click_id",
+        $"purchase_ms", $"click_ms", $"value")
+      .orderBy($"purchase_id", $"click_id".asc_nulls_first)
+  }
+
+  val q56Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user, epoch_ms(ts) AS click_ms, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, epoch_ms(ts) AS purchase_ms, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, purchase_id, click_id, purchase_ms, click_ms, value
+      |FROM purchases p LEFT JOIN clicks c ON p.user_id = c.c_user
+      |  AND c.click_ms >= p.purchase_ms - 3600000
+      |  AND c.click_ms <= p.purchase_ms
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
+
   /** q51_range_frame — RANGE-framed window: per user, the trailing-hour
     * running sum/count at every event (`rangeBetween(-1h, now)` over the
     * ms epoch). A RANGE frame bounds by ORDER-BY VALUE distance, not row
@@ -324,19 +366,19 @@ object EventQueries {
       .rangeBetween(-3600000L, 0L)
     Tables.events(s, dir)
       .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
-        dec2($"value").as("v"))
+        graft.functions.Grid.units2($"value").as("v"))
       .select($"user_id", $"event_id", $"ms",
-        sum($"v").over(w).cast(DoubleType).as("trailing_hour_sum"),
+        (sum($"v").over(w) / 100.0).cast(DoubleType).as("trailing_hour_sum"),
         count(lit(1)).over(w).as("trailing_hour_n"))
       .orderBy($"user_id", $"ms", $"event_id")
   }
 
   val q51Sql: String =
     """SELECT user_id, event_id, ms,
-      |  CAST(sum(v) OVER w AS DOUBLE) AS trailing_hour_sum,
+      |  (CAST(sum(v) OVER w AS DOUBLE) / 100.0) AS trailing_hour_sum,
       |  count(*) OVER w AS trailing_hour_n
       |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms,
-      |        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY ms
       |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ms, event_id""".stripMargin
@@ -497,6 +539,7 @@ object EventQueries {
     "q39_percentile" -> (q39Percentile _),
     "q45_approx_stats" -> (q45ApproxStats _),
     "q46_interval_join" -> (q46IntervalJoin _),
+    "q56_outer_interval_join" -> (q56OuterIntervalJoin _),
     "q48_sliding_window" -> (q48SlidingWindow _),
     "q49_pivot" -> (q49Pivot _),
     "q50_stats_agg" -> (q50StatsAgg _),
@@ -516,6 +559,7 @@ object EventQueries {
     // implementation-specific; the driver's rows-only check + SketchSpec's
     // accuracy-contract assertions cover it
     "q46_interval_join" -> q46Sql,
+    "q56_outer_interval_join" -> q56Sql,
     "q48_sliding_window" -> q48Sql,
     "q49_pivot" -> q49Sql,
     "q50_stats_agg" -> q50Sql,

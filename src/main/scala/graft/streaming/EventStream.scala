@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Event-time streaming operators over event-shaped data (`ts`, `user_id`,
   * `event_type`, `value`): watermarked tumbling windows, native gap
@@ -28,7 +28,7 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        graft.functions.Grid.sum2($"value").as("sum_value"))
       .select(unix_millis($"window.start").as("hour_ms"), $"event_type",
         $"n", $"sum_value")
   }
@@ -44,7 +44,7 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        graft.functions.Grid.sum2($"value").as("sum_value"))
       .select(unix_millis($"window.start").as("ws_ms"), $"event_type",
         $"n", $"sum_value")
   }
@@ -60,7 +60,7 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window($"ts", gap), $"user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        graft.functions.Grid.sum2($"value").as("sum_value"))
       .select($"user_id",
         unix_millis($"session_window.start").as("start_ms"),
         unix_millis($"session_window.end").as("end_ms"),
@@ -109,6 +109,37 @@ object EventStream {
       $"user_id" === $"c_user" &&
         $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
         $"click_ts" <= $"purchase_ts")
+      .select($"user_id", $"purchase_id", $"click_id",
+        unix_millis($"purchase_ts").as("purchase_ms"),
+        unix_millis($"click_ts").as("click_ms"), $"value")
+  }
+
+  /** LEFT OUTER stream-stream interval join: every purchase emits — paired
+    * with each preceding-hour click, or with NULL click columns when none
+    * exists. Outer emission in streaming is WATERMARK-DRIVEN: the null row
+    * for an unmatched purchase can only be produced once the click-side
+    * watermark proves no qualifying click can still arrive (the same
+    * instant its buffered state is evicted), so result completeness and
+    * state eviction are one mechanism — there is no unbounded buffering
+    * and no early false-negative. Batch mode runs the identical plan with
+    * plain left-join semantics (EventStreamSpec proves stream ≡ batch;
+    * `q56_outer_interval_join` puts the batch run under the DuckDB gate). */
+  def purchasesWithRecentClicksOuter(events: DataFrame,
+                                     watermarkDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value")
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+        $"click_ts" <= $"purchase_ts",
+      "leftOuter")
       .select($"user_id", $"purchase_id", $"click_id",
         unix_millis($"purchase_ts").as("purchase_ms"),
         unix_millis($"click_ts").as("click_ms"), $"value")

@@ -101,6 +101,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamRes.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: stream ≡ batch incl. watermark-driven nulls") {
+    // the __flush sentinel is filtered out by event_type before the
+    // branch watermarks, so it cannot advance them — outer null emission
+    // needs BOTH branches' watermarks past the data. Inject a far-future
+    // click AND purchase sentinel instead (user_id -1, dropped from the
+    // result); delay 0s so the nulls flush when the sentinels arrive.
+    val root = tmpDir("outerjoin")
+    val ev = Tables.events(spark, sf)
+    ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("append").text(s"$root/src/b1")
+    Thread.sleep(1100)
+    val s = spark
+    import s.implicits._
+    Seq(
+      """{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"click","value":0.0,"props":"{}"}""",
+      """{"event_id":-2,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"purchase","value":0.0,"props":"{}"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
+    val q = EventStream.purchasesWithRecentClicksOuter(src, watermarkDelay = "0 seconds")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamRes = spark.read.parquet(s"$root/out").filter(col("user_id") =!= -1L)
+    val batchRes = EventStream.purchasesWithRecentClicksOuter(Tables.events(spark, sf))
+    assert(canon(streamRes) === canon(batchRes))
+    // the outer join strictly extends the inner: same matches + null rows
+    val inner = EventStream.purchasesWithRecentClicks(Tables.events(spark, sf))
+    assert(batchRes.filter(col("click_id").isNotNull).count() === inner.count())
+    assert(batchRes.filter(col("click_id").isNull).count() > 0,
+      "corpus must exercise the unmatched-purchase path")
+  }
+
   test("stream-static enrichment join broadcasts the dimension side") {
     val s = spark
     import s.implicits._
