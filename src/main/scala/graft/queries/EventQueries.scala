@@ -278,7 +278,14 @@ object EventQueries {
     *
     * Scale shape: one shuffle of each filtered side on user_id; per-key
     * state is bounded by the hour window, output by pair cardinality. */
-  def q46IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+  def q46IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    msIntervalJoin(s, dir, "inner")
+
+  /** ONE definition of the ms-grid predicate and projection for q46/q56 —
+    * the q44 timestamp-grid convention must not fork between the twins.
+    * The nulls-first sort is a no-op for the inner flavor (no nulls) and
+    * pins the q56 hash order. */
+  private def msIntervalJoin(s: SparkSession, dir: String, joinType: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val clicks = ev.filter($"event_type" === "click")
@@ -290,10 +297,11 @@ object EventQueries {
     purchases.join(clicks,
       $"user_id" === $"c_user" &&
         $"click_ms" >= $"purchase_ms" - lit(3600000L) &&
-        $"click_ms" <= $"purchase_ms")
+        $"click_ms" <= $"purchase_ms",
+      joinType)
       .select($"user_id", $"purchase_id", $"click_id",
         $"purchase_ms", $"click_ms", $"value")
-      .orderBy($"purchase_id", $"click_id")
+      .orderBy($"purchase_id", $"click_id".asc_nulls_first)
   }
 
   val q46Sql: String =
@@ -320,24 +328,8 @@ object EventQueries {
     *
     * Scale shape: identical to q46 (one shuffle per side on user_id);
     * NULL-first ordering pinned on both engines for the hash compare. */
-  def q56OuterIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.events(s, dir)
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), unix_millis($"ts").as("click_ms"),
-        $"event_id".as("click_id"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id", unix_millis($"ts").as("purchase_ms"),
-        $"event_id".as("purchase_id"), $"value")
-    purchases.join(clicks,
-      $"user_id" === $"c_user" &&
-        $"click_ms" >= $"purchase_ms" - lit(3600000L) &&
-        $"click_ms" <= $"purchase_ms",
-      "leftOuter")
-      .select($"user_id", $"purchase_id", $"click_id",
-        $"purchase_ms", $"click_ms", $"value")
-      .orderBy($"purchase_id", $"click_id".asc_nulls_first)
-  }
+  def q56OuterIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    msIntervalJoin(s, dir, "leftOuter")
 
   val q56Sql: String =
     """WITH clicks AS (

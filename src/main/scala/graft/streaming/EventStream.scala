@@ -95,24 +95,8 @@ object EventStream {
     * bound — without it a stream-stream join buffers forever. Identical
     * semantics in batch mode (the specs' oracle). */
   def purchasesWithRecentClicks(events: DataFrame,
-                                watermarkDelay: String = "1 hour"): DataFrame = {
-    import events.sparkSession.implicits._
-    val clicks = events.filter($"event_type" === "click")
-      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
-        $"event_id".as("click_id"))
-      .withWatermark("click_ts", watermarkDelay)
-    val purchases = events.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts".as("purchase_ts"),
-        $"event_id".as("purchase_id"), $"value")
-      .withWatermark("purchase_ts", watermarkDelay)
-    purchases.join(clicks,
-      $"user_id" === $"c_user" &&
-        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
-        $"click_ts" <= $"purchase_ts")
-      .select($"user_id", $"purchase_id", $"click_id",
-        unix_millis($"purchase_ts").as("purchase_ms"),
-        unix_millis($"click_ts").as("click_ms"), $"value")
-  }
+                                watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermarkDelay, "inner")
 
   /** LEFT OUTER stream-stream interval join: every purchase emits — paired
     * with each preceding-hour click, or with NULL click columns when none
@@ -125,7 +109,15 @@ object EventStream {
     * plain left-join semantics (EventStreamSpec proves stream ≡ batch;
     * `q56_outer_interval_join` puts the batch run under the DuckDB gate). */
   def purchasesWithRecentClicksOuter(events: DataFrame,
-                                     watermarkDelay: String = "1 hour"): DataFrame = {
+                                     watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoin(events, watermarkDelay, "leftOuter")
+
+  /** ONE definition of the watermark wiring, interval predicate, and
+    * output projection for both join flavors — the inner/outer pair's
+    * documented relationship (outer restricted to matched rows ≡ inner,
+    * asserted by EventStreamSpec) must not be able to drift. */
+  private def intervalJoin(events: DataFrame, watermarkDelay: String,
+                           joinType: String): DataFrame = {
     import events.sparkSession.implicits._
     val clicks = events.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"ts".as("click_ts"),
@@ -139,7 +131,7 @@ object EventStream {
       $"user_id" === $"c_user" &&
         $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
         $"click_ts" <= $"purchase_ts",
-      "leftOuter")
+      joinType)
       .select($"user_id", $"purchase_id", $"click_id",
         unix_millis($"purchase_ts").as("purchase_ms"),
         unix_millis($"click_ts").as("click_ms"), $"value")

@@ -20,8 +20,12 @@ class EventStreamSpec extends SparkSpec {
     * appended as a SECOND micro-batch (maxFilesPerTrigger=1; watermark
     * advances between batches) to flush every real window, then filtered
     * back out of the result. */
+  private val FlushSentinel =
+    Seq("""{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"__flush","value":0.0,"props":"{}"}""")
+
   private def streamed(f: DataFrame => DataFrame,
-                       dropSentinel: DataFrame => DataFrame): DataFrame = {
+                       dropSentinel: DataFrame => DataFrame,
+                       sentinels: Seq[String] = FlushSentinel): DataFrame = {
     val root = tmpDir("evstream")
     val ev = Tables.events(spark, sf)
     ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
@@ -29,8 +33,7 @@ class EventStreamSpec extends SparkSpec {
     Thread.sleep(1100) // file source orders batches by modification time
     val s = spark
     import s.implicits._
-    Seq("""{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"__flush","value":0.0,"props":"{}"}""")
-      .toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
+    sentinels.toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
     val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
       .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
     val q = f(src).writeStream
@@ -107,26 +110,12 @@ class EventStreamSpec extends SparkSpec {
     // needs BOTH branches' watermarks past the data. Inject a far-future
     // click AND purchase sentinel instead (user_id -1, dropped from the
     // result); delay 0s so the nulls flush when the sentinels arrive.
-    val root = tmpDir("outerjoin")
-    val ev = Tables.events(spark, sf)
-    ev.select(to_json(struct(ev.columns.map(col): _*)).as("value"))
-      .coalesce(1).write.mode("append").text(s"$root/src/b1")
-    Thread.sleep(1100)
-    val s = spark
-    import s.implicits._
-    Seq(
-      """{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"click","value":0.0,"props":"{}"}""",
-      """{"event_id":-2,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"purchase","value":0.0,"props":"{}"}""")
-      .toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
-      .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
-    val q = EventStream.purchasesWithRecentClicksOuter(src, watermarkDelay = "0 seconds")
-      .writeStream.format("parquet").outputMode("append")
-      .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val streamRes = spark.read.parquet(s"$root/out").filter(col("user_id") =!= -1L)
+    val streamRes = streamed(
+      EventStream.purchasesWithRecentClicksOuter(_, watermarkDelay = "0 seconds"),
+      _.filter(col("user_id") =!= -1L),
+      sentinels = Seq(
+        """{"event_id":-1,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"click","value":0.0,"props":"{}"}""",
+        """{"event_id":-2,"ts":"2099-01-01T00:00:00.000Z","user_id":-1,"event_type":"purchase","value":0.0,"props":"{}"}"""))
     val batchRes = EventStream.purchasesWithRecentClicksOuter(Tables.events(spark, sf))
     assert(canon(streamRes) === canon(batchRes))
     // the outer join strictly extends the inner: same matches + null rows
