@@ -627,6 +627,66 @@ object TextQueries {
        |FROM cum
        |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+
+  /** Target mixture for q57 — dyadic weights (sums of powers of two), so
+    * every quota computation (n/w, min, w·T, floor) is EXACT in binary
+    * floating point on both engines: no parity risk in the float path. */
+  private val MixtureWeights = Seq(
+    "en" -> 0.5, "zh" -> 0.125, "es" -> 0.125, "de" -> 0.125, "fr" -> 0.125)
+
+  /** q57_mixture_sample — training-mixture construction: rebalance the
+    * corpus to a declared language mixture (en 50%, zh/es/de/fr 12.5%
+    * each). The achievable total is T = min_l(n_l / w_l) (the scarcest
+    * stratum binds); each stratum contributes its quota floor(w_l·T),
+    * selected deterministically by md5-hash order (q43's convention —
+    * reproducible under repartition, retries, and corpus growth). The
+    * everyday op between corpus curation and tokenization: every LLM run
+    * declares a data mixture, and it has to be sampled deterministically.
+    *
+    * Scale shape: one count agg (rows per stratum: tiny), the quota
+    * arithmetic on that tiny relation (broadcast back), and ONE window
+    * shuffle on `lang` for the hash-rank — the same per-stratum window
+    * q55 uses, with the same range-split recipe if one stratum dwarfs an
+    * executor. No driver-side collect: quotas flow as a broadcast join. */
+  def q57MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wdf = MixtureWeights.toDF("lang", "w")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val caps = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .join(broadcast(wdf), "lang")
+    val t = caps.agg(min($"n" / $"w").as("t"))
+    val quotas = caps.crossJoin(broadcast(t))
+      .select($"lang", floor($"w" * $"t").cast("long").as("k"))
+    val rk = row_number().over(Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id"))
+    docs.withColumn("rk", rk)
+      .join(broadcast(quotas), "lang")
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"lang", $"rk".cast("long").as("rank_in_lang"))
+      .orderBy($"lang", $"rank_in_lang")
+  }
+
+  val q57Sql: String = {
+    val values = MixtureWeights
+      .map { case (l, w) => s"('$l', ${w}E0)" }.mkString(", ") // E0: force DOUBLE
+    s"""WITH w(lang, w) AS (VALUES $values),
+       |caps AS (
+       |  SELECT c.lang, c.n, w.w
+       |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
+       |  JOIN w USING (lang)),
+       |t AS (SELECT min(n / w) AS t FROM caps),
+       |quotas AS (SELECT lang, CAST(floor(w * t.t) AS BIGINT) AS k FROM caps, t),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, r.lang, CAST(rk AS BIGINT) AS rank_in_lang
+       |FROM ranked r JOIN quotas q ON r.lang = q.lang AND r.rk <= q.k
+       |ORDER BY r.lang, rank_in_lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q52
 
   /** q52_ngram_jaccard — EXACT n-gram Jaccard similarity join (J ≥ 7/10
@@ -778,6 +838,7 @@ object TextQueries {
        |ORDER BY doc_id, fp""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_mixture_sample"    -> (q57MixtureSample _),
     "q55_pack_shards"       -> (q55PackShards _),
     "q53_winnow_fingerprint" -> (q53WinnowFingerprint _),
     "q52_ngram_jaccard"     -> (q52NgramJaccard _),
@@ -795,6 +856,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q57_mixture_sample"    -> q57Sql,
     "q55_pack_shards"       -> q55Sql,
     "q53_winnow_fingerprint" -> q53Sql,
     "q52_ngram_jaccard"     -> q52Sql,

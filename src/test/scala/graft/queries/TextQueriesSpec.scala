@@ -127,6 +127,29 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(11L) === ((1L, 3000L % 2048L)))
   }
 
+  test("q57: the scarcest stratum binds the mixture; quotas and ranks are exact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("mixture")
+    // en: 100 docs, zh: 10, es/de/fr: 40 each. Weights en .5, rest .125:
+    // T = min(100/.5=200, 10/.125=80, 40/.125=320) = 80 (zh binds)
+    // -> quotas en 40, zh 10, es/de/fr 10 each; total 80
+    val rows =
+      (0L until 100L).map(i => (i, s"doc $i", "en")) ++
+      (200L until 210L).map(i => (i, s"doc $i", "zh")) ++
+      (300L until 340L).map(i => (i, s"doc $i", "es")) ++
+      (400L until 440L).map(i => (i, s"doc $i", "de")) ++
+      (500L until 540L).map(i => (i, s"doc $i", "fr"))
+    rows.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q57MixtureSample(spark, dir).collect()
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 40, "zh" -> 10, "es" -> 10, "de" -> 10, "fr" -> 10))
+    // ranks are contiguous 1..k within each stratum
+    out.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length).toSeq, lang)
+    }
+  }
+
   test("empty and short documents follow the oracle-aligned conventions") {
     val dir = corpus("edge", Seq(
       (1L, ""), // empty
