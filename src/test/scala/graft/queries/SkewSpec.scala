@@ -63,4 +63,35 @@ class SkewSpec extends SparkSpec {
     assert(q51.filter($"user_id" === 1L)
       .agg(max($"trailing_hour_n")).collect()(0).getLong(0) === 61L)
   }
+
+  test("q55/q57 stay correct under a hot stratum owning most of the corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("skewdocs")
+    // en owns 20k docs (10 tokens each); the other four strata 100 each
+    val hot = spark.range(0, 20000).select(
+      $"id".as("doc_id"),
+      lit((1 to 10).map(i => s"w$i").mkString(" ")).as("text"),
+      lit("en").as("lang"))
+    val cold = spark.range(0, 400).select(
+      ($"id" + 100000L).as("doc_id"),
+      lit("x y z").as("text"),
+      element_at(array(lit("zh"), lit("es"), lit("de"), lit("fr")),
+        ($"id" % 4 + 1).cast("int")).as("lang"))
+    hot.unionByName(cold).write.parquet(s"$dir/documents.parquet")
+
+    // q55: the hot stratum's cumulative window lands in one partition but
+    // must stay exact: 20k docs x 10 tokens / 2048-token shards
+    val q55 = TextQueries.q55PackShards(spark, dir)
+    val enShards = q55.filter($"lang" === "en")
+      .agg(max($"shard_id"), count(lit(1))).collect()(0)
+    assert(enShards.getLong(1) === 20000L)
+    assert(enShards.getLong(0) === (20000L * 10 - 10) / 2048) // last doc's shard
+    // q57: zh/es/de/fr bind at 100/0.125 = 800 -> en quota 400, others 100
+    val q57 = TextQueries.q57MixtureSample(spark, dir)
+    val byLang = q57.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 400L, "zh" -> 100L, "es" -> 100L,
+      "de" -> 100L, "fr" -> 100L))
+  }
 }
