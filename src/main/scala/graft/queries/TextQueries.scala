@@ -646,15 +646,30 @@ object TextQueries {
     *
     * Scale shape: one count agg (rows per stratum: tiny), the quota
     * arithmetic on that tiny relation (broadcast back), and ONE window
-    * shuffle on `lang` for the hash-rank — the same per-stratum window
-    * q55 uses, with the same range-split recipe if one stratum dwarfs an
-    * executor. No driver-side collect: quotas flow as a broadcast join. */
+    * shuffle on `lang` for the hash-rank — restricted by a broadcast
+    * semi-join to the DECLARED strata first, so a corpus with hundreds of
+    * undeclared languages never shuffles them through the window. The
+    * per-stratum row_number is Spark's 32-bit one: a stratum past 2^31
+    * docs needs the q52 zipWithIndex dense-rank path instead (same
+    * offsets trick as q55's range-split recipe). No driver-side collect:
+    * quotas flow as a broadcast join.
+    *
+    * A DECLARED stratum with zero documents binds T to 0 — the sample is
+    * EMPTY rather than silently violating the declared mixture (weights
+    * are the outer side of the count join). */
   def q57MixtureSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wdf = MixtureWeights.toDF("lang", "w")
     val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
-    val caps = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
-      .join(broadcast(wdf), "lang")
+      .join(broadcast(wdf.select($"lang")), Seq("lang"), "left_semi")
+    // weights stay the OUTER side (a declared stratum with no documents
+    // must surface as n=0, not vanish); the hint rides the counts agg —
+    // corpus-derived but O(strata) rows, and the outer side of a left
+    // join cannot broadcast anyway
+    val caps = wdf
+      .join(broadcast(docs.groupBy($"lang").agg(count(lit(1)).as("n"))),
+        Seq("lang"), "left")
+      .select($"lang", $"w", coalesce($"n", lit(0L)).as("n"))
     val t = caps.agg(min($"n" / $"w").as("t"))
     val quotas = caps.crossJoin(broadcast(t))
       .select($"lang", floor($"w" * $"t").cast("long").as("k"))
@@ -672,9 +687,10 @@ object TextQueries {
       .map { case (l, w) => s"('$l', ${w}E0)" }.mkString(", ") // E0: force DOUBLE
     s"""WITH w(lang, w) AS (VALUES $values),
        |caps AS (
-       |  SELECT c.lang, c.n, w.w
-       |  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
-       |  JOIN w USING (lang)),
+       |  SELECT w.lang, coalesce(c.n, 0) AS n, w.w
+       |  FROM w
+       |  LEFT JOIN (SELECT lang, count(*) AS n FROM documents GROUP BY lang) c
+       |  USING (lang)),
        |t AS (SELECT min(n / w) AS t FROM caps),
        |quotas AS (SELECT lang, CAST(floor(w * t.t) AS BIGINT) AS k FROM caps, t),
        |ranked AS (

@@ -192,18 +192,26 @@ class PlanSpec extends SparkSpec {
     val plan56 = executed(EventQueries.q56OuterIntervalJoin(spark, dir))
     assert(plan56.collect { case c: CartesianProductExec => c }.isEmpty,
       "outer interval join must keep the user_id equi-key")
+    // the quotas × 1-row T cross join is hinted, so it must execute as a
+    // BroadcastNestedLoopJoin — a raw CartesianProductExec anywhere means
+    // a data-sized relation lost its equi-key or its broadcast
     val plan57 = executed(TextQueries.q57MixtureSample(spark, dir))
-    assert(plan57.collect { case c: CartesianProductExec => c }.isEmpty ||
-      // the quotas × 1-row T cross join is the one legitimate tiny cartesian
-      plan57.collect { case c: CartesianProductExec => c }
-        .forall(_.toString.contains("BroadcastNestedLoop")) === false)
-    // the explicit broadcast hints are only on the weights/T/quota side:
-    // weights (appearing twice — the caps lineage feeds both T and the
-    // quotas), T, and quotas. The docs relation itself must carry none.
-    val logical = TextQueries.q57MixtureSample(spark, dir).queryExecution.logical.toString
-    val hints = logical.linesIterator.count(l =>
-      l.contains("UnresolvedHint BROADCAST") || l.contains("ResolvedHint"))
-    assert(hints === 4, s"weights(x2), T, quotas — nothing data-sized is pinned:\n$logical")
+    assert(plan57.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q57 must never materialize a cartesian product")
+    // STRUCTURAL broadcast discipline: every hinted subtree must be either
+    // the literal weights (LocalRelation leaves) or sit ABOVE an Aggregate
+    // (counts/T/quotas — O(strata) rows however big the corpus); a hint
+    // whose subtree reaches a parquet scan un-aggregated would pin a
+    // corpus-sized broadcast
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, ResolvedHint}
+    val analyzed = TextQueries.q57MixtureSample(spark, dir).queryExecution.analyzed
+    val hinted = analyzed.collect { case h: ResolvedHint => h.child }
+    assert(hinted.nonEmpty, "q57 must pin its tiny sides explicitly")
+    hinted.foreach { c =>
+      val tiny = c.find(_.isInstanceOf[Aggregate]).isDefined ||
+        c.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+      assert(tiny, s"hinted side must be the weights literal or an aggregate, got:\n$c")
+    }
   }
 
   test("q5: only O(1)-size dims (region/nation) carry explicit broadcast hints") {

@@ -150,6 +150,20 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q57: a declared stratum with zero documents binds T to 0 — empty sample") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("mixture0")
+    // no 'fr' docs at all: emitting anything would silently violate the
+    // declared mixture, so the correct sample is EMPTY
+    val rows = (0L until 50L).map(i => (i, s"doc $i", "en")) ++
+      (100L until 110L).map(i => (i, s"doc $i", "zh")) ++
+      (200L until 210L).map(i => (i, s"doc $i", "es")) ++
+      (300L until 310L).map(i => (i, s"doc $i", "de"))
+    rows.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    assert(TextQueries.q57MixtureSample(spark, dir).count() === 0L)
+  }
+
   test("empty and short documents follow the oracle-aligned conventions") {
     val dir = corpus("edge", Seq(
       (1L, ""), // empty
