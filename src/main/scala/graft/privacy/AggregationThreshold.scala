@@ -446,7 +446,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectSize].getName, null, "graft_intersect_size",
         "graft_intersect_size(a, b) - |a ∩ b| via merge scan. PRECONDITION: both " +
           "array<bigint> args SORTED ASCENDING with distinct elements " +
-          "(e.g. via sort_array); unsorted input silently undercounts.", ""),
+          "(e.g. via sort_array); unsorted input silently undercounts.",
+        "", "", "", "", "", "", ""),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectSize(args(0), args(1))))
     ext.injectFunction((
