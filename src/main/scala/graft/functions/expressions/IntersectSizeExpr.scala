@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckFailure(
+      "graft_intersect_size requires array<bigint> with non-null elements " +
+        "(ArrayData.getLong is undefined for null entries); wrap inputs in " +
+        "array_compact or build them null-free")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"graft_intersect_size expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
   }

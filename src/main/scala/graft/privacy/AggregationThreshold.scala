@@ -445,8 +445,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, null, "graft_intersect_size",
         "graft_intersect_size(a, b) - |a ∩ b| via merge scan. PRECONDITION: both " +
-          "array<bigint> args SORTED ASCENDING with distinct elements " +
-          "(e.g. via sort_array); unsorted input silently undercounts.",
+          "array<bigint> args SORTED ASCENDING with distinct NON-NULL elements " +
+          "(e.g. via sort_array over null-free input); unsorted input silently " +
+          "undercounts, and null elements are rejected at analysis time.",
         "", "", "", "", "", "", ""),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectSize(args(0), args(1))))
@@ -454,10 +455,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        (args(1), args(2)) match {
-          case (Literal(k: Int, _), Literal(w: Int, _)) => Winnow(args(0), k, w)
+        args match {
+          case Seq(text, Literal(k: Int, _), Literal(w: Int, _)) => Winnow(text, k, w)
           case other => throw new IllegalArgumentException(
-            s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+            s"graft_winnow(text, k, w): expects exactly 3 args with integer-literal " +
+              s"k and w, got ${other.mkString("(", ", ", ")")}")
         }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),

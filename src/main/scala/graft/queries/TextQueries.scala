@@ -821,8 +821,12 @@ object TextQueries {
     *
     * Scale shape: pure narrow column work — one codegen'd O(chars) pass per
     * row (true rolling hash, amortized-O(1) window minima), explode, no
-    * shuffle at all; source-sorted so the trailing order is free (q21's
-    * pattern). The oracle replays hash+selection positionally in SQL
+    * HASH shuffle; the only exchange is the range partitioning of the cheap
+    * source sort (q21's pattern), which the narrow winnow+explode then
+    * preserves — TextQueriesSpec pins the resulting (doc_id, fp) output
+    * order against an explicitly sorted copy so an optimizer change cannot
+    * silently break the row-order-strict oracle compare. The oracle replays
+    * hash+selection positionally in SQL
     * (O(chars·k) there — fine at oracle SF) using the `h·2^20 + (2^20−pos)`
     * key packing, which is exact because the modulus is 2^20 and oracle
     * documents are far shorter than 2^20 chars. */

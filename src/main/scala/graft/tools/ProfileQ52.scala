@@ -55,7 +55,7 @@ object ProfileQ52 {
     println("cand count: " + cand.count())
     val gA = gids.select($"doc_id".as("doc_a"), $"ord".as("ord_a"), $"sz".as("sz_a"))
     val gB = gids.select($"doc_id".as("doc_b"), $"ord".as("ord_b"), $"sz".as("sz_b"))
-    val inter = size(array_intersect($"ord_a", $"ord_b"))
+    val inter = call_function("graft_intersect_size", $"ord_a", $"ord_b")
     val uni = $"sz_a" + $"sz_b" - inter
     val out = cand.join(gA, "doc_a").join(gB, "doc_b")
       .filter(inter * 10 >= uni * 7)

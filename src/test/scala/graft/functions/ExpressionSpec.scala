@@ -155,6 +155,62 @@ class ExpressionSpec extends SparkSpec {
     assert(df.select(call_function("graft_intersect_size", $"a", $"b")).head().isNullAt(0))
   }
 
+  test("graft_intersect_size rejects arrays with nullable elements at analysis time") {
+    val s = spark
+    import s.implicits._
+    // Option elements => ArrayType(LongType, containsNull = true); getLong is
+    // undefined on null entries, so the type check must fail closed instead
+    // of silently corrupting the count.
+    val df = Seq((Seq(Some(1L), None), Seq(Some(1L)))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_intersect_size", $"a", $"b")).head()
+    }
+    assert(e.getMessage.contains("non-null elements"), e.getMessage)
+    // and the null-free path still works when elements are provably non-null
+    // (array_compact narrows containsNull to false; a lambda filter does not)
+    val ok = df.select(call_function("graft_intersect_size",
+      array_compact($"a"), array_compact($"b")).as("n")).head()
+    assert(ok.getLong(0) === 1L)
+  }
+
+  test("graft_winnow wrong arity from SQL fails with the usage message, not IndexOutOfBounds") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('abcdefghijkl')").head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("graft_winnow(text, k, w)"))),
+      s"expected the usage message in the failure chain, got: $e")
+    assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]))
+  }
+
+  test("graft_winnow positions are UTF-16 code units — divergence from character-indexed oracles is confined to non-BMP input") {
+    val s = spark
+    import s.implicits._
+    val K = 8; val W = 4; val M = 1 << 20
+    // same naive reference as above — charAt-based, i.e. UTF-16 code units
+    def ref(text: String): Seq[Long] = {
+      val n = text.length; val npos = n - K + 1
+      if (npos < W) return Seq.empty
+      val hs = (0 until npos).map { i =>
+        (0 until K).foldLeft(0L)((h, j) => (h * 31 + text.charAt(i + j)) % M)
+      }
+      val sel = (0 to npos - W).map { t =>
+        (t until t + W).reduceLeft((b, u) => if (hs(u) <= hs(b)) u else b)
+      }
+      sel.map(hs).distinct.sorted
+    }
+    // a supplementary-plane char (🚀 = 2 code units): the native expression
+    // matches the UTF-16 reference exactly — the q53 ORACLE (DuckDB ascii()
+    // by character position) would NOT. The corpus-side BMP-only convention
+    // that keeps both in sync is pinned in TextQueriesSpec.
+    val nonBmp = "prefix 🚀 and some more text after the rocket"
+    val got = Seq(nonBmp).toDF("t")
+      .select(call_function("graft_winnow", $"t", lit(K), lit(W)))
+      .head().getSeq[Long](0)
+    assert(got === ref(nonBmp))
+  }
+
   test("shingles (native) equals both the composable formulation and plain Scala") {
     val s = spark
     import s.implicits._

@@ -208,4 +208,34 @@ class TextQueriesSpec extends SparkSpec {
     assert(TextQueries.q24DedupMinhash(spark, dir).collect()
       .forall(r => r.getLong(0) === 4L || r.getLong(1) === 4L) )
   }
+
+  test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
+    // The driver's compare is row-order-strict and the q53 oracle ends in
+    // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
+    // surviving projection+explode and on graft_winnow emitting fps sorted
+    // ascending. That is optimizer-dependent, so pin it here against an
+    // explicitly sorted copy rather than paying a trailing global orderBy
+    // (which would re-execute the winnow pass in the RangePartitioner
+    // sampling job).
+    val dir = "/root/testdata/sf0.001"
+    val got = TextQueries.q53WinnowFingerprint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.sameElements(got.sortBy(identity)),
+      "q53 rows must arrive already sorted by (doc_id, fp)")
+  }
+
+  test("corpus convention: documents are BMP-only, so UTF-16 and character positions agree") {
+    // graft_winnow (and the token/char offsets in the text oracles) index by
+    // UTF-16 code unit; the DuckDB oracles index by character. The two agree
+    // exactly iff no document contains a supplementary-plane character. The
+    // generated corpus satisfies this; assert it so a future data change
+    // fails loudly here instead of as an opaque oracle hash mismatch.
+    val s = spark
+    import s.implicits._
+    val offenders = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .filter($"text".rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .count()
+    assert(offenders === 0L, "supplementary-plane characters found in documents")
+  }
 }
