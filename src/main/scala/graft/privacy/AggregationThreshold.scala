@@ -413,7 +413,7 @@ object AggregationThresholdRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, Shingles, SimHash16, Winnow}
+  import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, RepetitionStats, Shingles, SimHash16, Winnow}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -461,6 +461,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_winnow(text, k, w): expects exactly 3 args with integer-literal " +
               s"k and w, got ${other.mkString("(", ", ", ")")}")
         }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, null, "graft_repetition",
+        "graft_repetition(tokens) - one-pass per-row repetition stats struct " +
+          "(token/2-gram top frequency, duplicate 3-grams) for Gopher-style " +
+          "quality gates; tokens must be array<string> with non-null elements.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RepetitionStats(args(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),

@@ -857,7 +857,109 @@ object TextQueries {
        |SELECT DISTINCT doc_id, wmin // 1048576 AS fp FROM sel
        |ORDER BY doc_id, fp""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+
+  /** q58_repetition_signals — Gopher-style repetition quality gates (Rae et
+    * al. 2021, §A1.1): per-document type-token ratio, most-frequent token
+    * and 2-gram occurrence fractions, duplicate-3-gram fraction, and a
+    * first-failing-gate verdict. Machine-generated/boilerplate text shows
+    * up as low TTR or a dominant repeated gram long before a model sees it;
+    * this is the standard pre-training reject pass after language ID
+    * (q21/q35) and before dedup (q23/q24).
+    *
+    * Scale shape: the naive formulation explodes every token and 2/3-gram
+    * and aggregates twice by (doc, gram) — two corpus-wide shuffles. Here
+    * the entire multiset computation runs inside the native one-pass
+    * [[graft.functions.expressions.RepetitionStats]] expression, so the
+    * query is a pure narrow column pass at scan speed: zero hash shuffles
+    * (PlanSpec pins it), the only exchange being the q21-pattern source
+    * range-sort. All fractions land on the floor(x·1e6) integer grid before
+    * the verdict compares them, so the gates are engine-exact; ties for
+    * "most frequent" break to the lexicographically smallest gram on both
+    * sides. Thresholds sit near the corpus p95 (measured at sf0.001/0.01)
+    * so every gate actually fires at every SF. */
+  def q58RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e6 = lit(1000000.0)
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id",
+        call_function("graft_repetition", TextFunctions.tokens($"text")).as("r"))
+      .select(
+        $"doc_id",
+        $"r.n_tokens".as("n_tokens"),
+        when($"r.n_tokens" === 0, lit(null).cast("long"))
+          .otherwise(floor($"r.n_distinct" * e6 / $"r.n_tokens").cast("long"))
+          .as("ttr_e6"),
+        $"r.top_tok".as("top_token"),
+        when($"r.n_tokens" === 0, lit(null).cast("long"))
+          .otherwise(floor($"r.top_tok_cnt" * e6 / $"r.n_tokens").cast("long"))
+          .as("top_token_frac_e6"),
+        $"r.top_bigram".as("top_bigram"),
+        when($"r.n_tokens" < 2, lit(null).cast("long"))
+          .otherwise(floor($"r.top_bigram_cnt" * e6 / ($"r.n_tokens" - 1)).cast("long"))
+          .as("top_bigram_frac_e6"),
+        when($"r.n_tokens" < 3, lit(null).cast("long"))
+          .otherwise(floor(($"r.n_trigrams" - $"r.n_distinct_trigrams") * e6 / $"r.n_trigrams")
+            .cast("long"))
+          .as("dup_trigram_frac_e6"))
+      // n >= 5 implies every fraction is non-null, so the gate order below
+      // never compares against NULL (too_short short-circuits first)
+      .withColumn("verdict",
+        when($"n_tokens" < 5, "too_short")
+          .when($"ttr_e6" < 300000L, "low_ttr")
+          .when($"top_token_frac_e6" > 160000L, "top_token")
+          .when($"top_bigram_frac_e6" > 87000L, "top_bigram")
+          .when($"dup_trigram_frac_e6" > 11000L, "dup_trigram")
+          .otherwise("keep"))
+  }
+
+  val q58Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |d AS (
+       |  SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+       |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg,
+       |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |     for i in range(1, len(toks) - 1)] AS tg
+       |  FROM t),
+       |tok AS (SELECT doc_id, u.g AS g, count(*) AS c
+       |        FROM t, UNNEST(t.toks) AS u(g) GROUP BY 1, 2),
+       |topt AS (SELECT doc_id, g, c FROM tok
+       |         QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                                    ORDER BY c DESC, g ASC) = 1),
+       |bgx AS (SELECT doc_id, u.g AS g, count(*) AS c
+       |        FROM d, UNNEST(d.bg) AS u(g) GROUP BY 1, 2),
+       |topb AS (SELECT doc_id, g, c FROM bgx
+       |         QUALIFY row_number() OVER (PARTITION BY doc_id
+       |                                    ORDER BY c DESC, g ASC) = 1),
+       |base AS (
+       |  SELECT d.doc_id, d.n,
+       |    CASE WHEN d.n = 0 THEN NULL
+       |         ELSE CAST(floor(d.nd * 1000000.0 / d.n) AS BIGINT) END AS ttr_e6,
+       |    topt.g AS top_token,
+       |    CASE WHEN d.n = 0 THEN NULL
+       |         ELSE CAST(floor(topt.c * 1000000.0 / d.n) AS BIGINT) END AS top_token_frac_e6,
+       |    topb.g AS top_bigram,
+       |    CASE WHEN d.n < 2 THEN NULL
+       |         ELSE CAST(floor(topb.c * 1000000.0 / (d.n - 1)) AS BIGINT) END AS top_bigram_frac_e6,
+       |    CASE WHEN d.n < 3 THEN NULL
+       |         ELSE CAST(floor((len(tg) - len(list_distinct(tg))) * 1000000.0 / len(tg))
+       |              AS BIGINT) END AS dup_trigram_frac_e6
+       |  FROM d
+       |  LEFT JOIN topt ON d.doc_id = topt.doc_id
+       |  LEFT JOIN topb ON d.doc_id = topb.doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, ttr_e6, top_token,
+       |  top_token_frac_e6, top_bigram, top_bigram_frac_e6, dup_trigram_frac_e6,
+       |  CASE WHEN n < 5 THEN 'too_short'
+       |       WHEN ttr_e6 < 300000 THEN 'low_ttr'
+       |       WHEN top_token_frac_e6 > 160000 THEN 'top_token'
+       |       WHEN top_bigram_frac_e6 > 87000 THEN 'top_bigram'
+       |       WHEN dup_trigram_frac_e6 > 11000 THEN 'dup_trigram'
+       |       ELSE 'keep' END AS verdict
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_repetition_signals" -> (q58RepetitionSignals _),
     "q57_mixture_sample"    -> (q57MixtureSample _),
     "q55_pack_shards"       -> (q55PackShards _),
     "q53_winnow_fingerprint" -> (q53WinnowFingerprint _),
@@ -876,6 +978,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q58_repetition_signals" -> q58Sql,
     "q57_mixture_sample"    -> q57Sql,
     "q55_pack_shards"       -> q55Sql,
     "q53_winnow_fingerprint" -> q53Sql,

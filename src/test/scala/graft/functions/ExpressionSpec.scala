@@ -211,6 +211,55 @@ class ExpressionSpec extends SparkSpec {
     assert(got === ref(nonBmp))
   }
 
+  test("graft_repetition equals a naive Scala multiset reference (incl. ties, empties, null skip)") {
+    val s = spark
+    import s.implicits._
+    def ref(toks: Seq[String]): (Long, Long, Option[String], Long, Option[String], Long, Long, Long) = {
+      def top(ms: Seq[String]): (Option[String], Long) =
+        if (ms.isEmpty) (None, 0L)
+        else {
+          val counts = ms.groupBy(identity).view.mapValues(_.size).toMap
+          val mx = counts.values.max
+          // ties -> lexicographically smallest
+          (Some(counts.filter(_._2 == mx).keys.min), mx.toLong)
+        }
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tgs = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val (tt, tc) = top(toks)
+      val (bt, bc) = top(bgs)
+      (toks.size.toLong, toks.distinct.size.toLong, tt, tc, bt, bc,
+        tgs.size.toLong, tgs.distinct.size.toLong)
+    }
+    val cases = Seq(
+      Seq("a", "b", "a", "b", "a"),          // bigram ties: "a b" x2 vs "b a" x2
+      Seq("z", "y", "z", "y"),               // token tie -> "y" wins lexicographically
+      Seq("solo"),
+      Seq("x", "x", "x", "x"),
+      Seq.empty[String],
+      Seq("p", "q"),
+      (1 to 40).map(i => s"t${i % 7}"))
+    for (toks <- cases) {
+      val r = Seq(toks).toDF("toks")
+        .select(call_function("graft_repetition", $"toks").as("r"))
+        .select($"r.*").head()
+      val (n, nd, tt, tc, bt, bc, ntg, ndtg) = ref(toks)
+      assert(r.getLong(0) === n, s"n_tokens $toks")
+      assert(r.getLong(1) === nd, s"n_distinct $toks")
+      assert(Option(r.getString(2)) === tt, s"top_tok $toks")
+      assert(r.getLong(3) === tc, s"top_tok_cnt $toks")
+      assert(Option(r.getString(4)) === bt, s"top_bigram $toks")
+      assert(r.getLong(5) === bc, s"top_bigram_cnt $toks")
+      assert(r.getLong(6) === ntg, s"n_trigrams $toks")
+      assert(r.getLong(7) === ndtg, s"n_distinct_trigrams $toks")
+    }
+    // null elements are skipped, not counted and not crashed on
+    val withNull = Seq((Seq(Some("a"), None, Some("a"), Some("b")))).toDF("toks")
+      .select(call_function("graft_repetition", $"toks").as("r")).select($"r.*").head()
+    assert(withNull.getLong(0) === 3L)
+    assert(withNull.getString(2) === "a")
+    assert(withNull.getString(4) === "a a") // null gap: bigrams re-pair across it
+  }
+
   test("shingles (native) equals both the composable formulation and plain Scala") {
     val s = spark
     import s.implicits._

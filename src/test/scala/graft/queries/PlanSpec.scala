@@ -172,6 +172,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q58: repetition stats are one narrow pass — native expression, no hash shuffle") {
+    val plan = executed(TextQueries.q58RepetitionSignals(spark, dir))
+    val p = plan.toString
+    assert(p.contains("graft_repetition"), "native one-pass stats expression must be in the plan")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the whole point of the native expression is zero corpus shuffles " +
+        "(the composable shape would shuffle every exploded gram twice)")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
     // at-scale shape: auto-broadcast off, so the only broadcasts left are
     // the two explicit hints on the query side (bands + rescore vectors)
