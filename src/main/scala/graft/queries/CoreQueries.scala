@@ -453,7 +453,61 @@ object CoreQueries {
       |ON c.c_custkey = o.o_custkey
       |ORDER BY custkey""".stripMargin
 
+  /** q59_bloom_semijoin — semi-join with an explicit Bloom runtime filter:
+    * the urgent-order key set is compressed into a 2^20-bit filter
+    * ([[graft.functions.BloomFilter]]), the lineitem side is pre-filtered
+    * at scan speed by the bit test, and the EXACT semi-join downstream
+    * removes the false positives — so the result is identical to the plain
+    * semi-join (which is what the oracle replays; the bloom internals need
+    * no cross-engine parity) while the big side's shuffle carries only
+    * matching rows (+ fpp ≈ 4e−5) instead of the full table.
+    *
+    * Scale shape: this is THE pattern for a selective join at 100 TB when
+    * the planner's own runtime filter declines (key side above the
+    * broadcast threshold, below the "key membership fits in kilobytes"
+    * line). Build = one partial-aggregated bit_or shuffle of the SMALL
+    * side's hash positions; driver holds only the 128 KiB word array
+    * (config-bounded, like IVF's centroids); probe is codegen'd hash +
+    * array-index + bit-test below the join exchange. BloomFilterSpec
+    * pins no-false-negatives, measured selectivity, and bloom ≡ plain. */
+  def q59BloomSemiJoin(s: SparkSession, dir: String): DataFrame =
+    q59WithBloom(s, dir, useBloom = true)
+
+  /** Same query with the pre-filter off — the spec's equality baseline. */
+  private[graft] def q59WithBloom(s: SparkSession, dir: String, useBloom: Boolean): DataFrame = {
+    import s.implicits._
+    import graft.functions.BloomFilter
+    val NumBits = 1 << 20
+    val NumHashes = 5
+    val keys = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val li = Tables.lineitem(s, dir)
+    val pre =
+      if (useBloom) {
+        val bf = BloomFilter.build(keys, $"o_orderkey", NumBits, NumHashes)
+        li.filter(BloomFilter.mightContain(bf, $"l_orderkey", NumBits, NumHashes))
+      } else li
+    pre.join(keys, pre("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        dsum2($"l_quantity").as("sum_qty"),
+        dsum2($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q59Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+      |  (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_bloom_semijoin" -> (q59BloomSemiJoin _),
     "q42_outer_join"    -> (q42OuterJoin _),
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -475,6 +529,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_bloom_semijoin" -> q59Sql,
     "q42_outer_join"    -> q42Sql,
     "q1_agg"            -> q1Sql,
     "q2_filter_project" -> q2Sql,

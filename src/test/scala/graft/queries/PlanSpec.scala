@@ -182,6 +182,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
+    val plan = executed(CoreQueries.q59BloomSemiJoin(spark, dir))
+    val p = plan.toString
+    // the probe (seeded xxhash64 + bit test) must execute as plain column
+    // algebra in the lineitem scan stage — NOT as a join against the filter
+    assert(p.contains("xxhash64"), "bloom probe must be in the executed plan")
+    val joinLine = p.linesIterator.indexWhere(l => l.contains("LeftSemi"))
+    val probeLine = p.linesIterator.indexWhere(l => l.contains("xxhash64"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      "probe filter must sit BELOW the semi-join (pre-shuffle), not above it")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
     // at-scale shape: auto-broadcast off, so the only broadcasts left are
     // the two explicit hints on the query side (bands + rescore vectors)
