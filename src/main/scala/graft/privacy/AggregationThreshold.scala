@@ -413,7 +413,7 @@ object AggregationThresholdRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
-  import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, RepetitionStats, Shingles, SimHash16, Winnow}
+  import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, RepetitionStats, Shingles, SimHash16, Winnow, ZOrder}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
@@ -461,6 +461,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_winnow(text, k, w): expects exactly 3 args with integer-literal " +
               s"k and w, got ${other.mkString("(", ", ", ")")}")
         }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder].getName, null, "graft_zorder",
+        "graft_zorder(a, b) - Morton interleave of the low 31 bits of two " +
+          "bigint keys; sort/range-partition by it for multi-dimensional " +
+          "min/max file pruning. Wider keys should be pre-scaled.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrder(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStats].getName, null, "graft_repetition",

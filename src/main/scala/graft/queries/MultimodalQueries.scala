@@ -65,11 +65,44 @@ object MultimodalQueries {
       |WHERE l_orderkey BETWEEN 100 AND 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q60_zorder_scan — multi-dimensional clustering end to end: bulk load
+    * lineitem Z-ORDERED on (l_orderkey, l_partkey)
+    * ([[graft.sql.CleanRoom.loadZOrdered]]), then a two-dimensional range
+    * scan against the clustered table. Because the Morton sort makes every
+    * file cover a small range of BOTH keys, parquet min/max stats prune
+    * this predicate shape on either column — where q29's linear clustering
+    * only ever prunes its one leading key. The oracle runs the same 2-D
+    * range scan on the raw table: identical rows prove the z layout is a
+    * pure reorganization. ZOrderSpec measures the pruning claim (scan rows
+    * under a trailing-key predicate: z-layout ≪ linear layout); PlanSpec
+    * pins both predicates pushed to the scan. */
+  def q60ZOrderScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sql.CleanRoom.loadZOrdered(
+      s, s"$dir/lineitem.parquet", "q60_lineitem_zorder",
+      "l_orderkey", "l_partkey", numFiles = 32)
+    s.table("q60_lineitem_zorder")
+      .filter($"l_orderkey".between(1, 3000) && $"l_partkey".between(1, 150))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus and
+      // the z-rewrite destroys source order, so the sort must be total over
+      // every emitted column for the row-order-strict compare
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+  }
+
+  val q60Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1 AND 3000 AND l_partkey BETWEEN 1 AND 150
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_media_meta"    -> (q28MediaMeta _),
-    "q29_clustered_scan" -> (q29ClusteredScan _))
+    "q29_clustered_scan" -> (q29ClusteredScan _),
+    "q60_zorder_scan"   -> (q60ZOrderScan _))
 
   val oracles: Map[String, String] = Map(
     "q28_media_meta"    -> q28Sql,
-    "q29_clustered_scan" -> q29Sql)
+    "q29_clustered_scan" -> q29Sql,
+    "q60_zorder_scan"   -> q60Sql)
 }

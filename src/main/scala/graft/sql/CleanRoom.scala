@@ -55,6 +55,46 @@ object CleanRoom {
       .write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Z-order clustered bulk load: range-partition AND sort by the Morton
+    * interleave of two cluster keys ([[graft.functions.expressions.ZOrder]]),
+    * so every output file covers a small range of BOTH dimensions and
+    * parquet min/max stats prune scans filtered on either key alone or
+    * both — [[loadClustered]] prunes only its single leading key. The z
+    * column is derived, used for layout, and dropped before the write (a
+    * narrow projection, so the sort order it established survives into the
+    * files). `numFiles` fixes the range-partition count: at 100 TB you size
+    * it so a file ≈ one row group; the range boundaries come from Spark's
+    * sampling pass over z. */
+  def loadZOrdered(spark: SparkSession, sourceGlob: String, table: String,
+                   keyA: String, keyB: String, numFiles: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = tableDir(spark, table)
+    if (loc.exists()) graft.util.FsUtil.deleteRecursively(loc)
+    val src = spark.read.parquet(sourceGlob)
+    // Normalize both keys onto a common 16-bit scale BEFORE interleaving:
+    // with unequal domains (say 2^11 vs 2^8), a raw interleave puts the
+    // wide key's high bits above everything the narrow key contributes, so
+    // range cuts never constrain the narrow dimension and its pruning is
+    // lost. Linear min/max scaling is the cheap uniform-keys policy (one
+    // tiny agg job, 4 longs to the driver); heavily skewed keys would use
+    // quantile buckets instead (rank into 2^16 range partitions) — same
+    // interleave, different bucketing.
+    val mm = src.agg(
+      min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
+      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head()
+    def scaled(c: String, lo: Long, hi: Long) =
+      if (hi <= lo) lit(0L)
+      else floor((col(c) - lit(lo)).cast("double") * 65535.0 / (hi - lo).toDouble).cast("long")
+    src
+      .withColumn("__z", call_function("graft_zorder",
+        scaled(keyA, mm.getLong(0), mm.getLong(1)),
+        scaled(keyB, mm.getLong(2), mm.getLong(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Date/partition-keyed bulk load: directory partitions on a derived
     * column give partition PRUNING (whole directories skipped at plan time,
     * visible as PartitionFilters in the scan) — complementary to

@@ -195,6 +195,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q60: both z-dimensions' predicates are pushed to the clustered scan") {
+    val s = leaves(MultimodalQueries.q60ZOrderScan(spark, dir))
+    assert(s.contains("PushedFilters"))
+    assert(s.contains("l_orderkey") && s.contains("l_partkey"),
+      "both range predicates must reach parquet so min/max stats can prune")
+  }
+
   test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
     // at-scale shape: auto-broadcast off, so the only broadcasts left are
     // the two explicit hints on the query side (bands + rescore vectors)
