@@ -958,7 +958,85 @@ object TextQueries {
        |FROM base
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+
+  /** q61_boilerplate_scrub — cross-document repeated-window removal: any
+    * 6-token window that appears verbatim in ≥ 2 DISTINCT documents is
+    * boilerplate; every token position covered by such a window is dropped
+    * and the document re-assembled from the survivors. This is the bounded
+    * window-hash version of exact substring deduplication (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * their suffix-array pass finds arbitrary-length repeats; fixed-width
+    * windows find every repeat ≥ w at 1/w the index size), and the
+    * token-soup analog of C4's duplicated-line removal. Repetition WITHIN
+    * one document is untouched — that is q58's signal, not boilerplate.
+    *
+    * Scale shape: windows are built per-row (narrow HOF pass), then ONE
+    * exact count-distinct shuffle keyed by the window gram finds the
+    * frequent set, a shuffle semi-join marks covered starts, and coverage /
+    * anti-join / reassembly all shuffle by doc — every stage is keyed, no
+    * pair blowup anywhere (cost is Σ windows, never N²). The gram strings
+    * themselves ride the first shuffle; at 100 TB you would dictionary-
+    * encode them to longs first (q52's zipWithIndex recipe — exactness
+    * preserved, unlike hashing, which q24 shows must then be verified).
+    * The frequent set is corpus-derived and unbounded, so it is a SHUFFLE
+    * join by design — broadcasting it would be the q37 vocabulary mistake. */
+  def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 6
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val win = docs.filter(size($"toks") >= W)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"toks") - W),
+          i => array_join(slice($"toks", i + 1, lit(W)), " "))).as(Seq("start", "g")))
+    val freq = win.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val covered = win.join(freq, "g")
+      .select($"doc_id", explode(sequence($"start", $"start" + (W - 1))).as("p"))
+      .distinct()
+    val pos = docs.select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
+    val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy($"doc_id").agg(
+      array_join(transform(sort_array(collect_list(struct($"p", $"tok"))),
+        x => x.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("long").as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val q61Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    list_aggregate(toks[CAST(u.i AS INT):CAST(u.i + 5 AS INT)],
+       |                   'string_agg', ' ') AS g
+       |  FROM t, UNNEST(range(1, len(toks) - 6 + 2)) AS u(i)),
+       |freq AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT w.doc_id, CAST(u.p AS BIGINT) AS p
+       |        FROM win w JOIN freq USING (g), UNNEST(range(w.i, w.i + 6)) AS u(p)),
+       |pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[CAST(u.i AS INT)] AS tok
+       |        FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (SELECT pos.doc_id, pos.i, pos.tok FROM pos
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                           WHERE cov.doc_id = pos.doc_id AND cov.p = pos.i)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_boilerplate_scrub" -> (q61BoilerplateScrub _),
     "q58_repetition_signals" -> (q58RepetitionSignals _),
     "q57_mixture_sample"    -> (q57MixtureSample _),
     "q55_pack_shards"       -> (q55PackShards _),
@@ -978,6 +1056,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q61_boilerplate_scrub" -> q61Sql,
     "q58_repetition_signals" -> q58Sql,
     "q57_mixture_sample"    -> q57Sql,
     "q55_pack_shards"       -> q55Sql,

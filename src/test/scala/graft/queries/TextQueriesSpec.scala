@@ -209,6 +209,26 @@ class TextQueriesSpec extends SparkSpec {
       .forall(r => r.getLong(0) === 4L || r.getLong(1) === 4L) )
   }
 
+  test("q61: cross-doc windows are scrubbed, within-doc repetition and short docs survive") {
+    val boiler = "please subscribe to our newsletter now thanks" // 7 toks -> 2 windows
+    val dir = corpus("scrub", Seq(
+      (1L, s"alpha beta gamma $boiler delta"),
+      (2L, s"unrelated start here $boiler and trailing words"),
+      (3L, "totally original content with no repeats at all"),
+      (4L, "loop loop loop loop loop loop loop loop"), // within-doc repeats only
+      (5L, boiler),                                     // fully boilerplate
+      (6L, "tiny doc"), (7L, "tiny doc")))              // shared but < 6 tokens
+    val out = TextQueries.q61BoilerplateScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+
+    assert(out(1L)._1 === "alpha beta gamma delta", "the shared run is removed, the rest kept in order")
+    assert(out(2L)._1 === "unrelated start here and trailing words")
+    assert(out(3L) === ("totally original content with no repeats at all", 8L, 0L))
+    assert(out(4L)._3 === 0L, "within-doc repetition is q58's business, not boilerplate")
+    assert(out(5L) === ("", 7L, 7L), "a fully-boilerplate doc ends up empty, not missing")
+    assert(out(6L)._3 === 0L && out(7L)._3 === 0L, "docs below the window width have no windows")
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
