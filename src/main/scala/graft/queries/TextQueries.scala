@@ -1035,7 +1035,51 @@ object TextQueries {
        |FROM t LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+
+  /** q62_chunk_overlap — fixed-size token chunking with overlap (size 32,
+    * stride 24 → 8 tokens shared between neighbors): the step every
+    * embedding/RAG/context-window pipeline runs between cleaning and
+    * encoding. Chunk k covers tokens [k·24, min(k·24+32, n)); every token
+    * belongs to at least one chunk, the tail chunk may be short, empty
+    * documents produce no chunks.
+    *
+    * Scale shape: pure narrow column work — sequence/transform/slice build
+    * the chunk array per row, posexplode unnests it, and the q21-pattern
+    * source sort makes the (doc_id, chunk_idx) output order free. No
+    * shuffle at all; at 100 TB this runs at scan speed and its output
+    * feeds q55's shard packer. */
+  def q62ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 32
+    val S = 24
+    Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), floor((size($"toks") - 1) / S).cast("int")),
+          k => slice($"toks", k * S + 1, lit(C)))).as(Seq("chunk_idx", "ctoks")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        size($"ctoks").cast("long").as("n_chunk_tokens"),
+        array_join($"ctoks", " ").as("chunk_text"))
+  }
+
+  val q62Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+       |    toks[CAST(u.k * 24 + 1 AS INT):CAST(least(u.k * 24 + 32, n) AS INT)] AS ctoks
+       |  FROM t, UNNEST(range(0, (n - 1) // 24 + 1)) AS u(k))
+       |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+       |  list_aggregate(ctoks, 'string_agg', ' ') AS chunk_text
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_chunk_overlap"     -> (q62ChunkOverlap _),
     "q61_boilerplate_scrub" -> (q61BoilerplateScrub _),
     "q58_repetition_signals" -> (q58RepetitionSignals _),
     "q57_mixture_sample"    -> (q57MixtureSample _),
@@ -1056,6 +1100,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q62_chunk_overlap"     -> q62Sql,
     "q61_boilerplate_scrub" -> q61Sql,
     "q58_repetition_signals" -> q58Sql,
     "q57_mixture_sample"    -> q57Sql,

@@ -229,6 +229,28 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(6L)._3 === 0L && out(7L)._3 === 0L, "docs below the window width have no windows")
   }
 
+  test("q62: chunk boundaries, overlap, tail behavior, and empty docs") {
+    val toks80 = (0 until 80).map(i => s"w$i")
+    val dir = corpus("chunk", Seq(
+      (1L, toks80.mkString(" ")),            // 80 toks -> chunks at 0,24,48,72
+      (2L, "a b c"),                         // one short chunk
+      (3L, "")))                             // no chunks
+    val rows = TextQueries.q62ChunkOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(rows.keys.count(_._1 == 1L) === 4)
+    assert(rows((1L, 0L))._1 === 32L)
+    assert(rows((1L, 0L))._2.startsWith("w0 w1 ") && rows((1L, 0L))._2.endsWith(" w31"))
+    // overlap: chunk 1 starts at token 24, inside chunk 0's range
+    assert(rows((1L, 1L))._2.startsWith("w24 "))
+    assert(rows((1L, 3L)) === ((8L, (72 until 80).map(i => s"w$i").mkString(" "))),
+      "tail chunk carries only the remaining tokens")
+    assert(rows((2L, 0L)) === ((3L, "a b c")))
+    assert(!rows.keys.exists(_._1 == 3L), "empty docs produce no chunks")
+    // every token of doc 1 is covered by at least one chunk
+    val covered = rows.collect { case ((1L, k), (_, txt)) => txt.split(" ") }.flatten.toSet
+    assert(covered === toks80.toSet)
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
