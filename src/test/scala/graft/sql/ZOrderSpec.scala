@@ -54,8 +54,15 @@ class ZOrderSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     CleanRoom.loadZOrdered(s, s"$dir/lineitem.parquet", "zspec_z",
       "l_orderkey", "l_partkey", numFiles = 32)
-    // linear layout, same file count, clustered on the LEADING key only
+    // linear layout, same file count, clustered on the LEADING key only.
+    // DROP + location sweep (the loadClustered/loadZOrdered pattern): an
+    // in-memory catalog forgets managed tables across JVMs but their
+    // warehouse directories survive, and a stale one fails the CTAS with
+    // LOCATION_ALREADY_EXISTS.
     s.sql("DROP TABLE IF EXISTS zspec_linear")
+    val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val stale = new java.io.File(warehouse, "zspec_linear")
+    if (stale.exists()) graft.util.FsUtil.deleteRecursively(stale)
     s.read.parquet(s"$dir/lineitem.parquet")
       .repartitionByRange(32, $"l_orderkey")
       .sortWithinPartitions("l_orderkey")
