@@ -1078,7 +1078,201 @@ object TextQueries {
        |FROM chunks
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+
+  /** q63_decontaminate — benchmark decontamination by token n-gram overlap
+    * (the GPT-3 appendix-C / PaLM recipe: drop or flag any training
+    * document sharing a long n-gram with the eval suite). The eval set
+    * here is the deterministic `doc_id % 41 = 0` slice standing in for a
+    * held-out benchmark; every OTHER document is scored by how many of its
+    * distinct 3-gram windows appear anywhere in the eval set. Production
+    * uses 8–13-gram windows; this corpus's ~40-word synthetic vocabulary
+    * makes 3-grams play the same role (5-grams collide zero times at
+    * sf0.01), and the width is the one dial.
+    *
+    * Scale shape: the eval suite is FIXED-SIZE — MMLU+HELM+… is a few
+    * million grams no matter how big the training corpus grows — so its
+    * distinct-gram set is the textbook broadcast side: build once
+    * (distinct = one small shuffle over eval grams only), broadcast, and
+    * the training side is a narrow scan + broadcast semi-probe + per-doc
+    * re-aggregation keyed by doc_id. No corpus-sized shuffle touches the
+    * gram strings; cost is one pass over the corpus. The per-doc count
+    * uses DISTINCT grams (q21's shingle convention) so a doc repeating one
+    * leaked gram five times scores 1, not 5. */
+  def q63Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("gs"))
+    val evalGrams = docs.filter($"doc_id" % 41 === 0)
+      .select(explode($"gs").as("g")).distinct()
+    val trainHits = docs.filter($"doc_id" % 41 =!= 0)
+      .select($"doc_id", explode($"gs").as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter($"doc_id" % 41 =!= 0)
+      .select($"doc_id", size($"gs").cast("long").as("n_grams"))
+      .join(trainHits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        (coalesce($"n_overlap", lit(0L)) >= 2).cast("long").as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |g AS (SELECT doc_id, $Shingles3 AS gs FROM t),
+       |ev AS (SELECT DISTINCT u.g AS g FROM g, UNNEST(g.gs) AS u(g)
+       |       WHERE doc_id % 41 = 0),
+       |hit AS (SELECT tr.doc_id, count(*) AS n_overlap
+       |        FROM (SELECT doc_id, u.g AS g FROM g, UNNEST(g.gs) AS u(g)
+       |              WHERE doc_id % 41 <> 0) tr
+       |        JOIN ev USING (g) GROUP BY 1)
+       |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+       |  coalesce(hit.n_overlap, 0) AS n_overlap,
+       |  CAST(coalesce(hit.n_overlap, 0) >= 2 AS BIGINT) AS contaminated
+       |FROM g LEFT JOIN hit USING (doc_id)
+       |WHERE g.doc_id % 41 <> 0
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+
+  /** q65_cdc_chunk — CONTENT-DEFINED chunking: a chunk boundary falls
+    * after token i exactly when the hash of the 3-token window ending at i
+    * lands below a threshold (first md5 hex byte < '20' → P=1/8, mean
+    * chunk ≈ 8 tokens). Complements q62's fixed-size chunking the same way
+    * rsync/LBFS/restic chunking complements fixed blocks: boundaries
+    * depend only on LOCAL content, so inserting a token reshapes chunking
+    * near the edit and nowhere else, and identical passages produce
+    * identical chunks (same `chunk_hash`) at ANY offset in any document —
+    * which is what makes chunk-level dedup/caching work. Production CDC
+    * rolls a Rabin hash over bytes; the window-hash over tokens keeps the
+    * decision rule and locality property while staying oracle-replayable.
+    *
+    * Scale shape: boundary positions, chunk spans (zip_with over
+    * starts/ends — O(chunks), not O(n²)) and the explode are all narrow —
+    * zero shuffle, q62's pattern, scan speed at 100 TB. The per-position
+    * md5 runs interpreted inside the HOF lambda; the upgrade path at real
+    * scale is a graft_cdc_bounds native expression (the graft_winnow
+    * rolling-hash loop with a different emit rule). */
+  def q65CdcChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).orderBy($"doc_id")
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .withColumn("n", size($"toks"))
+    // boundary candidates i ∈ [3, n-1]: window (i-2, i-1, i); a boundary at
+    // n would close an already-closing chunk, so it is excluded up front.
+    // sequence(3, n-1) runs DESCENDING when n < 4 — guard explicitly.
+    val bp = when($"n" < 4, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(3), $"n" - 1), i =>
+        substring(md5(concat_ws(" ",
+          element_at($"toks", i - 2), element_at($"toks", i - 1),
+          element_at($"toks", i)).cast("binary")), 1, 2) < "20"))
+    val withSpans = docs.withColumn("bp", bp)
+      .withColumn("starts", concat(array(lit(1)), transform($"bp", p => p + 1)))
+      .withColumn("ends", concat($"bp", array($"n")))
+    withSpans
+      .select($"doc_id", posexplode(
+        zip_with($"starts", $"ends", (st, en) => slice($"toks", st, en - st + 1)))
+        .as(Seq("chunk_idx", "ctoks")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        size($"ctoks").cast("long").as("n_chunk_tokens"),
+        md5(array_join($"ctoks", " ").cast("binary")).as("chunk_hash"),
+        array_join($"ctoks", " ").as("chunk_text"))
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |b AS (
+       |  SELECT doc_id, toks, n,
+       |    [i for i in range(3, n)
+       |     if substr(md5(toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]), 1, 2) < '20'] AS bp
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, CAST(u.k - 1 AS BIGINT) AS chunk_idx,
+       |    toks[CAST(list_prepend(1, [p + 1 for p in bp])[u.k] AS INT)
+       |         :CAST(list_append(bp, n)[u.k] AS INT)] AS ctoks
+       |  FROM b, UNNEST(range(1, len(bp) + 2)) AS u(k))
+       |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+       |  md5(list_aggregate(ctoks, 'string_agg', ' ')) AS chunk_hash,
+       |  list_aggregate(ctoks, 'string_agg', ' ') AS chunk_text
+       |FROM ch
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66_dsir_weights — DSIR-style importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): hash every token into one of 256 buckets, fit bag-of-
+    * hashed-ngrams frequencies for the TARGET slice (here `lang = 'en'`,
+    * standing in for "looks like the high-quality target distribution")
+    * and the RAW corpus, and score each document by the sum of per-bucket
+    * log-likelihood ratios over its token instances. Add-one smoothing
+    * keeps empty buckets finite. Weights ship on the e6 integer grid so
+    * the per-document sum is an exact long (summation-order-proof, the
+    * Grid.scala convention); only the 256 per-bucket constants touch
+    * floating point. Selection/resampling on the score is deliberately NOT
+    * fused here — that is q43/q57's deterministic-sampling business.
+    *
+    * Scale shape: one narrow explode feeds a 256-key partial-aggregated
+    * shuffle (map-side combine collapses it to 256×partitions rows); the
+    * totals come from a single-partition window over those 256 rows —
+    * constant-size regardless of corpus, NOT a corpus re-scan; the
+    * per-bucket weight table is the textbook broadcast side (fixed 256
+    * rows at any scale); the only other shuffle is the doc_id-keyed
+    * re-aggregation. Nothing corpus-sized is ever broadcast or collected. */
+  def q66DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select($"doc_id", $"lang", explode(TextFunctions.tokens($"text")).as("t"))
+      .select($"doc_id", $"lang", substring(md5($"t".cast("binary")), 1, 2).as("b"))
+    val bc = tok.groupBy($"b").agg(
+      count(lit(1)).as("rc"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"))
+    // 256 rows at ANY corpus size — a single-partition window is O(1)
+    val all = Window.partitionBy(lit(1))
+    val wt = bc.select($"b",
+      floor(lit(1000000.0) * log(
+        (($"tc" + 1.0) * (sum($"rc").over(all) + 256.0)) /
+          (($"rc" + 1.0) * (sum($"tc").over(all) + 256.0)))).cast("long").as("w"))
+    val dw = tok.join(broadcast(wt), Seq("b"))
+      .groupBy($"doc_id").agg(sum($"w").as("weight_e6"))
+    docs.select($"doc_id", $"lang",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      .join(dw, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"n_tokens",
+        coalesce($"weight_e6", lit(0L)).as("weight_e6"))
+      .orderBy($"doc_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, lang, substr(md5(u.t), 1, 2) AS b
+       |        FROM t, UNNEST(t.toks) AS u(t)),
+       |bc AS (SELECT b, count(*) AS rc,
+       |         count(*) FILTER (WHERE lang = 'en') AS tc
+       |       FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM bc),
+       |wt AS (SELECT b,
+       |         CAST(floor(1000000.0 * ln(
+       |           ((tc + 1.0) * (r_tot + 256.0)) /
+       |           ((rc + 1.0) * (t_tot + 256.0)))) AS BIGINT) AS w
+       |       FROM bc, tot),
+       |dw AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS weight_e6
+       |       FROM tok JOIN wt USING (b) GROUP BY 1)
+       |SELECT t.doc_id, t.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  coalesce(dw.weight_e6, 0) AS weight_e6
+       |FROM t LEFT JOIN dw USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_dsir_weights"      -> (q66DsirWeights _),
+    "q65_cdc_chunk"         -> (q65CdcChunk _),
+    "q63_decontaminate"     -> (q63Decontaminate _),
     "q62_chunk_overlap"     -> (q62ChunkOverlap _),
     "q61_boilerplate_scrub" -> (q61BoilerplateScrub _),
     "q58_repetition_signals" -> (q58RepetitionSignals _),
@@ -1100,6 +1294,9 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q66_dsir_weights"      -> q66Sql,
+    "q65_cdc_chunk"         -> q65Sql,
+    "q63_decontaminate"     -> q63Sql,
     "q62_chunk_overlap"     -> q62Sql,
     "q61_boilerplate_scrub" -> q61Sql,
     "q58_repetition_signals" -> q58Sql,

@@ -182,6 +182,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q63: the eval gram set broadcasts; the corpus side never hash-shuffles its grams") {
+    val plan = executed(TextQueries.q63Decontaminate(spark, dir))
+    val p = plan.toString
+    // the fixed-size eval suite is the build side of a BroadcastHashJoin;
+    // the only hash exchanges are keyed by doc_id (the per-doc count and
+    // the count-back join), never by the gram strings of the full corpus
+    assert(p.contains("BroadcastHashJoin"), "eval grams must be the broadcast side")
+    val gramExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(g#"))
+    assert(gramExchanges <= 1,
+      "only the eval-side distinct may shuffle by gram; the training side " +
+        "must ride the broadcast probe, not a corpus-sized gram shuffle")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q64: assignment is the codegen'd argmin, pairing never leaves the cell join") {
+    val plan = executed(VectorQueries.q64SemDedup(spark, dir))
+    val p = plan.toString
+    assert(p.contains("graft_nearest_centroid"),
+      "cell assignment must be the per-row native expression, not a centroid join")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "semantic dedup must stay cell-blocked, never all-pairs")
+  }
+
+  test("q65: content-defined chunking is one narrow pass — no hash shuffle at all") {
+    val plan = executed(TextQueries.q65CdcChunk(spark, dir))
+    assert(!plan.toString.contains("Exchange hashpartitioning"),
+      "boundary detection, span building and explode are all per-row column work")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q66: the 256-bucket weight table is the broadcast side of the scoring join") {
+    val plan = executed(TextQueries.q66DsirWeights(spark, dir))
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket weights are fixed-size at any corpus scale — they must broadcast")
+    // the corpus-sized exploded token stream shuffles only for the 256-key
+    // count (partial-aggregated) — it must not hash-shuffle for the lookup
+    val bExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(b#"))
+    assert(bExchanges <= 1,
+      "one bucket-keyed exchange (the count) — the scoring lookup rides the broadcast")
+  }
+
   test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
     val plan = executed(CoreQueries.q59BloomSemiJoin(spark, dir))
     val p = plan.toString

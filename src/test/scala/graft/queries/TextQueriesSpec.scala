@@ -251,6 +251,69 @@ class TextQueriesSpec extends SparkSpec {
     assert(covered === toks80.toSet)
   }
 
+  test("q63: eval-set grams contaminate training docs; distinct counting; eval docs excluded") {
+    val dir = corpus("decon", Seq(
+      (0L, "the quick brown fox jumps high"),          // eval (0 % 41 == 0)
+      (1L, "the quick brown dog sits"),                 // shares 1 gram: "the quick brown"
+      (2L, "totally unrelated words everywhere today"), // clean
+      (3L, "the quick brown fox jumps again and the quick brown fox returns"), // many shared grams
+      (4L, "echo the quick brown echo the quick brown"))) // repeated leak counts ONCE
+    val out = TextQueries.q63Decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(0L), "eval documents are not scored")
+    assert(out(1L)._2 === 1L && out(1L)._3 === 0L, "single shared gram is flagged but below threshold")
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L)
+    assert(out(3L)._2 >= 3L && out(3L)._3 === 1L, "multi-gram overlap crosses the threshold")
+    assert(out(4L)._2 === 1L, "'the quick brown' leaks twice but counts once (distinct grams)")
+  }
+
+  test("q65: chunks partition each doc; boundaries are content-defined (shift-invariant)") {
+    // 64 varied tokens — enough windows that the deterministic md5 boundary
+    // rule fires several times (the test is fully deterministic either way)
+    val p = (0 until 64).map(i => s"tok${i * 7 % 97}x$i").mkString(" ")
+    val dir = corpus("cdc", Seq(
+      (1L, p),                               // the passage alone
+      (2L, s"some unrelated preamble words $p"), // same passage, shifted by 5
+      (3L, "a b"),                           // too short for any boundary
+      (4L, "")))                             // no chunks
+    val rows = TextQueries.q65CdcChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1._1)
+
+    // chunks partition the token stream: concatenation rebuilds the doc
+    val rebuilt = byDoc(1L).sortBy(_._1._2).map(_._2._3).mkString(" ")
+    assert(rebuilt === p, "chunks must cover every token exactly once, in order")
+    assert(byDoc(3L).map(_._2._3).toSeq === Seq("a b"), "no boundary -> one whole-doc chunk")
+    assert(!byDoc.contains(4L), "empty docs produce no chunks")
+
+    // CONTENT-defined: once past the seam, doc 2's chunking of the shared
+    // passage realigns with doc 1's — identical chunk hashes at a shifted
+    // offset (the property fixed-size chunking like q62 cannot have)
+    val h1 = byDoc(1L).map(_._2._2).toSet
+    val h2 = byDoc(2L).map(_._2._2).toSet
+    assert(byDoc(1L).length >= 3, "expected several boundaries in 64 tokens (P=1/8 per window)")
+    assert((h1 intersect h2).nonEmpty,
+      "shared-passage chunks after the first common boundary must hash identically")
+  }
+
+  test("q66: target-like docs score higher; weights are per-instance and additive") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("dsir")
+    // lang drives the target slice: 'en' docs are built from 'good', the
+    // rest from 'bad' — the likelihood ratio must order them
+    Seq((1L, "good good good", "en"), (2L, "good good good", "de"),
+        (3L, "bad bad bad", "de"), (4L, "good", "de"), (5L, "", "de"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q66DsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._3 === out(2L)._3,
+      "the weight is a function of CONTENT only — lang affects the fit, not the lookup")
+    assert(out(1L)._3 > out(3L)._3, "target-distribution tokens must outscore the rest")
+    assert(out(1L)._3 === 3 * out(4L)._3, "per-instance weights: 3 copies = 3x the weight")
+    assert(out(5L) === (("de", 0L, 0L)), "empty doc: zero features, zero weight")
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
