@@ -263,15 +263,85 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q64
+
+  /** q64_semdedup — semantic deduplication (the SemDeDup recipe, Abbas et
+    * al. 2023, arXiv:2303.09540): cluster embeddings with a frozen coarse
+    * quantizer, compare pairs only WITHIN a cluster, and drop every vector
+    * whose cosine to a lower-id cluster-mate reaches the threshold. The
+    * deterministic keep-rule here ("drop iff a lower-id near-duplicate
+    * exists in the cell") is slightly more aggressive than the paper's
+    * keep-one-per-connected-component but is order-independent, rerun-
+    * stable, and SQL-expressible — the properties a 100 TB curation pass
+    * actually needs. Output is the ACTION per vector (kept / dup_of), not
+    * the pair list — q26 publishes pairs, this publishes the verdict.
+    *
+    * Scale shape: assignment is the q30 codegen'd per-row argmin (no join,
+    * no shuffle); the only join is the within-cell self-join — Σ cell²
+    * pairs, never N² — followed by a vec_id-keyed agg and a left join back.
+    * The same frozen-quantizer trick that makes q30 oracle-checkable makes
+    * the whole dedup replayable in DuckDB from the literal centroid
+    * matrix. At 100 TB the cell count grows with √N (k ≈ 2¹⁴⁺) so cells
+    * stay bounded; the quantizer remains a broadcast constant. */
+  def q64SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = graft.vector.IvfFrozen.model
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+      .select($"vec_id", graft.vector.Ivf.cellOf($"v", model).as("cell"),
+        $"v", norm($"v").as("nrm"))
+    val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
+    val dups = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("lo"), cosR.as("cos_r"))
+      .filter($"cos_r" >= 0.40)
+      .groupBy($"vec_id").agg(min($"lo").as("dup_of"))
+    e.select($"vec_id", $"cell".cast("long").as("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"dup_of",
+        when($"dup_of".isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** q64 oracle: identical frozen-centroid assignment (q30's fragments),
+    * then the within-cell pair scan and the same lowest-dup-id verdict. */
+  def q64Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    def dt(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, cents.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("e.v", "cents.c")}, cents.cell) AS rn
+       |    FROM e CROSS JOIN cents) t WHERE rn = 1),
+       |prs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS lo,
+       |    round(${dt("a.v", "b.v")} / (sqrt(${dt("a.v", "a.v")}) * sqrt(${dt("b.v", "b.v")})), 4) AS cos_r
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |dups AS (SELECT vec_id, min(lo) AS dup_of FROM prs
+       |         WHERE cos_r >= 0.40 GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
+       |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN dups d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_ann_topk"      -> (q25AnnTopK _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q30_ann_ivf"       -> (q30AnnIvf _),
-    "q54_ann_lsh"       -> (q54AnnLsh _))
+    "q54_ann_lsh"       -> (q54AnnLsh _),
+    "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
     "q25_ann_topk"      -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
     "q30_ann_ivf"       -> q30Sql,
-    "q54_ann_lsh"       -> q54Sql)
+    "q54_ann_lsh"       -> q54Sql,
+    "q64_semdedup"      -> q64Sql)
 }

@@ -1,0 +1,55 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.VectorQueries
+
+/** q64 semantic-dedup contracts, checked as PROPERTIES against the frozen
+  * quantizer on real sf data (the oracle checks the exact values; this spec
+  * pins the semantics that must survive any threshold/model change):
+  * the verdict is complete, canonical representatives are self-kept, and
+  * every drop is justified by a lower-id cluster-mate at/above the
+  * threshold under the shared round-then-compare cosine convention. */
+class SemDedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q64: verdicts are total, drops point at a lower-id near-dup in the same cell") {
+    val s = spark
+    import s.implicits._
+    val out = VectorQueries.q64SemDedup(s, dir).collect()
+    val n = graft.Tables.embeddings(s, dir).count()
+    assert(out.length === n, "one verdict per vector — dedup must never lose rows")
+
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    // kept <-> no dup_of, and a drop's canonical id is strictly lower
+    byId.foreach { case (id, (_, dupOf, kept)) =>
+      assert(kept === (if (dupOf.isEmpty) 1L else 0L), s"vec $id")
+      dupOf.foreach(lo => assert(lo < id, s"vec $id: canonical must be the lower id"))
+    }
+    // every named canonical is in the same cell, and the pair really is a
+    // near-duplicate: recompute the rounded cosine for each dropped pair
+    val vecs = graft.Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val dropped = byId.collect { case (id, (cell, Some(lo), _)) => (id, cell, lo) }
+    assert(dropped.nonEmpty, "sf0.001 embeddings contain semantic dups — a no-op run means the query broke")
+    dropped.foreach { case (id, cell, lo) =>
+      assert(byId(lo)._1 === cell, s"pair ($lo,$id) must share a cell")
+      assert(cosR(vecs(id), vecs(lo)) >= 0.40, s"pair ($lo,$id) below threshold")
+    }
+    // dup_of is the MINIMUM qualifying id — no qualifying cluster-mate below it
+    dropped.foreach { case (id, cell, lo) =>
+      val below = byId.collect { case (other, (c, _, _))
+        if c == cell && other < lo && cosR(vecs(id), vecs(other)) >= 0.40 => other }
+      assert(below.isEmpty, s"vec $id: dup_of=$lo but ${below.headOption} also qualifies")
+    }
+  }
+}
