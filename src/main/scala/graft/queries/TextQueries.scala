@@ -1269,7 +1269,79 @@ object TextQueries {
        |FROM t LEFT JOIN dw USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+
+  /** q68_bigram_ppl — language-model quality scoring (the CCNet/RedPajama
+    * signal: rank documents by perplexity under a small LM): a bigram
+    * model with add-one smoothing is fitted ON THE CORPUS ITSELF —
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) — and every document is scored by
+    * its total and per-bigram negative log-likelihood. Production swaps
+    * the in-corpus fit for frozen KenLM counts; the dataflow (fit counts,
+    * join scores back, integer-grid sums) is identical. Per-bigram log
+    * probabilities land on the e6 integer grid once, so document sums are
+    * exact longs (Grid.scala convention) — only the model constants touch
+    * floating point, and the −ll/n division runs in exact-double range.
+    *
+    * Scale shape: bigram instances are narrow zip_with column work; the
+    * model fit is two keyed count shuffles (map-side combined); the
+    * vocabulary size is the ONE 1-row broadcast (q37's rule: corpus-
+    * derived model tables — c2 join, score join — SHUFFLE, because they
+    * grow with the corpus; only O(1) scalars broadcast). The score join
+    * shuffles doc bigrams by (w1,w2) once, then one doc_id-keyed agg. */
+  def q68BigramPpl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val m = greatest(size($"toks") - 1, lit(0))
+    val bg = docs.select($"doc_id", explode(
+        zip_with(slice($"toks", lit(1), m), slice($"toks", lit(2), m),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode($"toks").as("t"))
+      .select(countDistinct($"t").as("vsz"))
+    val model = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select($"w1", $"w2",
+        floor(lit(1000000.0) * log(($"c2" + 1.0) / ($"c1" + $"vsz")))
+          .cast("long").as("lp_e6"))
+    val dl = bg.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_bigrams"), sum($"lp_e6").as("ll_e6"))
+    docs.select($"doc_id")
+      .join(dl, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"ll_e6", lit(0L)).as("ll_e6"),
+        when($"n_bigrams".isNull, lit(null).cast("long"))
+          .otherwise(floor((-$"ll_e6").cast("double") / $"n_bigrams").cast("long"))
+          .as("nll_per_bigram_e6"))
+      .orderBy($"doc_id")
+  }
+
+  val q68Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+       |         toks[CAST(u.i + 1 AS INT)] AS w2
+       |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |v AS (SELECT count(DISTINCT u.t) AS vsz FROM t, UNNEST(t.toks) AS u(t)),
+       |model AS (SELECT w1, w2,
+       |    CAST(floor(1000000.0 * ln((c2 + 1.0) / (c1 + vsz))) AS BIGINT) AS lp_e6
+       |  FROM c2 JOIN c1 USING (w1), v),
+       |dl AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lp_e6) AS BIGINT) AS ll_e6
+       |       FROM bg JOIN model USING (w1, w2) GROUP BY 1)
+       |SELECT t.doc_id, coalesce(dl.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(dl.ll_e6, 0) AS ll_e6,
+       |  CASE WHEN dl.n_bigrams IS NULL THEN NULL
+       |       ELSE CAST(floor(CAST(-dl.ll_e6 AS DOUBLE) / dl.n_bigrams) AS BIGINT)
+       |  END AS nll_per_bigram_e6
+       |FROM t LEFT JOIN dl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_bigram_ppl"        -> (q68BigramPpl _),
     "q66_dsir_weights"      -> (q66DsirWeights _),
     "q65_cdc_chunk"         -> (q65CdcChunk _),
     "q63_decontaminate"     -> (q63Decontaminate _),
@@ -1294,6 +1366,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q68_bigram_ppl"        -> q68Sql,
     "q66_dsir_weights"      -> q66Sql,
     "q65_cdc_chunk"         -> q65Sql,
     "q63_decontaminate"     -> q63Sql,

@@ -331,7 +331,71 @@ object VectorQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q67
+
+  /** q67_ann_sq8 — scalar-quantized (SQ8) brute-force ANN: every vector is
+    * compressed to int8 codes with a per-vector (min, scale) pair —
+    * code_i = round((x_i − min)/scale), scale = (max−min)/255 — and the
+    * exact q25 top-k then runs IN THE QUANTIZED DOMAIN on the dequantized
+    * values (min + code·scale). This is FAISS's SQ8 memory path: 4× fewer
+    * bytes per vector means 4× more of the corpus resident per executor,
+    * at a recall cost this query makes measurable (compare against q25's
+    * exact ranks on the same queries — Sq8Spec does).
+    *
+    * Scale shape: quantize + dequantize are one narrow codegen pass over
+    * the scan (min/max/transform column algebra, no UDFs, no shuffle);
+    * the search itself reuses q25's broadcast-the-k-queries shape. The
+    * rank convention is the shared round(·,4)-then-rank, so the oracle
+    * replays quantization bit-for-bit from the same float64 arithmetic.
+    * A constant vector (max = min) quantizes to all-zero codes and
+    * dequantizes to the constant — the scale-0 guard. */
+  def q67AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
+    // per-vector affine params; scale 0 (constant vector) -> codes all 0
+    val quant = base
+      .withColumn("mn", array_min($"v"))
+      .withColumn("sc", (array_max($"v") - $"mn") / lit(255.0))
+      .withColumn("dq", transform($"v", x =>
+        when(col("sc") === 0.0, col("mn"))
+          .otherwise(col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))))
+      .select($"vec_id", $"dq".as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    val q = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    quant.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q67Sql: String = {
+    def dt(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |p AS (SELECT vec_id, v, list_min(v) AS mn,
+       |        (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+       |dq AS (SELECT vec_id,
+       |        [CASE WHEN sc = 0.0 THEN mn
+       |              ELSE mn + round((x - mn) / sc) * sc END for x in v] AS v
+       |       FROM p),
+       |prs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+       |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_r
+       |  FROM dq q JOIN dq n ON q.vec_id < 5 AND n.vec_id <> q.vec_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM prs) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_ann_sq8"       -> (q67AnnSq8 _),
     "q25_ann_topk"      -> (q25AnnTopK _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q30_ann_ivf"       -> (q30AnnIvf _),
@@ -339,6 +403,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q67_ann_sq8"       -> q67Sql,
     "q25_ann_topk"      -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
     "q30_ann_ivf"       -> q30Sql,

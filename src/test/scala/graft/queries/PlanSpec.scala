@@ -224,6 +224,36 @@ class PlanSpec extends SparkSpec {
       "one bucket-keyed exchange (the count) — the scoring lookup rides the broadcast")
   }
 
+  test("q67: quantize+dequantize stay narrow; only the k quantized queries broadcast") {
+    val p = executed(VectorQueries.q67AnnSq8(spark, dir)).toString
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "the q25 shape must survive quantization: queries broadcast into one scan")
+    assert(p.contains("WindowGroupLimit"), "rank<=3 should prune before the final sort")
+    assert(p.contains("graft_dot"), "search must run on the native dot, post-quantization")
+    // the only hash exchange is the q_id-keyed top-k reduction (shared with
+    // q25); quantization itself adds no exchange anywhere
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.forall(_.contains("q_id")),
+      s"quantization must stay narrow; unexpected exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q68: corpus-derived LM tables shuffle; only the 1-row vocabulary size broadcasts") {
+    // q37's rule, applied to the bigram model: under auto-broadcast
+    // disabled, the c1/c2 fit joins and the score join must be shuffle
+    // joins (they grow with the corpus); the single pinned broadcast is
+    // the 1-row vocab count
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val initial = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TextQueries.q68BigramPpl(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(initial.linesIterator.count(_.contains("BroadcastExchange")) == 1,
+      "exactly one pinned broadcast: the vocabulary-size scalar")
+    assert(initial.contains("SortMergeJoin") || initial.contains("ShuffledHashJoin"),
+      "model joins must shuffle when nothing is auto-broadcastable")
+  }
+
   test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
     val plan = executed(CoreQueries.q59BloomSemiJoin(spark, dir))
     val p = plan.toString

@@ -314,6 +314,26 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(5L) === (("de", 0L, 0L)), "empty doc: zero features, zero weight")
   }
 
+  test("q68: fluent (high-count) bigrams outscore rare ones; short docs get NULL ppl") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ppl")
+    // "a b" is the dominant bigram (fitted 4 times); "x q" appears once
+    Seq((1L, "a b a b a b a b"), (2L, "x q"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q68BigramPpl(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L)._1 === 7L, "8 tokens -> 7 bigram instances")
+    assert(out(1L)._2 < 0L, "log-likelihood is negative on the e6 grid")
+    assert(out(2L)._1 === 1L)
+    // the corpus-frequent bigram is cheaper per instance than the singleton
+    assert(out(1L)._3.get < out(2L)._3.get,
+      "per-bigram NLL must rank the fluent doc better (lower) than the rare one")
+    assert(out(3L) === ((0L, 0L, None)), "1 token -> no bigrams -> NULL ppl")
+    assert(out(4L) === ((0L, 0L, None)), "empty doc -> no bigrams -> NULL ppl")
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
