@@ -96,13 +96,47 @@ object MultimodalQueries {
       |WHERE l_orderkey BETWEEN 1 AND 3000 AND l_partkey BETWEEN 1 AND 150
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 
+  /** q69_bucketed_join — co-located join via bucketing, end to end: load
+    * customer and orders into 8-bucket tables hashed on the join key
+    * ([[graft.sql.CleanRoom.loadBucketed]]), then join + aggregate. The
+    * bucket layout carries the hash distribution in table metadata, so the
+    * join runs with NO exchange on either side — the shuffle was paid once
+    * at load, and every subsequent custkey-join against either table rides
+    * it free. PlanSpec pins the no-exchange claim with auto-broadcast
+    * disabled (the 100 TB shape — nothing looks broadcastable there).
+    * Revenue sums ride the scale-2 integer grid (exact under any partial-
+    * aggregation order). The oracle runs the same join on the raw tables:
+    * identical results prove bucketing is pure layout, not semantics. */
+  def q69BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sql.CleanRoom.loadBucketed(
+      s, s"$dir/customer.parquet", "q69_customer_bkt", "c_custkey", 8)
+    graft.sql.CleanRoom.loadBucketed(
+      s, s"$dir/orders.parquet", "q69_orders_bkt", "o_custkey", 8)
+    s.table("q69_customer_bkt")
+      .join(s.table("q69_orders_bkt"), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Grid.sum2($"o_totalprice").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q69Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  (CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_media_meta"    -> (q28MediaMeta _),
     "q29_clustered_scan" -> (q29ClusteredScan _),
-    "q60_zorder_scan"   -> (q60ZOrderScan _))
+    "q60_zorder_scan"   -> (q60ZOrderScan _),
+    "q69_bucketed_join" -> (q69BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q28_media_meta"    -> q28Sql,
     "q29_clustered_scan" -> q29Sql,
-    "q60_zorder_scan"   -> q60Sql)
+    "q60_zorder_scan"   -> q60Sql,
+    "q69_bucketed_join" -> q69Sql)
 }

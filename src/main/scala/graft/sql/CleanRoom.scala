@@ -95,6 +95,28 @@ object CleanRoom {
       .write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Hash-bucketed bulk load: `bucketBy(numBuckets, key)` with sorted,
+    * one-file buckets. Bucketing records the hash distribution in the
+    * table metadata, so a join (or aggregation) keyed on the bucket column
+    * between two co-bucketed tables needs NO shuffle on either side — the
+    * layout IS the exchange, paid once at load time and amortized over
+    * every subsequent join. This is the co-located-join answer at 100 TB:
+    * the fact-to-dimension shuffles that dominate repeated pipelines move
+    * from query time to (one) load time. The pre-write `repartition` onto
+    * the bucket key yields exactly one file per bucket, which also lets
+    * the sorted-bucket metadata elide the SortMergeJoin's per-side sort. */
+  def loadBucketed(spark: SparkSession, sourceGlob: String, table: String,
+                   key: String, numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = tableDir(spark, table)
+    if (loc.exists()) graft.util.FsUtil.deleteRecursively(loc)
+    spark.read.parquet(sourceGlob)
+      .repartition(numBuckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Date/partition-keyed bulk load: directory partitions on a derived
     * column give partition PRUNING (whole directories skipped at plan time,
     * visible as PartitionFilters in the scan) — complementary to

@@ -254,6 +254,25 @@ class PlanSpec extends SparkSpec {
       "model joins must shuffle when nothing is auto-broadcastable")
   }
 
+  test("q69: co-bucketed tables join with NO exchange on the bucket key") {
+    // build the bucketed tables (side effect), then pin the join plan with
+    // auto-broadcast off — the 100 TB shape where neither side looks small
+    val df = MultimodalQueries.q69BucketedJoin(spark, dir)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val initial = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      MultimodalQueries.q69BucketedJoin(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(initial.contains("SortMergeJoin"), "co-located join must be a merge join")
+    assert(!initial.contains("Exchange hashpartitioning(c_custkey") &&
+      !initial.contains("Exchange hashpartitioning(o_custkey"),
+      "the bucket layout IS the exchange — the join must not shuffle either side:\n" +
+        initial)
+    assert(df.queryExecution.executedPlan.toString.contains("Bucketed: true") ||
+      initial.contains("Bucketed: true"), "scans must actually use the bucket metadata")
+  }
+
   test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
     val plan = executed(CoreQueries.q59BloomSemiJoin(spark, dir))
     val p = plan.toString
