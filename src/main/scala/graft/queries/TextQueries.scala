@@ -274,15 +274,19 @@ object TextQueries {
         DedupFunctions.simhash(TextFunctions.tokens($"text")).as("simhash"))
   }
 
-  val q27Sql: String = {
-    val bits = (1 to DedupFunctions.SimhashBits).map { j =>
+  /** DuckDB fragment: the 16-bit majority-vote SimHash over a column `hs`
+    * of per-token md5 hex strings — shared by the q27 and q70 oracles so
+    * the blocking key cannot drift between them. */
+  private def simhashBitsSql: String =
+    (1 to DedupFunctions.SimhashBits).map { j =>
       val w = 1L << (DedupFunctions.SimhashBits - j)
       s"(CASE WHEN 2 * len(list_filter(hs, h -> substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(hs) THEN $w ELSE 0 END)"
     }.mkString(" + ")
-    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+
+  val q27Sql: String =
+    s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
        |FROM (SELECT doc_id, list_transform($Toks, t -> md5(t)) AS hs FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q36
 
@@ -1340,7 +1344,58 @@ object TextQueries {
        |FROM t LEFT JOIN dl USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+
+  /** q70_fuzzy_match — edit-distance near-dup pairs with SimHash blocking:
+    * candidate pairs come ONLY from equal 16-bit SimHash buckets (q27's
+    * fingerprint — one 2-byte-key shuffle), and each candidate is verified
+    * with character-level Levenshtein, keeping pairs whose relative edit
+    * distance is ≤ 20% of the longer text. This is the classic fuzzy-dedup
+    * two-phase shape — cheap blocking proposes, expensive exact distance
+    * disposes — catching char-level corruption (OCR noise, encoding
+    * damage) that token-set operators (q24/q52) see as unrelated tokens.
+    *
+    * Scale shape: cost is Σ bucket² candidate pairs (never N²) × O(len²)
+    * per verify; at 100 TB you widen the fingerprint (more bits → smaller
+    * buckets) and cap verified length (levenshtein on a prefix) — both
+    * dials, not redesigns. The gate compares `lev·1e6 ≤ 2e5·max_len` in
+    * pure integer arithmetic; the exported ratio uses integer DIV — no
+    * float rounding anywhere, so the oracle replays bit-for-bit. Two
+    * empty documents are excluded (max_len 0): byte-identical texts are
+    * q23 exact-dedup's business, not fuzzy matching's. */
+  def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir).select($"doc_id", $"text",
+      DedupFunctions.simhash(TextFunctions.tokens($"text")).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("simhash"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+        greatest(length(col("a.text")), length(col("b.text"))).cast("long").as("max_len"))
+      .filter($"max_len" > 0 && $"lev" * 1000000L <= $"max_len" * 200000L)
+      .select($"doc_a", $"doc_b", $"simhash", $"lev",
+        expr("(lev * 1000000) DIV max_len").as("rel_e6"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q70Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text, CAST($simhashBitsSql AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, text, list_transform($Toks, t -> md5(t)) AS hs
+       |        FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash,
+       |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |    CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, simhash, lev, lev * 1000000 // max_len AS rel_e6
+       |FROM prs
+       |WHERE max_len > 0 AND lev * 1000000 <= max_len * 200000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_fuzzy_match"       -> (q70FuzzyMatch _),
     "q68_bigram_ppl"        -> (q68BigramPpl _),
     "q66_dsir_weights"      -> (q66DsirWeights _),
     "q65_cdc_chunk"         -> (q65CdcChunk _),
@@ -1366,6 +1421,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q70_fuzzy_match"       -> q70Sql,
     "q68_bigram_ppl"        -> q68Sql,
     "q66_dsir_weights"      -> q66Sql,
     "q65_cdc_chunk"         -> q65Sql,

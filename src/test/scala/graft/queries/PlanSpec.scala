@@ -273,6 +273,14 @@ class PlanSpec extends SparkSpec {
       initial.contains("Bucketed: true"), "scans must actually use the bucket metadata")
   }
 
+  test("q70: fuzzy matching pairs only within simhash blocks — never all-pairs") {
+    val plan = executed(TextQueries.q70FuzzyMatch(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the levenshtein verify must only ever see block-local candidates")
+    assert(plan.toString.contains("graft_simhash"),
+      "blocking key must be the native fingerprint expression")
+  }
+
   test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
     val plan = executed(CoreQueries.q59BloomSemiJoin(spark, dir))
     val p = plan.toString

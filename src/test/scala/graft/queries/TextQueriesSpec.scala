@@ -334,6 +334,35 @@ class TextQueriesSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, None)), "empty doc -> no bigrams -> NULL ppl")
   }
 
+  test("q70: char-corrupted copies match inside their simhash block; strangers never pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "red orange yellow green blue indigo violet cyan magenta teal " +
+      "one two three four five six seven eight nine ten"
+    // two single-char insertions chosen (deterministically) so the majority
+    // vote over 40 tokens does NOT flip any fingerprint bit — light noise
+    // stays in-block; heavier corruption changing the fingerprint is
+    // exactly the recall dial the scaladoc documents
+    val corrupted = base.replace(" mu ", " muz ").replace(" omicron ", " omicronz ")
+    val dir = corpus("fuzzy", Seq(
+      (1L, base),
+      (2L, base),            // byte-identical: lev 0, rel 0
+      (3L, corrupted),       // 2 chars flipped: tiny relative distance
+      (4L, "completely different content about unrelated things entirely here now")))
+    val out = TextQueries.q70FuzzyMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === ((0L, 0L)),
+      "identical docs are a zero-distance match")
+    assert(out.contains((1L, 3L)), "light char corruption shares the fingerprint and passes the gate")
+    assert(out((1L, 3L))._1 === 2L, "two single-char flips = levenshtein 2")
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "an unrelated doc must not pair with anything")
+    // canonical orientation + gate invariant on every emitted pair
+    out.foreach { case ((a, b), (_, rel)) =>
+      assert(a < b); assert(rel <= 200000L)
+    }
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort

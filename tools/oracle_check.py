@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB oracle compare — REPR-STRICT.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [q1,q2,...]
+
+The optional third argument restricts the compare to a comma-separated
+subset of query names — used to chunk the sf0.1 sweep (whose all-pairs
+oracles run for tens of minutes) into independently schedulable pieces.
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB over
 views of the sf parquet tables, load the Spark parquet dump, sort columns by
@@ -56,12 +60,18 @@ def canon_frame(df: pd.DataFrame):
     return list(df.columns), out, len(df)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        missing = wanted - set(oracles)
+        if missing:
+            print(f"WARN: no oracle for {sorted(missing)}")
+        oracles = {q: sql for q, sql in oracles.items() if q in wanted}
     n_pass = n_fail = 0
     for q in sorted(oracles):
         spark_dir = os.path.join(out_dir, q)
@@ -98,4 +108,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
