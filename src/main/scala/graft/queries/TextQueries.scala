@@ -534,13 +534,15 @@ object TextQueries {
     * of the quality-surviving subset, which is how a petabyte corpus prep
     * has to be built. The DuckDB oracle replays every stage exactly, so the
     * gate hash-checks the COMPOSITION, not just the parts. */
-  def q47TrainingPrep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // NO source sort (unlike the all-narrow q21/q35): the fp shuffle below
-    // destroys any pre-established order anyway, and a source orderBy would
-    // add a range exchange whose sampling pass re-runs the scan + gates —
-    // the trailing orderBy alone orders the (small) surviving output
-    val kept = Tables.documents(s, dir)
+  /** The narrow score → quality-gate → fingerprint stage of the corpus-prep
+    * pipeline, single-sourced so the batch query (q47) and the streaming
+    * pipeline ([[graft.streaming.CorpusStream]]) provably run the SAME
+    * computation — stateless column algebra, so it runs unchanged on a
+    * batch or streaming DataFrame. Emits quality-surviving docs as
+    * (doc_id, lang, n_tokens, fp). */
+  private[graft] def prepScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"lang", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", $"lang", $"toks",
         size($"toks").cast("long").as("n_tokens"),
@@ -548,12 +550,24 @@ object TextQueries {
         TextFunctions.langId($"toks").as("lang_guess"))
       .filter($"n_tokens".between(20, 2000) &&
         $"stop_ratio_e6" >= 50000 && $"lang_guess" =!= "und")
-    val withFp = kept.select($"doc_id", $"lang", $"n_tokens",
-      contentFp($"toks").as("fp"))
+      .select($"doc_id", $"lang", $"n_tokens", contentFp($"toks").as("fp"))
+  }
+
+  /** The q43/q47 deterministic md5 sample bucket of a doc id column. */
+  private[graft] def sampleBucket(docId: Column): Column =
+    substring(md5(docId.cast("string").cast("binary")), 1, 2)
+
+  def q47TrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // NO source sort (unlike the all-narrow q21/q35): the fp shuffle below
+    // destroys any pre-established order anyway, and a source orderBy would
+    // add a range exchange whose sampling pass re-runs the scan + gates —
+    // the trailing orderBy alone orders the (small) surviving output
+    val withFp = prepScored(Tables.documents(s, dir))
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
     val canon = withFp
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
-    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    val bucket = sampleBucket($"doc_id")
     canon.filter(bucket < lit("80"))
       .select($"doc_id", $"lang", $"n_tokens", $"fp", bucket.as("bucket"))
       .orderBy($"doc_id")

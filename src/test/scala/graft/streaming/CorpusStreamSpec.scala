@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+
+/** CorpusStream contracts: the streaming curation pipeline must equal the
+  * q47 batch prep EXACTLY when documents arrive in id order (the shared
+  * stage functions make any divergence a dedup-rule bug, not a scoring
+  * drift), and the cross-batch state must suppress a duplicate whose twin
+  * arrived in an earlier micro-batch. */
+class CorpusStreamSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def asJson(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value")).coalesce(1)
+
+  private def runStream(root: String): DataFrame = {
+    val docs = Tables.documents(spark, sf)
+    val q = CorpusStream.curated(
+      spark.readStream.schema("value STRING").text(s"$root/src/*")
+        .select(from_json(col("value"), docs.schema).as("d")).select("d.*"))
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out")
+  }
+
+  test("id-ordered streaming ingestion reproduces the q47 batch prep exactly") {
+    val root = tmpDir("corpus-stream")
+    val docs = Tables.documents(spark, sf)
+    val mid = docs.agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    asJson(docs.filter(col("doc_id") <= mid).orderBy("doc_id"))
+      .write.mode("append").text(s"$root/src/b1")
+    Thread.sleep(1100) // file source orders batches by modification time
+    asJson(docs.filter(col("doc_id") > mid).orderBy("doc_id"))
+      .write.mode("append").text(s"$root/src/b2")
+
+    val stream = runStream(root).collect().map(_.toString).sorted.toSeq
+    val batch = graft.queries.TextQueries.q47TrainingPrep(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream === batch,
+      "stream and batch run the same shared stages — only a dedup-rule divergence can differ")
+    assert(batch.nonEmpty, "the prep pipeline must keep documents at sf0.001")
+  }
+
+  test("a duplicate arriving in a LATER batch is suppressed by the fingerprint state") {
+    val root = tmpDir("corpus-dup")
+    // two quality-passing docs with identical token content (same fp,
+    // different ids) split across batches; plus a batch-2 original
+    val good = (1 to 30).map(i => s"the a of and to is in it w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"the a of and to is in it x$i").mkString(" ")
+    def row(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    new java.io.File(s"$root/src").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b1.txt"), row(1L, good))
+    Thread.sleep(1100)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b2.txt"),
+      row(2L, good) + "\n" + row(3L, other))
+
+    val out = runStream(root).collect().map(_.getLong(0)).sorted.toSeq
+    // doc 2 is the cross-batch duplicate of doc 1 -> suppressed; 1 and 3
+    // survive modulo the deterministic 50% sample bucket
+    def inSample(id: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString.substring(0, 2) < "80"
+    val expected = Seq(1L, 3L).filter(inSample)
+    assert(out === expected, s"got $out, expected $expected")
+    assert(!out.contains(2L), "the later-arriving duplicate must never be emitted")
+  }
+}
