@@ -76,5 +76,19 @@ class CorpusStreamSpec extends SparkSpec {
     val expected = Seq(1L, 3L).filter(inSample)
     assert(out === expected, s"got $out, expected $expected")
     assert(!out.contains(2L), "the later-arriving duplicate must never be emitted")
+
+    // RESTART: the fingerprint state must survive in the checkpointed
+    // state store — a new query over the same checkpoint, fed ANOTHER
+    // duplicate of doc 1 plus genuinely new content, must suppress the
+    // former and admit the latter (no re-emission of anything already out)
+    val fresh = (1 to 30).map(i => s"the a of and to is in it y$i").mkString(" ")
+    Thread.sleep(1100)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b3.txt"),
+      row(4L, good) + "\n" + row(5L, fresh))
+    val out2 = runStream(root).collect().map(_.getLong(0)).sorted.toSeq
+    val expected2 = (expected ++ Seq(5L).filter(inSample)).sorted
+    assert(out2 === expected2,
+      s"after restart got $out2, expected $expected2 — state must persist across queries")
+    assert(!out2.contains(4L), "a post-restart duplicate must still be suppressed")
   }
 }
