@@ -1372,25 +1372,54 @@ object TextQueries {
     * Scale shape: cost is Σ bucket² candidate pairs (never N²) × O(len²)
     * per verify; at 100 TB you widen the fingerprint (more bits → smaller
     * buckets) and cap verified length (levenshtein on a prefix) — both
-    * dials, not redesigns. The gate compares `lev·1e6 ≤ 2e5·max_len` in
-    * pure integer arithmetic; the exported ratio uses integer DIV — no
-    * float rounding anywhere, so the oracle replays bit-for-bit. Two
-    * empty documents are excluded (max_len 0): byte-identical texts are
-    * q23 exact-dedup's business, not fuzzy matching's. */
+    * dials, not redesigns. Fingerprint blocks are SKEWED (boilerplate
+    * content piles into a few buckets — at sf0.1 the two hottest hold a
+    * quarter of all pairs), and unlike a join, the verify's cost rides the
+    * pair ROWS, so AQE skew-join cannot rebalance it: the pairs are
+    * round-robin REPARTITIONED before the distance pass, and a
+    * localCheckpoint (q52's pattern) pins the expensive levenshtein to
+    * exactly one evaluation AFTER the balance — otherwise predicate
+    * pushdown re-inlines it into a pre-shuffle filter and the hottest
+    * bucket's task runs the whole verify alone (measured 105 s/run at
+    * sf0.1; 3 s balanced). A cheap |len_a−len_b| pre-gate (length
+    * difference lower-bounds edit distance) prunes hopeless pairs before
+    * they shuffle.
+    *
+    * The gate compares `lev·1e6 ≤ 2e5·max_len` in pure integer
+    * arithmetic; the exported ratio uses integer DIV — no float rounding
+    * anywhere, so the oracle replays bit-for-bit. Two empty documents are
+    * excluded (max_len 0): byte-identical texts are q23 exact-dedup's
+    * business, not fuzzy matching's. */
   def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val verified = fuzzyCandidates(s, dir)
+      .select($"doc_a", $"doc_b", $"simhash",
+        levenshtein($"text_a", $"text_b").cast("long").as("lev"), $"max_len")
+      .localCheckpoint(true)
+    verified
+      .filter($"lev" * 1000000L <= $"max_len" * 200000L)
+      .select($"doc_a", $"doc_b", $"simhash", $"lev",
+        expr("(lev * 1000000) DIV max_len").as("rel_e6"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q70's candidate stage, balanced and ready for the distance verify —
+    * factored out so PlanSpec can audit the join shape (the public query
+    * checkpoints right after the verify, which cuts the executed plan). */
+  private[graft] def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sh = Tables.documents(s, dir).select($"doc_id", $"text",
+      length($"text").cast("long").as("lt"),
       DedupFunctions.simhash(TextFunctions.tokens($"text")).as("sh"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("simhash"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
-        greatest(length(col("a.text")), length(col("b.text"))).cast("long").as("max_len"))
-      .filter($"max_len" > 0 && $"lev" * 1000000L <= $"max_len" * 200000L)
-      .select($"doc_a", $"doc_b", $"simhash", $"lev",
-        expr("(lev * 1000000) DIV max_len").as("rel_e6"))
-      .orderBy($"doc_a", $"doc_b")
+        col("a.sh").as("simhash"), col("a.text").as("text_a"), col("b.text").as("text_b"),
+        greatest(col("a.lt"), col("b.lt")).as("max_len"),
+        abs(col("a.lt") - col("b.lt")).as("len_diff"))
+      .filter($"max_len" > 0 && $"len_diff" * 1000000L <= $"max_len" * 200000L)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select($"doc_a", $"doc_b", $"simhash", $"text_a", $"text_b", $"max_len")
   }
 
   val q70Sql: String =

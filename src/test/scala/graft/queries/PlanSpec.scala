@@ -273,12 +273,18 @@ class PlanSpec extends SparkSpec {
       initial.contains("Bucketed: true"), "scans must actually use the bucket metadata")
   }
 
-  test("q70: fuzzy matching pairs only within simhash blocks — never all-pairs") {
-    val plan = executed(TextQueries.q70FuzzyMatch(spark, dir))
+  test("q70: fuzzy matching pairs only within simhash blocks, verify runs balanced") {
+    // audit the candidate stage (the public query checkpoints after the
+    // verify, which cuts the executed plan at the checkpoint scan)
+    val plan = executed(TextQueries.fuzzyCandidates(spark, dir))
+    val p = plan.toString
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
       "the levenshtein verify must only ever see block-local candidates")
-    assert(plan.toString.contains("graft_simhash"),
+    assert(p.contains("graft_simhash"),
       "blocking key must be the native fingerprint expression")
+    assert(p.contains("Exchange RoundRobinPartitioning") || p.contains("AQEShuffleRead"),
+      "pairs must rebalance before the O(len^2) verify — hot fingerprint " +
+        "buckets would otherwise serialize it in one task")
   }
 
   test("q59: the bloom probe is a narrow filter below the semi-join, scan stays pruned") {
