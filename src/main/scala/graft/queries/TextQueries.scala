@@ -1437,7 +1437,54 @@ object TextQueries {
        |WHERE max_len > 0 AND lev * 1000000 <= max_len * 200000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+
+  /** q71_token_histogram — corpus distribution telemetry: a fixed-width
+    * histogram of document token counts per language (`width_bucket` into
+    * 20 bins over [0, 200), plus the overflow bin), with per-bin share on
+    * the e6 grid. Every serious pipeline watches its length/quality
+    * distributions drift batch-over-batch; FIXED-width bins are the
+    * at-scale histogram shape — bucket assignment is a narrow codegen'd
+    * expression and the aggregation is an ordinary (lang, bin) partial-agg
+    * shuffle of ≤ |langs|·22 groups, where quantile binning (NTILE) would
+    * need a per-stratum global sort. Quantile TELEMETRY at scale comes
+    * from q45's sketches; exact quantiles from q39 — this is the
+    * complementary fixed-grid view whose bins are comparable across runs
+    * precisely because they do not depend on the data. */
+  def q71TokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Window.partitionBy($"lang") // ≤ |langs| rows per partition after agg
+    Tables.documents(s, dir)
+      .select($"lang",
+        width_bucket(TextFunctions.tokenCount($"text").cast("double"),
+          lit(0.0), lit(200.0), lit(20)).as("bin"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_e6",
+        floor($"n_docs" * lit(1000000.0) / sum($"n_docs").over(all)).cast("long"))
+      .orderBy($"lang", $"bin")
+  }
+
+  /** q71 oracle: this DuckDB build has no `width_bucket`, so the oracle
+    * replays its exact semantics arithmetically — bucket i covers
+    * [min + (i−1)·w, min + i·w), values ≥ max land in the overflow bin
+    * numBuckets+1 (token counts are never below min = 0). */
+  val q71Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    CASE WHEN CAST(len($Toks) AS DOUBLE) >= 200.0 THEN 21
+       |         ELSE CAST(floor(CAST(len($Toks) AS DOUBLE) / 10.0) AS BIGINT) + 1
+       |    END AS bin
+       |  FROM documents),
+       |g AS (SELECT lang, bin, count(*) AS n_docs FROM b GROUP BY 1, 2)
+       |SELECT lang, bin, n_docs,
+       |  CAST(floor(n_docs * 1000000.0 / sum(n_docs) OVER (PARTITION BY lang))
+       |       AS BIGINT) AS share_e6
+       |FROM g
+       |ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_token_histogram"   -> (q71TokenHistogram _),
     "q70_fuzzy_match"       -> (q70FuzzyMatch _),
     "q68_bigram_ppl"        -> (q68BigramPpl _),
     "q66_dsir_weights"      -> (q66DsirWeights _),
@@ -1464,6 +1511,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q71_token_histogram"   -> q71Sql,
     "q70_fuzzy_match"       -> q70Sql,
     "q68_bigram_ppl"        -> q68Sql,
     "q66_dsir_weights"      -> q66Sql,

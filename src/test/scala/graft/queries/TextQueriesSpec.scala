@@ -363,6 +363,24 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q71: histogram bins follow width_bucket semantics; shares sum to ~1e6 per lang") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("hist")
+    Seq((1L, "", "en"), (2L, ("w " * 5).trim, "en"), (3L, ("w " * 10).trim, "en"),
+        (4L, ("w " * 250).trim, "en"), (5L, ("w " * 199).trim, "de"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q71TokenHistogram(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("en", 1L))._1 === 2L, "0 and 5 tokens land in bin 1 = [0,10)")
+    assert(out(("en", 2L))._1 === 1L, "10 tokens lands in bin 2 = [10,20) — left-closed")
+    assert(out(("en", 21L))._1 === 1L, "250 tokens lands in the overflow bin 21")
+    assert(out(("de", 20L))._1 === 1L, "199 tokens is the last regular bin")
+    // shares are floor(n/total*1e6): per lang they sum to within 22 ulps of 1e6
+    val enShare = out.collect { case ((l, _), (_, sh)) if l == "en" => sh }.sum
+    assert(enShare > 1000000L - 22 && enShare <= 1000000L)
+  }
+
   test("q53 output order survives the narrow pipeline (pins the implicit-order invariant)") {
     // The driver's compare is row-order-strict and the q53 oracle ends in
     // ORDER BY doc_id, fp; the Spark side relies on the source range-sort
