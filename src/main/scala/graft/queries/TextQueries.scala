@@ -1112,9 +1112,11 @@ object TextQueries {
     * million grams no matter how big the training corpus grows — so its
     * distinct-gram set is the textbook broadcast side: build once
     * (distinct = one small shuffle over eval grams only), broadcast, and
-    * the training side is a narrow scan + broadcast semi-probe + per-doc
-    * re-aggregation keyed by doc_id. No corpus-sized shuffle touches the
-    * gram strings; cost is one pass over the corpus. The per-doc count
+    * the training side is ONE scan — explode_outer the (already-distinct)
+    * grams, mark hits against the broadcast set, and aggregate count and
+    * overlap together per doc_id (explode_outer keeps gram-less docs as a
+    * null row, so no second scan is needed to restore them). No
+    * corpus-sized shuffle touches the gram strings. The per-doc count
     * uses DISTINCT grams (q21's shingle convention) so a doc repeating one
     * leaked gram five times scores 1, not 5. */
   def q63Decontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -1123,16 +1125,13 @@ object TextQueries {
       .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("gs"))
     val evalGrams = docs.filter($"doc_id" % 41 === 0)
       .select(explode($"gs").as("g")).distinct()
-    val trainHits = docs.filter($"doc_id" % 41 =!= 0)
-      .select($"doc_id", explode($"gs").as("g"))
-      .join(broadcast(evalGrams), Seq("g"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
     docs.filter($"doc_id" % 41 =!= 0)
-      .select($"doc_id", size($"gs").cast("long").as("n_grams"))
-      .join(trainHits, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_grams",
-        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
-        (coalesce($"n_overlap", lit(0L)) >= 2).cast("long").as("contaminated"))
+      .select($"doc_id", explode_outer($"gs").as("g"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"g").as("n_grams"), count($"hit").as("n_overlap"))
+      .select($"doc_id", $"n_grams", $"n_overlap",
+        ($"n_overlap" >= 2).cast("long").as("contaminated"))
       .orderBy($"doc_id")
   }
 
@@ -1316,7 +1315,10 @@ object TextQueries {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // c1(w1) = Σ_w2 c2(w1,w2): derive it from the (vastly smaller) bigram-
+    // TYPE table rather than re-exploding and re-shuffling every bigram
+    // INSTANCE of the corpus a second time
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     val vocab = docs.select(explode($"toks").as("t"))
       .select(countDistinct($"t").as("vsz"))
     val model = c2.join(c1, "w1").crossJoin(broadcast(vocab))

@@ -56,39 +56,41 @@ class CorpusStreamSpec extends SparkSpec {
   test("a duplicate arriving in a LATER batch is suppressed by the fingerprint state") {
     val root = tmpDir("corpus-dup")
     // two quality-passing docs with identical token content (same fp,
-    // different ids) split across batches; plus a batch-2 original
+    // different ids) split across batches; plus a batch-2 original.
+    // Doc ids are chosen INSIDE the deterministic 50% sample bucket
+    // (md5(id) first byte < 0x80: 6, 9, 11, 17, 19 qualify) — with
+    // out-of-sample ids every expected set is empty and the test would
+    // pass vacuously no matter what the state did.
     val good = (1 to 30).map(i => s"the a of and to is in it w$i").mkString(" ")
     val other = (1 to 30).map(i => s"the a of and to is in it x$i").mkString(" ")
     def row(id: Long, text: String) =
       s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
-    new java.io.File(s"$root/src").mkdirs()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b1.txt"), row(1L, good))
-    Thread.sleep(1100)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b2.txt"),
-      row(2L, good) + "\n" + row(3L, other))
-
-    val out = runStream(root).collect().map(_.getLong(0)).sorted.toSeq
-    // doc 2 is the cross-batch duplicate of doc 1 -> suppressed; 1 and 3
-    // survive modulo the deterministic 50% sample bucket
     def inSample(id: Long) =
       java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes).map("%02x".format(_)).mkString.substring(0, 2) < "80"
-    val expected = Seq(1L, 3L).filter(inSample)
-    assert(out === expected, s"got $out, expected $expected")
-    assert(!out.contains(2L), "the later-arriving duplicate must never be emitted")
+    assert(Seq(6L, 9L, 11L, 17L, 19L).forall(inSample), "test ids must be sampled")
+    new java.io.File(s"$root/src").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b1.txt"), row(6L, good))
+    Thread.sleep(1100)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b2.txt"),
+      row(9L, good) + "\n" + row(11L, other))
+
+    val out = runStream(root).collect().map(_.getLong(0)).sorted.toSeq
+    // doc 9 is the cross-batch duplicate of doc 6 -> suppressed
+    assert(out === Seq(6L, 11L), s"got $out")
+    assert(!out.contains(9L), "the later-arriving duplicate must never be emitted")
 
     // RESTART: the fingerprint state must survive in the checkpointed
     // state store — a new query over the same checkpoint, fed ANOTHER
-    // duplicate of doc 1 plus genuinely new content, must suppress the
+    // duplicate of doc 6 plus genuinely new content, must suppress the
     // former and admit the latter (no re-emission of anything already out)
     val fresh = (1 to 30).map(i => s"the a of and to is in it y$i").mkString(" ")
     Thread.sleep(1100)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/b3.txt"),
-      row(4L, good) + "\n" + row(5L, fresh))
+      row(17L, good) + "\n" + row(19L, fresh))
     val out2 = runStream(root).collect().map(_.getLong(0)).sorted.toSeq
-    val expected2 = (expected ++ Seq(5L).filter(inSample)).sorted
-    assert(out2 === expected2,
-      s"after restart got $out2, expected $expected2 — state must persist across queries")
-    assert(!out2.contains(4L), "a post-restart duplicate must still be suppressed")
+    assert(out2 === Seq(6L, 11L, 19L),
+      s"after restart got $out2 — state must persist across queries")
+    assert(!out2.contains(17L), "a post-restart duplicate must still be suppressed")
   }
 }

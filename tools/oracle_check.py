@@ -70,8 +70,13 @@ def main(sf_dir, out_dir, only=None):
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         missing = wanted - set(oracles)
         if missing:
-            print(f"WARN: no oracle for {sorted(missing)}")
+            # a typo'd subset must FAIL, not exit green with zero checks run
+            print(f"FAIL: no oracle for {sorted(missing)}")
+            return 1
         oracles = {q: sql for q, sql in oracles.items() if q in wanted}
+        if not oracles:
+            print("FAIL: empty query subset")
+            return 1
     n_pass = n_fail = 0
     for q in sorted(oracles):
         spark_dir = os.path.join(out_dir, q)
