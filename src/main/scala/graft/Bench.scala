@@ -13,11 +13,20 @@ import scala.jdk.OptionConverters._
   *
   * Hermeticity: one contended 15-second window on the machine poisons every
   * query timed inside it (r3 measured a contiguous 2-6x inflated block with
-  * byte-identical plans). Three defenses:
+  * byte-identical plans; r6 saw three alphabetically-adjacent queries
+  * inflate 1.9-4.6x with untouched code — consecutive reps of one query all
+  * fit inside one contention window). Four defenses:
   *   - refuse to start while another graft/duckdb JVM is live (a detached
   *     sf0.1 oracle sweep overlapping the bench is exactly the r3 signature);
-  *   - time each query `SPARK_GRAFT_BENCH_REPS` times (default 3) and report
-  *     the MEDIAN — a single contended window then perturbs at most one rep;
+  *   - reps are INTERLEAVED round-robin across queries (A,B,C,A,B,C — not
+  *     A,A,A,B,B,B): a multi-minute contention window now perturbs ONE rep
+  *     of many queries, which the per-query MEDIAN of
+  *     `SPARK_GRAFT_BENCH_REPS` (default 3) discards, instead of all reps
+  *     of whichever queries were unlucky enough to run inside it;
+  *   - a fixed-work single-thread CPU canary runs before every timed rep;
+  *     its median and max land in the output JSON, so a contaminated run is
+  *     DETECTABLE post-hoc (canary_max ≫ canary_med = something stole CPU
+  *     mid-bench) — the generic co-tenant load the process check can't see;
   *   - run the cross-query cleanup (unpersist of leftover localCheckpoint
   *     blocks, e.g. q40's edge checkpoint) BLOCKING and outside the timed
   *     window, so cleanup of query N cannot bleed into query N+1's timing
@@ -45,6 +54,27 @@ object Bench {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Fixed-work single-thread CPU probe (~tens of ms): a splitmix-style
+    * long chain whose wall time depends only on how much CPU this process
+    * actually gets. Identical work every call, so rep-over-rep variance in
+    * its timing IS the machine's contention signal. */
+  private def canary(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 20000000) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      x ^= z ^ (z >>> 31)
+      i += 1
+    }
+    canarySink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+  @volatile private var canarySink: Long = 0L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,28 +143,40 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names.contains).toMap
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        cleanup()
-        if (ok) Some(t) else None
-      }
-      // failures report the sentinel -1.0 so a consumer of the JSON line can
-      // tell a failed query from a fast one; they are excluded from total
-      (name, if (times.size == reps) median(times) else -1.0)
+    // rep-major, query-minor: rep r of EVERY query runs before rep r+1 of
+    // any — see the hermeticity scaladoc (one contention window perturbs
+    // one rep of many queries, never all reps of one)
+    val names = selected.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
+    for (rep <- 1 to reps; name <- names) {
+      canaries += canary()
+      val t0 = System.nanoTime()
+      val ok =
+        try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}"); false
+        }
+      val t = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      if (ok) times.updateWith(name)(prev => Some(t :: prev.getOrElse(Nil)))
+      else failedSet += name
+    }
+    // failures report the sentinel -1.0 so a consumer of the JSON line can
+    // tell a failed query from a fast one; they are excluded from total
+    val results = names.map { name =>
+      val ts = times.getOrElse(name, Nil)
+      (name, if (!failedSet(name) && ts.size == reps) median(ts) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    val cMed = median(canaries.toSeq)
+    val cMax = canaries.max
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -241,20 +241,17 @@ object EventQueries {
       |GROUP BY ws_ms, event_type
       |ORDER BY ws_ms, event_type""".stripMargin
 
-  /** q45_approx_stats — the SKETCH aggregates a 100 TB user reaches for
-    * first: `approx_count_distinct` (HyperLogLog++, fixed ~kB state per
-    * group vs an exact distinct's shuffle of every distinct value) and
-    * `approx_percentile` (Greenwald-Khanna-style quantile summary, state
-    * bounded by the accuracy parameter vs `percentile`'s full value
-    * buffer). Both are partial-aggregable one-pass sketches — the at-scale
-    * drop-ins for q12's exact distinct and q39's exact percentiles.
-    *
-    * No DuckDB oracle: its HLL/quantile sketches are different
-    * implementations, so only the driver's rows-only check applies here.
-    * The accuracy CONTRACTS are asserted in SketchSpec instead: HLL++
-    * relative error vs exact distinct within 3×rsd, and the returned
-    * quantiles' empirical rank within the documented 1/accuracy bound. */
-  def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
+  /** q45's measurement core: the raw SKETCH aggregates a 100 TB user
+    * reaches for first — `approx_count_distinct` (HyperLogLog++, fixed
+    * ~kB state per group vs an exact distinct's shuffle of every distinct
+    * value) and `approx_percentile` (Greenwald-Khanna-style quantile
+    * summary, state bounded by the accuracy parameter vs `percentile`'s
+    * full value buffer). Both are partial-aggregable one-pass sketches —
+    * the at-scale drop-ins for q12's exact distinct and q39's exact
+    * percentiles. SketchSpec asserts the error bounds on these raw
+    * estimates directly; [[q45ApproxStats]] turns them into the
+    * oracle-checkable verdict. */
+  private[graft] def q45Sketches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
@@ -265,6 +262,68 @@ object EventQueries {
         count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
+
+  /** q45_approx_stats — sketch aggregates UNDER THE ORACLE GATE. Sketch
+    * estimates themselves are implementation-specific (DuckDB's HLL and
+    * quantile summaries are different algorithms), so the raw estimates
+    * can never hash-match an oracle. What CAN: the exact group stats and
+    * the documented accuracy contract as a boolean verdict. This query
+    * runs the sketches ([[q45Sketches]]), broadcasts the tiny per-group
+    * estimate table back into ONE exact pass, and emits per group the
+    * exact `n`/`du_exact` plus three BIGINT verdicts — `hll_ok`
+    * (|approx−exact| ≤ 3·rsd·exact, the HLL++ 3σ bound) and
+    * `p50_ok`/`p95_ok` (the returned element's empirical rank within
+    * 1/accuracy of the target quantile, +1 row of slack because the sketch
+    * returns an actual element). The oracle states the contract — literal
+    * 1s next to DuckDB's exact stats — so a sketch drifting out of bound
+    * flips a verdict to 0 and fails the hash compare. All verdict
+    * arithmetic is integer (counts scaled by the bound's denominators):
+    * no float rounding can disagree between engines.
+    *
+    * Scale shape: the sketch pass is the production artifact (fixed-size
+    * partial-aggregable state); the exact pass exists to certify it and
+    * costs one distinct-expand over events — the certification harness, by
+    * construction the thing the sketches REPLACE at 100 TB. */
+  def q45ApproxStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = q45Sketches(s, dir) // one row per event_type — broadcast side
+    val exact = Tables.events(s, dir)
+      .select($"event_type", $"user_id", $"value")
+      .join(broadcast(sk), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("du_exact"),
+        max($"du_approx").as("du_a"), // constant within the group
+        sum(when($"value" < $"p50_approx", 1L).otherwise(0L)).as("lt50"),
+        sum(when($"value" <= $"p50_approx", 1L).otherwise(0L)).as("le50"),
+        sum(when($"value" < $"p95_approx", 1L).otherwise(0L)).as("lt95"),
+        sum(when($"value" <= $"p95_approx", 1L).otherwise(0L)).as("le95"))
+    // rank-window verdict for quantile num/den with accuracy 10000:
+    // rank(< v) may not exceed ceil(q·n)+slack and rank(<= v) must reach
+    // floor(q·n)−slack, slack = n/10000 + 1 rows — all integer arithmetic
+    def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+    def rankOk(lt: Column, le: Column, num: Long, den: Long): Column = {
+      val slack = idiv($"n", 10000L) + 1L
+      val lo = idiv(lit(num) * $"n", den)                  // floor(q·n)
+      val hi = idiv(lit(num) * $"n" + lit(den - 1), den)   // ceil(q·n)
+      ((le + slack >= lo) && (lt <= hi + slack)).cast("long")
+    }
+    exact.select($"event_type", $"n", $"du_exact",
+        (abs($"du_a" - $"du_exact") * 100L <= $"du_exact" * 15L).cast("long").as("hll_ok"),
+        rankOk($"lt50", $"le50", 1L, 2L).as("p50_ok"),
+        rankOk($"lt95", $"le95", 19L, 20L).as("p95_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** q45 oracle: DuckDB computes the exact side; the verdict columns are
+    * the CONTRACT — literal 1s. A sketch out of bound emits 0 on the
+    * Spark side and the driver's hash compare catches it. */
+  val q45Sql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS du_exact,
+      |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok,
+      |  CAST(1 AS BIGINT) AS p95_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q46_interval_join — batch twin of the stream-stream interval join
     * ([[graft.streaming.EventStream.purchasesWithRecentClicks]]): each
@@ -547,9 +606,10 @@ object EventQueries {
     "q16_cdc_latest" -> q16Sql,
     "q20_sessionize" -> q20Sql,
     "q39_percentile" -> q39Sql,
-    // q45_approx_stats: intentionally NO oracle — sketch outputs are
-    // implementation-specific; the driver's rows-only check + SketchSpec's
-    // accuracy-contract assertions cover it
+    // q45: the raw sketch estimates are implementation-specific (never
+    // hash-matchable), so the gated projection is exact stats + the
+    // accuracy contract as BIGINT verdicts; see q45ApproxStats's scaladoc
+    "q45_approx_stats" -> q45Sql,
     "q46_interval_join" -> q46Sql,
     "q56_outer_interval_join" -> q56Sql,
     "q48_sliding_window" -> q48Sql,

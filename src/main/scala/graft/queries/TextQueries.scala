@@ -993,10 +993,16 @@ object TextQueries {
     * exact count-distinct shuffle keyed by the window gram finds the
     * frequent set, a shuffle semi-join marks covered starts, and coverage /
     * anti-join / reassembly all shuffle by doc — every stage is keyed, no
-    * pair blowup anywhere (cost is Σ windows, never N²). The gram strings
-    * themselves ride the first shuffle; at 100 TB you would dictionary-
-    * encode them to longs first (q52's zipWithIndex recipe — exactness
-    * preserved, unlike hashing, which q24 shows must then be verified).
+    * pair blowup anywhere (cost is Σ windows, never N²). The gram is
+    * reduced to a 128-BIT FINGERPRINT (two independent xxhash64 lanes) in
+    * the scan, so the count-distinct shuffle and the semi-join carry
+    * 16-byte keys instead of W-token strings (severalfold smaller — the
+    * gram text never leaves the executor that built it). 64 bits alone
+    * would NOT survive 100 TB (birthday bound at ~2³² windows, and a 100 TB
+    * corpus has ~10¹³); at 128 bits the collision probability at 10¹³
+    * windows is ~1e-13, and the worst case of a collision is one spurious
+    * boilerplate window, not lost text. The oracle replays the STRING
+    * semantics, so a collision at gate scale would fail the hash compare.
     * The frequent set is corpus-derived and unbounded, so it is a SHUFFLE
     * join by design — broadcasting it would be the q37 vocabulary mistake. */
   def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
@@ -1008,10 +1014,13 @@ object TextQueries {
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), size($"toks") - W),
           i => array_join(slice($"toks", i + 1, lit(W)), " "))).as(Seq("start", "g")))
-    val freq = win.groupBy($"g")
+      // 128-bit fingerprint in the scan; the gram string never shuffles
+      .select($"doc_id", $"start",
+        xxhash64($"g").as("h1"), xxhash64($"g", lit(1L)).as("h2"))
+    val freq = win.groupBy($"h1", $"h2")
       .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"g")
-    val covered = win.join(freq, "g")
+      .filter($"nd" >= 2).select($"h1", $"h2")
+    val covered = win.join(freq, Seq("h1", "h2"))
       .select($"doc_id", explode(sequence($"start", $"start" + (W - 1))).as("p"))
       .distinct()
     val pos = docs.select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
@@ -1394,10 +1403,17 @@ object TextQueries {
     * business, not fuzzy matching's. */
   def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // LAZY localCheckpoint: the LogicalRDD barrier (what actually stops
+    // predicate pushdown from re-inlining the levenshtein before the
+    // balance) exists either way, but eager=false defers execution to the
+    // first action — merely BUILDING or plan-inspecting this query costs
+    // nothing. Local checkpoint blocks are lost on executor failure; at
+    // cluster scale swap for persist(DISK_ONLY) or a reliable checkpoint
+    // if the verify stage must survive executor churn.
     val verified = fuzzyCandidates(s, dir)
       .select($"doc_a", $"doc_b", $"simhash",
         levenshtein($"text_a", $"text_b").cast("long").as("lev"), $"max_len")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     verified
       .filter($"lev" * 1000000L <= $"max_len" * 200000L)
       .select($"doc_a", $"doc_b", $"simhash", $"lev",

@@ -23,7 +23,7 @@ class SketchSpec extends SparkSpec {
   test("approx_count_distinct tracks exact distinct within 3x rsd") {
     val s = spark
     import s.implicits._
-    val joined = EventQueries.q45ApproxStats(s, dir).as("a")
+    val joined = EventQueries.q45Sketches(s, dir).as("a")
       .join(graft.Tables.events(s, dir)
         .groupBy($"event_type")
         .agg(countDistinct($"user_id").as("du_exact")).as("e"), "event_type")
@@ -44,7 +44,7 @@ class SketchSpec extends SparkSpec {
     try {
       val sizes = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val approx = EventQueries.q45ApproxStats(s, dir)
+      val approx = EventQueries.q45Sketches(s, dir)
         .select($"event_type", $"p50_approx", $"p95_approx").collect()
       assert(approx.nonEmpty)
       for (r <- approx; (q, v) <- Seq(0.5 -> r.getDouble(1), 0.95 -> r.getDouble(2))) {
@@ -59,5 +59,14 @@ class SketchSpec extends SparkSpec {
           s"$et q=$q: value $v has rank window [${below / n}, ${atOrBelow / n}], eps=$eps")
       }
     } finally { ev.unpersist(blocking = true); () }
+  }
+
+  test("q45's gated projection certifies the contract: every verdict column is 1") {
+    val rows = EventQueries.q45ApproxStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("hll_ok", "p50_ok", "p95_ok"))
+        assert(r.getAs[Long](c) == 1L, s"$c flipped to 0 in $r")
+    }
   }
 }
