@@ -1005,11 +1005,17 @@ object TextQueries {
     * semantics, so a collision at gate scale would fail the hash compare.
     * The frequent set is corpus-derived and unbounded, so it is a SHUFFLE
     * join by design — broadcasting it would be the q37 vocabulary mistake. */
-  def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+  /** Repeated-window width shared by q61 (scrub) and q72 (span inventory). */
+  private val RepeatW = 6
+
+  /** (doc_id, p): every 0-based token position covered by a [[RepeatW]]-token
+    * window that appears verbatim in ≥ 2 distinct documents — the shared
+    * mining core of q61 and q72 (see q61's scaladoc for the scale shape;
+    * `docs` must be (doc_id, toks)). */
+  private def coveredPositions(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val W = 6
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val W = RepeatW
     val win = docs.filter(size($"toks") >= W)
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), size($"toks") - W),
@@ -1020,9 +1026,16 @@ object TextQueries {
     val freq = win.groupBy($"h1", $"h2")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"h1", $"h2")
-    val covered = win.join(freq, Seq("h1", "h2"))
+    win.join(freq, Seq("h1", "h2"))
       .select($"doc_id", explode(sequence($"start", $"start" + (W - 1))).as("p"))
       .distinct()
+  }
+
+  def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val covered = coveredPositions(docs)
     val pos = docs.select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
     val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
     val agg = kept.groupBy($"doc_id").agg(
@@ -1501,7 +1514,160 @@ object TextQueries {
        |FROM g
        |ORDER BY lang, bin""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+
+  /** q72_repeat_spans — the VARIABLE-LENGTH inventory of cross-document
+    * repetition (the output shape of Lee et al. 2022's suffix-array dedup,
+    * bounded to repeats ≥ [[RepeatW]]): q61 DROPS the token positions
+    * covered by any 6-token window repeated across documents; this query
+    * publishes, per document, the MAXIMAL contiguous runs of those
+    * positions. A repeated region of true length L ≥ W covers exactly its
+    * L consecutive positions with fixed-width hits, so fusing covered
+    * positions into islands recovers each region's full variable extent
+    * (`span_len`) — overlapping and adjacent windows merge into one span.
+    * This is the span-level record a curation stack cuts by (Lee et al.
+    * remove the repeated BYTES, not the documents); q61's scrub is the
+    * "apply" of this query's "plan".
+    *
+    * Scale shape: shares [[coveredPositions]] (one fingerprint-keyed
+    * count-distinct shuffle + semi-join, 16-byte keys); the islands pass
+    * adds one doc_id-keyed window — gaps-and-islands via p − row_number,
+    * partition-bounded by a document's own covered positions, no pair
+    * blowup anywhere. `span_start`/`span_end` are 0-based token offsets
+    * (inclusive). */
+  def q72RepeatSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"p")
+    coveredPositions(docs)
+      .withColumn("grp", $"p" - row_number().over(byPos))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"p").cast("long").as("span_start"),
+        max($"p").cast("long").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_len")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** q72 oracle: q61's window-mining CTEs (string semantics — a Spark-side
+    * fingerprint collision would fail this gate), 0-based positions, then
+    * textbook gaps-and-islands. */
+  val q72Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    list_aggregate(toks[CAST(u.i AS INT):CAST(u.i + 5 AS INT)],
+       |                   'string_agg', ' ') AS g
+       |  FROM t, UNNEST(range(1, len(toks) - 6 + 2)) AS u(i)),
+       |freq AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT w.doc_id, CAST(u.p AS BIGINT) - 1 AS p
+       |        FROM win w JOIN freq USING (g), UNNEST(range(w.i, w.i + 6)) AS u(p)),
+       |isl AS (SELECT doc_id, p,
+       |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM cov)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+
+  /** q73_bm25 — ranked lexical retrieval: Okapi BM25 (k1 = 1.2, b = 0.75,
+    * the Robertson/Lucene idf ln(1 + (N−df+0.5)/(df+0.5))) scores a fixed
+    * query workload against the corpus; top-10 documents per query. This
+    * is the lexical half of a retrieval stack (embedding ANN — q25/q30/
+    * q54/q67 — is the other half): RAG context fetch and targeted
+    * training-mix selection both start from exactly this operator.
+    *
+    * Engine-determinism: each (term, doc) contribution is ONE double
+    * expression floored onto the e6 grid (q68's convention), written with
+    * identical literals and associativity on both engines; per-(query,doc)
+    * totals are then exact integer sums (order-free), and ranking is the
+    * integer score with doc_id tie-break. avgdl is sum(dl)/N of exact
+    * longs — not avg(), whose partial-aggregation order is engine-private.
+    *
+    * Scale shape: the query workload is FIXED-SIZE (the q63 eval-set
+    * rule), so its distinct terms prune the token explosion AT THE SCAN
+    * (broadcast semi-join); tf is one (doc,term)-keyed count shuffle over
+    * the matching sliver only; df is O(|terms|) rows and N/avgdl one
+    * scalar row — all broadcast back; top-k is one window over
+    * |queries| × |matching docs| scored rows. No corpus-sized shuffle
+    * carries tokens, and the full-corpus pass is one narrow length agg. */
+  def q73Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "hash"), (1L, "join"), (1L, "table"),
+      (2L, "stream"), (2L, "window"), (2L, "batch"),
+      (3L, "vector"), (3L, "scan"), (3L, "filter"),
+      (4L, "merge"), (4L, "sort"), (4L, "order"))
+      .toDF("query_id", "term")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl")) // exact longs, one division
+    val tf = docs.select($"doc_id", explode($"toks").as("t"))
+      .join(broadcast(queries.select($"term".as("t")).distinct()), "t")
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+    val contrib = tf
+      .join(broadcast(dft), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"t", $"doc_id",
+        floor(lit(1000000.0) *
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .cast("long").as("c_e6"))
+    val scored = contrib
+      .join(broadcast(queries.withColumnRenamed("term", "t")), "t")
+      .groupBy($"query_id", $"doc_id").agg(sum($"c_e6").as("score_e6"))
+    val byScore = Window.partitionBy($"query_id").orderBy($"score_e6".desc, $"doc_id")
+    scored.withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"score_e6")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q73 oracle: identical formula text (same literals, same
+    * associativity) so both engines floor the same doubles; the only
+    * cross-library call is ln(), whose ≤1-ulp drift the e6 floor absorbs
+    * (the proven q68 pattern). */
+  val q73Sql: String =
+    s"""WITH q(query_id, term) AS (VALUES
+       |    (1, 'hash'), (1, 'join'), (1, 'table'),
+       |    (2, 'stream'), (2, 'window'), (2, 'batch'),
+       |    (3, 'vector'), (3, 'scan'), (3, 'filter'),
+       |    (4, 'merge'), (4, 'sort'), (4, 'order')),
+       |t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tok AS (SELECT doc_id, u.t AS t FROM t, UNNEST(t.toks) AS u(t)
+       |        WHERE u.t IN (SELECT DISTINCT term FROM q)),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.t, tf.doc_id,
+       |    CAST(floor(1000000.0 *
+       |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT) AS c_e6
+       |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats),
+       |scored AS (
+       |  SELECT q.query_id, c.doc_id, CAST(sum(c.c_e6) AS BIGINT) AS score_e6
+       |  FROM q JOIN contrib c ON q.term = c.t GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score_e6
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_e6 DESC, doc_id) AS rank FROM scored) z
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_repeat_spans"      -> (q72RepeatSpans _),
+    "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
     "q70_fuzzy_match"       -> (q70FuzzyMatch _),
     "q68_bigram_ppl"        -> (q68BigramPpl _),
@@ -1529,6 +1695,8 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q72_repeat_spans"      -> q72Sql,
+    "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
     "q70_fuzzy_match"       -> q70Sql,
     "q68_bigram_ppl"        -> q68Sql,

@@ -25,10 +25,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: score/gate/fingerprint are stateless column algebra (scan
   * speed, no state); dedup holds ONE (fp → seen) entry per DISTINCT
   * fingerprint — state grows with unique content, not stream length.
-  * At 100 TB feed sizes, bound it with a processing-time state TTL
-  * (re-admitting a duplicate past the horizon — the standard recall/state
-  * trade) or back the state store with RocksDB; both are config, not
-  * redesign.
+  * At 100 TB feed sizes, bound it with `stateTtlMs` (a processing-time
+  * state TTL: a fingerprint unseen for the horizon is dropped from state
+  * and its next duplicate re-admitted — the standard recall/state trade,
+  * now config) and/or back the state store with RocksDB.
   */
 object CorpusStream {
 
@@ -38,20 +38,39 @@ object CorpusStream {
   /** Apply score+gates+fingerprint, cross-batch first-arrival dedup, and
     * the deterministic hash-bucket sample to a (possibly streaming)
     * documents DataFrame. Append-mode safe: each doc is emitted at most
-    * once, in the micro-batch that first admits its fingerprint. */
-  def curated(docs: DataFrame): DataFrame = {
+    * once, in the micro-batch that first admits its fingerprint.
+    *
+    * `stateTtlMs`: optional state TTL. Every sighting of a fingerprint
+    * (admission AND later duplicates) refreshes its horizon, so hot
+    * boilerplate stays deduplicated forever and only fingerprints unseen
+    * for the full horizon age out. Spark fires the timeout in the first
+    * micro-batch after expiry in which the key carries no data; a
+    * duplicate arriving after the state was dropped is re-admitted (and
+    * re-emitted) — the documented recall trade for bounded state. With
+    * None, state never expires (exact dedup over the stream's lifetime). */
+  def curated(docs: DataFrame, stateTtlMs: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val deduped = graft.queries.TextQueries.prepScored(docs)
       .as[ScoredDoc]
       .groupByKey(_.fp)
       .flatMapGroupsWithState[Long, ScoredDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[ScoredDoc], state: GroupState[Long]) =>
-          if (state.exists || rows.isEmpty) Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed with no sighting: forget the fp
+            Iterator.empty
+          } else if (state.exists) {
+            stateTtlMs.foreach(state.setTimeoutDuration) // duplicate sighting refreshes
+            Iterator.empty
+          } else if (rows.isEmpty) Iterator.empty
           else {
             val first = rows.minBy(_.doc_id) // in-batch tie-break = batch rule
             state.update(first.doc_id)
+            stateTtlMs.foreach(state.setTimeoutDuration)
             Iterator.single(first)
           }
       }

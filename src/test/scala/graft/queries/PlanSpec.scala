@@ -364,4 +364,31 @@ class PlanSpec extends SparkSpec {
     assert(hintLines <= 2)
     assert(hinted.nonEmpty)
   }
+
+  test("q72: span mining shuffles 16-byte fingerprints, never the gram strings") {
+    val plan = executed(TextQueries.q72RepeatSpans(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = plan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).nonEmpty)
+    // no exchange keyed on the gram string column g — only fingerprints
+    // (h1/h2) and doc keys may partition
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("(g#")),
+      s"the gram string must be fingerprinted before it reaches an exchange:\n$p")
+  }
+
+  test("q73: fixed query terms prune at the scan; corpus stats broadcast back") {
+    // the term semi-join and the df/stats/query joins are all bounded by
+    // the fixed workload — every one must be a broadcast, and nothing may
+    // degenerate to a cartesian product
+    val plan = executed(TextQueries.q73Bm25(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the 1-row stats crossJoin must resolve as a broadcast nested loop")
+    val p = plan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bhj >= 3 && bnlj >= 1,
+      s"terms/df/queries must ride broadcast hash joins (got $bhj) and the " +
+        s"1-row stats a broadcast nested loop (got $bnlj):\n$p")
+  }
 }
