@@ -1594,14 +1594,19 @@ object TextQueries {
     * scalar row — all broadcast back; top-k is one window over
     * |queries| × |matching docs| scored rows. No corpus-sized shuffle
     * carries tokens, and the full-corpus pass is one narrow length agg. */
-  def q73Bm25(s: SparkSession, dir: String): DataFrame = {
+  /** The fixed retrieval workload shared by q73 (BM25) and q74 (hybrid
+    * fusion): four queries of three corpus-vocabulary terms each. */
+  private val RetrievalWorkload: Seq[(Long, String)] = Seq(
+    (1L, "hash"), (1L, "join"), (1L, "table"),
+    (2L, "stream"), (2L, "window"), (2L, "batch"),
+    (3L, "vector"), (3L, "scan"), (3L, "filter"),
+    (4L, "merge"), (4L, "sort"), (4L, "order"))
+
+  /** (query_id, doc_id, score_e6): the BM25 scoring core — see
+    * [[q73Bm25]]'s scaladoc for formula, determinism and scale shape. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val queries = Seq(
-      (1L, "hash"), (1L, "join"), (1L, "table"),
-      (2L, "stream"), (2L, "window"), (2L, "batch"),
-      (3L, "vector"), (3L, "scan"), (3L, "filter"),
-      (4L, "merge"), (4L, "sort"), (4L, "order"))
-      .toDF("query_id", "term")
+    val queries = RetrievalWorkload.toDF("query_id", "term")
     val docs = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
@@ -1621,11 +1626,16 @@ object TextQueries {
           ($"tf" * lit(2.2)) /
           ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
           .cast("long").as("c_e6"))
-    val scored = contrib
+    contrib
       .join(broadcast(queries.withColumnRenamed("term", "t")), "t")
       .groupBy($"query_id", $"doc_id").agg(sum($"c_e6").as("score_e6"))
+  }
+
+  def q73Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val byScore = Window.partitionBy($"query_id").orderBy($"score_e6".desc, $"doc_id")
-    scored.withColumn("rank", row_number().over(byScore).cast("long"))
+    bm25Scored(s, dir)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter($"rank" <= 10)
       .select($"query_id", $"rank", $"doc_id", $"score_e6")
       .orderBy($"query_id", $"rank")
@@ -1635,8 +1645,10 @@ object TextQueries {
     * associativity) so both engines floor the same doubles; the only
     * cross-library call is ln(), whose ≤1-ulp drift the e6 floor absorbs
     * (the proven q68 pattern). */
-  val q73Sql: String =
-    s"""WITH q(query_id, term) AS (VALUES
+  /** Shared DuckDB CTE block ending in `scored(query_id, doc_id, score_e6)`
+    * — the BM25 half of q73 and q74. */
+  private val Bm25CoreSql: String =
+    s"""q(query_id, term) AS (VALUES
        |    (1, 'hash'), (1, 'join'), (1, 'table'),
        |    (2, 'stream'), (2, 'window'), (2, 'batch'),
        |    (3, 'vector'), (3, 'scan'), (3, 'filter'),
@@ -1657,15 +1669,111 @@ object TextQueries {
        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS BIGINT) AS c_e6
        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats),
        |scored AS (
-       |  SELECT q.query_id, c.doc_id, CAST(sum(c.c_e6) AS BIGINT) AS score_e6
-       |  FROM q JOIN contrib c ON q.term = c.t GROUP BY 1, 2)
-       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score_e6
+       |  SELECT CAST(q.query_id AS BIGINT) AS query_id, c.doc_id,
+       |    CAST(sum(c.c_e6) AS BIGINT) AS score_e6
+       |  FROM q JOIN contrib c ON q.term = c.t GROUP BY 1, 2)""".stripMargin
+
+  val q73Sql: String =
+    s"""WITH $Bm25CoreSql
+       |SELECT query_id, rank, doc_id, score_e6
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY score_e6 DESC, doc_id) AS rank FROM scored) z
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+
+  /** q74_hybrid_rrf — hybrid retrieval: the q73 BM25 ranking and a dense
+    * cosine ranking (query embeddings 1–4 standing for the encoded
+    * queries, the q25 brute-force shape) fused by Reciprocal Rank Fusion
+    * (Cormack et al. 2009): rrf(d) = Σ_lists 1/(60 + rank_list(d)) over
+    * each list's top-50, top-10 fused results per query. This is the
+    * standard production retrieval stack — lexical and dense recall sets
+    * overlap poorly, and RRF is the parameter-free fusion that needs no
+    * score calibration between the two (only RANKS cross the boundary).
+    *
+    * Engine-determinism: RRF here is PURE INTEGER arithmetic — each
+    * contribution is 1000000 div (60 + rank), ranks come from the two
+    * retrievers' own deterministic orderings (integer BM25 grid; q25's
+    * round-then-rank cosine convention) — so fusion involves no floats at
+    * all and the oracle replays it exactly.
+    *
+    * Scale shape: both retrievers are already scale-shaped (q73: term-
+    * pruned scan + broadcasts; q25: k queries broadcast against one
+    * embedding scan); their outputs are top-K per query — FIXED-SIZE
+    * lists, so the full-outer fusion join and the final window cost
+    * O(|queries|·K) regardless of corpus size. At 100 TB the dense half
+    * swaps brute force for q30's IVF probe; the fusion is unchanged. */
+  def q74HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    val K = 50
+    val byScore = Window.partitionBy($"query_id").orderBy($"score_e6".desc, $"doc_id")
+    val bm = bm25Scored(s, dir)
+      .withColumn("bm_rank", row_number().over(byScore).cast("long"))
+      .filter($"bm_rank" <= K)
+      .select($"query_id", $"doc_id", $"bm_rank")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id", $"v", sqrt(dot($"v", $"v")).as("nrm"))
+    val dq = e.filter($"vec_id".between(1, 4))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val byCos = Window.partitionBy($"query_id").orderBy($"cos_r".desc, $"doc_id")
+    val dn = e.join(broadcast(dq), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("dn_rank", row_number().over(byCos).cast("long"))
+      .filter($"dn_rank" <= K)
+      .select($"query_id", $"doc_id", $"dn_rank")
+    def rrf(rank: Column): Column =
+      coalesce(call_function("div", lit(1000000L), lit(60L) + rank), lit(0L))
+    val byRrf = Window.partitionBy($"query_id").orderBy($"rrf_e6".desc, $"doc_id")
+    bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id", $"bm_rank", $"dn_rank",
+        (rrf($"bm_rank") + rrf($"dn_rank")).as("rrf_e6"))
+      .withColumn("rank", row_number().over(byRrf).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"rrf_e6", $"bm_rank", $"dn_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** q74 oracle: BM25 core CTEs + the q25-convention dense ranking + the
+    * same integer RRF. */
+  val q74Sql: String =
+    s"""WITH $Bm25CoreSql,
+       |bmr AS (
+       |  SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS bm_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_e6 DESC, doc_id) AS rnk FROM scored) z
+       |  WHERE rnk <= 50),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |dprs AS (
+       |  SELECT dq.vec_id AS query_id, n.vec_id AS doc_id,
+       |    round(list_sum([dq.v[i] * n.v[i] for i in range(1, len(dq.v)+1)])
+       |      / (sqrt(list_sum([x*x for x in dq.v])) * sqrt(list_sum([x*x for x in n.v]))), 4)
+       |      AS cos_r
+       |  FROM e dq JOIN e n ON dq.vec_id BETWEEN 1 AND 4 AND n.vec_id <> dq.vec_id),
+       |dn AS (
+       |  SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS dn_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, doc_id) AS rnk FROM dprs) z
+       |  WHERE rnk <= 50),
+       |fused AS (
+       |  SELECT coalesce(b.query_id, d.query_id) AS query_id,
+       |    coalesce(b.doc_id, d.doc_id) AS doc_id, b.bm_rank, d.dn_rank,
+       |    coalesce(1000000 // (60 + b.bm_rank), 0)
+       |      + coalesce(1000000 // (60 + d.dn_rank), 0) AS rrf_e6
+       |  FROM bmr b FULL OUTER JOIN dn d
+       |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+       |  CAST(rrf_e6 AS BIGINT) AS rrf_e6, bm_rank, dn_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf_e6 DESC, doc_id) AS rnk FROM fused) z
+       |WHERE rnk <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_hybrid_rrf"        -> (q74HybridRrf _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
@@ -1695,6 +1803,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q74_hybrid_rrf"        -> q74Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
