@@ -579,6 +579,69 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND c.ms <= p.ms
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+
+  /** q76_funnel — ordered conversion-funnel analysis: per user, the
+    * earliest view, the earliest click AT OR AFTER that view, and the
+    * earliest purchase AT OR AFTER that click — stage = how deep the user
+    * got (0–3). The ORDER constraint is what distinguishes a funnel from
+    * three independent mins: a purchase before the first qualifying click
+    * does not count, which is the sequencing semantics of product
+    * analytics (Amplitude/GA-style unordered-window funnels drop the
+    * ≥ constraints; this is the strict ordered flavor).
+    *
+    * Scale shape: one stage = one user-keyed min-aggregation over a
+    * type-filtered slice, chained through user-keyed joins — every
+    * exchange in the chain is on the SAME key, so the stage-2/3 joins and
+    * aggs reuse the stage-1 partitioning (no new shuffle of the events
+    * table; the filters prune each slice at the scan). Stage count is a
+    * small constant; per-user state is three timestamps, never an event
+    * list. Timestamps ride the ms grid (the q44/q46 convention — the one
+    * grid where both engines' timestamp precisions agree). */
+  def q76Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val users = e.select($"user_id").distinct()
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ms").as("t_view_ms"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ms" >= $"t_view_ms")
+      .groupBy($"user_id").agg(min($"ms").as("t_click_ms"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ms" >= $"t_click_ms")
+      .groupBy($"user_id").agg(min($"ms").as("t_purchase_ms"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        ($"t_view_ms".isNotNull.cast("long") + $"t_click_ms".isNotNull.cast("long")
+          + $"t_purchase_ms".isNotNull.cast("long")).as("stage"),
+        $"t_view_ms", $"t_click_ms", $"t_purchase_ms")
+      .orderBy($"user_id")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, min(ms) AS t_view_ms FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ms) AS t_click_ms
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ms >= v.t_view_ms GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ms) AS t_purchase_ms
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ms >= c.t_click_ms GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST((CASE WHEN v.t_view_ms IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN c.t_click_ms IS NULL THEN 0 ELSE 1 END)
+      |     + (CASE WHEN p.t_purchase_ms IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage,
+      |  v.t_view_ms, c.t_click_ms, p.t_purchase_ms
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |  LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_join"  -> (q44AsofJoin _),
     "cdc_unwrap"     -> (cdcUnwrap _),
@@ -589,6 +652,7 @@ object EventQueries {
     "q20_sessionize" -> (q20Sessionize _),
     "q39_percentile" -> (q39Percentile _),
     "q45_approx_stats" -> (q45ApproxStats _),
+    "q76_funnel" -> (q76Funnel _),
     "q46_interval_join" -> (q46IntervalJoin _),
     "q56_outer_interval_join" -> (q56OuterIntervalJoin _),
     "q48_sliding_window" -> (q48SlidingWindow _),
@@ -610,6 +674,7 @@ object EventQueries {
     // hash-matchable), so the gated projection is exact stats + the
     // accuracy contract as BIGINT verdicts; see q45ApproxStats's scaladoc
     "q45_approx_stats" -> q45Sql,
+    "q76_funnel" -> q76Sql,
     "q46_interval_join" -> q46Sql,
     "q56_outer_interval_join" -> q56Sql,
     "q48_sliding_window" -> q48Sql,

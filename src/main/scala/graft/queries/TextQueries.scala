@@ -1772,8 +1772,77 @@ object TextQueries {
        |WHERE rnk <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+
+  /** q75_quality_model — LEARNED quality scoring with a frozen linear
+    * model: a logistic classifier over cheap text features (saturated
+    * length, stopword ratio, type-token ratio, mean token length), the
+    * fasttext/DCLM/FineWeb-edu deployment shape — weights are trained
+    * OFFLINE and shipped to the scan as literal constants; the pipeline
+    * only ever evaluates. Complements q35's hand-rule gates: rules encode
+    * policy floors, the model encodes a ranking score you can threshold
+    * per mixture (here keep = score ≥ 0.5).
+    *
+    * Engine-determinism: every feature is a ratio of exact integers
+    * (IEEE754 division agrees bit-for-bit across engines); the one
+    * transcendental, exp() in the sigmoid, differs by ≤1 ulp and the e6
+    * floor absorbs it (q68's convention). Formula text and associativity
+    * are identical on both sides.
+    *
+    * Scale shape: pure narrow column algebra at scan speed — no shuffle
+    * except the output sort, no model table at all (the weights live in
+    * the instruction stream, the ideal broadcast). Zero-token documents
+    * are excluded (features undefined), documented like q70's empty-doc
+    * rule. */
+  def q75QualityModel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        stopRatioE6(col("toks")).as("stop_e6"),
+        size(array_distinct($"toks")).cast("double").as("nd"),
+        length($"text").cast("double").as("nc"))
+      .filter($"n_tokens" >= 1)
+      .select($"doc_id", $"n_tokens",
+        (lit(-3.0) +
+          lit(2.0) * (least($"n_tokens", lit(400L)).cast("double") / lit(400.0)) +
+          lit(4.0) * ($"stop_e6".cast("double") / lit(1000000.0)) +
+          lit(2.0) * ($"nd" / $"n_tokens") +
+          lit(1.0) * ($"nc" / $"n_tokens" / lit(10.0))).as("z"))
+      .select($"doc_id", $"n_tokens",
+        floor(lit(1000000.0) / (lit(1.0) + exp(-$"z"))).cast("long").as("score_e6"))
+      .withColumn("keep", ($"score_e6" >= 500000L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** q75 oracle: identical feature ratios and sigmoid text; exp()'s ulp
+    * drift is absorbed by the e6 floor. */
+  val q75Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    $StopRatioSql AS stop_e6,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |    CAST(len(text) AS DOUBLE) AS nc
+       |  FROM (SELECT doc_id, text, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 1),
+       |z AS (
+       |  SELECT doc_id, n_tokens,
+       |    -3.0 +
+       |    2.0 * (CAST(least(n_tokens, 400) AS DOUBLE) / 400.0) +
+       |    4.0 * (CAST(stop_e6 AS DOUBLE) / 1000000.0) +
+       |    2.0 * (nd / n_tokens) +
+       |    1.0 * (nc / n_tokens / 10.0) AS z
+       |  FROM f)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_e6,
+       |  CAST(CASE WHEN floor(1000000.0 / (1.0 + exp(-z))) >= 500000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM z
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
+    "q75_quality_model"     -> (q75QualityModel _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
@@ -1804,6 +1873,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q74_hybrid_rrf"        -> q74Sql,
+    "q75_quality_model"     -> q75Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,

@@ -391,4 +391,22 @@ class PlanSpec extends SparkSpec {
       s"terms/df/queries must ride broadcast hash joins (got $bhj) and the " +
         s"1-row stats a broadcast nested loop (got $bnlj):\n$p")
   }
+
+  test("q75: the frozen-weights model is scan-speed algebra — no hash shuffle at all") {
+    // the weights live in the instruction stream: no model table, no join,
+    // no aggregation — only the output sort may exchange
+    val p = executed(TextQueries.q75QualityModel(spark, dir)).toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q76: every funnel exchange is keyed on user_id — stages share one partitioning") {
+    val plan = executed(EventQueries.q76Funnel(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val bad = plan.toString.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("user_id")).toSeq
+    assert(bad.isEmpty,
+      "a non-user_id hash exchange breaks the shared-partitioning chain:\n" +
+        bad.mkString("\n"))
+  }
 }
