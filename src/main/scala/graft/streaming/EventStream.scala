@@ -185,4 +185,66 @@ object EventStream {
           }
       }
   }
+
+  final case class FunnelEvent(ts: java.sql.Timestamp, user_id: Long,
+                               event_type: String)
+  /** -1 = stage not reached (case-class state must be flat for the
+    * encoder; Options live only in the OUTPUT row). */
+  final case class FunnelState(view: Long, click: Long, purchase: Long)
+  final case class FunnelOut(user_id: Long, stage: Long,
+                             t_view_ms: Option[Long], t_click_ms: Option[Long],
+                             t_purchase_ms: Option[Long])
+
+  /** Streaming funnel progression — the stateful twin of the batch
+    * `q76_funnel`: per-user state is the three stage timestamps, and a row
+    * is emitted exactly when a user ADVANCES a stage — the funnel-progress
+    * event stream a live conversion dashboard tails (the latest emission
+    * per user is that user's current verdict). Within a micro-batch,
+    * events are sorted by (ms, stage order), so any single batch
+    * reproduces the batch query's min-based sequencing EXACTLY; across
+    * batches the first-qualifying rule equals batch whenever events
+    * arrive in event-time order — the same in-order contract (and the
+    * same first-arrival stance) as CorpusStream, asserted by
+    * EventStreamSpec. State is three longs per user, the smallest
+    * possible footprint for ordered-sequence detection; bound it with a
+    * processing-time TTL when campaigns end (the CorpusStream mechanism)
+    * rather than keeping every user forever. */
+  def funnelProgress(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val entry = s
+          def stageOf(x: FunnelState): Long =
+            Seq(x.view, x.click, x.purchase).takeWhile(_ >= 0).size.toLong
+          var stage = stageOf(s)
+          val out = Seq.newBuilder[FunnelOut]
+          val sorted = rows.toSeq.filter(e => rank.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, rank(e.event_type)))
+          for (e <- sorted) {
+            val ms = e.ts.getTime // the shared ms grid (q44 convention)
+            e.event_type match {
+              case "view" if s.view < 0 => s = s.copy(view = ms)
+              case "click" if s.view >= 0 && s.click < 0 && ms >= s.view =>
+                s = s.copy(click = ms)
+              case "purchase" if s.click >= 0 && s.purchase < 0 && ms >= s.click =>
+                s = s.copy(purchase = ms)
+              case _ => () // non-advancing event
+            }
+            val ns = stageOf(s)
+            if (ns > stage) {
+              stage = ns
+              out += FunnelOut(uid, ns,
+                Some(s.view).filter(_ >= 0), Some(s.click).filter(_ >= 0),
+                Some(s.purchase).filter(_ >= 0))
+            }
+          }
+          if (s != entry) state.update(s)
+          out.result().iterator
+      }
+  }
 }

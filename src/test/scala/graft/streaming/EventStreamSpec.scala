@@ -222,4 +222,63 @@ class EventStreamSpec extends SparkSpec {
       col("user_id"), col("event_type"), col("value"))
     assert(canon(out.select(cols: _*)) === canon(ev.select(cols: _*)))
   }
+
+  test("streaming funnel progression: latest emission per user ≡ q76 batch verdict") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("funnel")
+    val ev = Tables.events(spark, sf)
+    val asJson = (df: DataFrame) =>
+      df.select(to_json(struct(df.columns.map(col): _*)).as("value")).coalesce(1)
+    // two micro-batches split at the event-time median — the in-order
+    // arrival contract under which stream ≡ batch is guaranteed; stage
+    // advances must then span the batch boundary for some users
+    val mid = ev.agg(expr("percentile_approx(unix_millis(ts), 0.5)")).head().getLong(0)
+    val t0 = System.currentTimeMillis() - 60000
+    asJson(ev.filter(unix_millis(col("ts")) <= mid).orderBy("ts"))
+      .write.mode("append").text(s"$root/src/b1")
+    new java.io.File(s"$root/src/b1").listFiles().foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(t0)))
+    asJson(ev.filter(unix_millis(col("ts")) > mid).orderBy("ts"))
+      .write.mode("append").text(s"$root/src/b2")
+    new java.io.File(s"$root/src/b2").listFiles().foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 10000)))
+
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), ev.schema).as("e"))
+      .select(col("e.ts"), col("e.user_id"), col("e.event_type"))
+      .as[EventStream.FunnelEvent]
+    EventStream.funnelProgress(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    val out = spark.read.parquet(s"$root/out")
+    // stage is strictly monotone per user: emissions = advances only
+    val perUser = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("stage")).as("d"),
+        max(col("stage")).as("mx"))
+    assert(perUser.filter(col("n") =!= col("d") || col("n") =!= col("mx")).count() === 0,
+      "each user must emit exactly one row per stage reached, in order")
+    // latest (= max-stage) emission per user equals the batch verdict for
+    // every user who entered the funnel; stage-0 users never emit
+    val last = out.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("stage").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = graft.queries.EventQueries.q76Funnel(spark, sf)
+      .filter(col("stage") >= 1)
+    val cols = Seq("user_id", "stage", "t_view_ms", "t_click_ms", "t_purchase_ms")
+      .map(col)
+    assert(canon(last.select(cols: _*)) === canon(batch.select(cols: _*)),
+      "stream funnel must converge to the batch verdict under in-order arrival")
+    assert(batch.limit(1).count() === 1, "the funnel must be non-trivial at sf0.001")
+  }
 }
