@@ -1840,9 +1840,73 @@ object TextQueries {
        |FROM z
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+
+  /** q77_mixture_temperature — per-source sampling weights with
+    * temperature (the mT5/PaLM multilingual mixing recipe: p_i ∝ n_i^α
+    * with α = 0.7 — α < 1 upweights low-resource sources relative to
+    * their raw token share; α = 1 is proportional sampling, α = 0
+    * uniform). Output per source: doc/token counts, raw token share,
+    * temperature share, and the relative boost a sampler applies —
+    * exactly the table a mixture-configured training run consumes
+    * (q57's quota sampler is the downstream that would enforce it).
+    *
+    * Engine-determinism: pow() is floored onto the e6 grid PER SOURCE
+    * before any cross-source arithmetic, so both normalizing sums are
+    * exact integer sums and every share is integer division — summation
+    * order (engine-private in both systems) cannot move a digit; the one
+    * float call's ≤1-ulp drift is absorbed by the floor (q68's
+    * convention). The ×1e6 share scaling is exact while total corpus
+    * tokens stay below ~9×10¹² (long range / 1e6); past that, pre-divide
+    * the totals instead — same grid, one more div.
+    *
+    * Scale shape: ONE source-keyed count/sum aggregation over the corpus
+    * (map-side combined) is the only data-sized work; everything after
+    * happens on |sources| rows (thousands at most at 100 TB), where the
+    * unpartitioned window sums are bounded by the source list, not the
+    * data. */
+  def q77MixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val bySrc = Tables.documents(s, dir)
+      .select($"source", TextFunctions.tokenCount($"text").cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val all = Window.partitionBy(lit(1)) // |sources| rows, bounded
+    bySrc
+      .withColumn("p_e6",
+        floor(lit(1000000.0) * pow($"n_tokens".cast("double"), lit(0.7))).cast("long"))
+      .withColumn("raw_share_e6", idiv($"n_tokens" * 1000000L, sum($"n_tokens").over(all)))
+      .withColumn("temp_share_e6", idiv($"p_e6" * 1000000L, sum($"p_e6").over(all)))
+      .select($"source", $"n_docs", $"n_tokens", $"raw_share_e6", $"temp_share_e6",
+        when($"raw_share_e6" === 0L, lit(null).cast("long"))
+          .otherwise(idiv($"temp_share_e6" * 1000000L, $"raw_share_e6")).as("boost_e6"))
+      .orderBy($"source")
+  }
+
+  /** q77 oracle: identical per-source e6 floor before the integer
+    * normalization (DuckDB's HUGEINT sums cast back losslessly). */
+  val q77Sql: String =
+    s"""WITH b AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, $Toks AS toks FROM documents) GROUP BY 1),
+       |p AS (SELECT *,
+       |  CAST(floor(1000000.0 * pow(CAST(n_tokens AS DOUBLE), 0.7)) AS BIGINT) AS p_e6
+       |  FROM b),
+       |sh AS (SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM p) AS BIGINT) AS raw_share_e6,
+       |  CAST(p_e6 * 1000000 // (SELECT sum(p_e6) FROM p) AS BIGINT) AS temp_share_e6
+       |  FROM p)
+       |SELECT source, n_docs, n_tokens, raw_share_e6, temp_share_e6,
+       |  CASE WHEN raw_share_e6 = 0 THEN NULL
+       |       ELSE CAST(temp_share_e6 * 1000000 // raw_share_e6 AS BIGINT) END AS boost_e6
+       |FROM sh
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
     "q75_quality_model"     -> (q75QualityModel _),
+    "q77_mixture_temperature" -> (q77MixtureTemperature _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
@@ -1874,6 +1938,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q74_hybrid_rrf"        -> q74Sql,
     "q75_quality_model"     -> q75Sql,
+    "q77_mixture_temperature" -> q77Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
