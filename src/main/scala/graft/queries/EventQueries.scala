@@ -260,7 +260,6 @@ object EventQueries {
         expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
         expr("approx_percentile(value, 0.95, 10000)").as("p95_approx"),
         count(lit(1)).as("n"))
-      .orderBy($"event_type")
   }
 
   /** q45_approx_stats — sketch aggregates UNDER THE ORACLE GATE. Sketch

@@ -206,17 +206,28 @@ object EventStream {
     * arrive in event-time order — the same in-order contract (and the
     * same first-arrival stance) as CorpusStream, asserted by
     * EventStreamSpec. State is three longs per user, the smallest
-    * possible footprint for ordered-sequence detection; bound it with a
-    * processing-time TTL when campaigns end (the CorpusStream mechanism)
-    * rather than keeping every user forever. */
-  def funnelProgress(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    * possible footprint for ordered-sequence detection; `stateTtlMs`
+    * bounds it (the CorpusStream mechanism: every sighting of the user
+    * refreshes the horizon, a user unseen for the full horizon is
+    * dropped and restarts the funnel from stage 0 on their next event —
+    * the campaign-window semantics a live dashboard wants anyway). With
+    * None, every user's state lives for the stream's lifetime. */
+  def funnelProgress(events: Dataset[FunnelEvent],
+                     stateTtlMs: Option[Long] = None): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     val rank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    val timeoutConf =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // campaign horizon passed: forget the user
+            Iterator.empty
+          } else {
           var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val entry = s
           def stageOf(x: FunnelState): Long =
@@ -244,7 +255,11 @@ object EventStream {
             }
           }
           if (s != entry) state.update(s)
+          // refresh the horizon on EVERY sighting of a known user, not just
+          // advances — an active-but-not-advancing user must not age out
+          if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
   }
 }

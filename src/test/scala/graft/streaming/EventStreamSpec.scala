@@ -281,4 +281,49 @@ class EventStreamSpec extends SparkSpec {
       "stream funnel must converge to the batch verdict under in-order arrival")
     assert(batch.limit(1).count() === 1, "the funnel must be non-trivial at sf0.001")
   }
+
+  test("funnel state TTL: an aged-out user restarts the funnel from stage 0") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("funnel-ttl")
+    val ttlMs = 1000L
+    val base = 1700000000000L
+    def write(name: String, mtime: Long, rows: Seq[(Long, Long, String)]): Unit = {
+      new java.io.File(s"$root/src").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/src/$name"),
+        rows.map { case (ms, uid, et) =>
+          s"""{"ts":"${new java.sql.Timestamp(ms).toInstant}","user_id":$uid,"event_type":"$et"}"""
+        }.mkString("\n"))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/src/$name"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def run(): Seq[(Long, Long)] = {
+      // Trigger.Once per run: pending processing-time timeouts make
+      // AvailableNow schedule no-data batches forever (the CorpusStream
+      // TTL test's finding)
+      spark.readStream.schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+        .json(s"$root/src/*")
+        .as[EventStream.FunnelEvent]
+        .transform(EventStream.funnelProgress(_, Some(ttlMs)))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.Once()).start().awaitTermination()
+      spark.read.parquet(s"$root/out").as[EventStream.FunnelOut]
+        .collect().map(o => (o.user_id, o.stage)).sorted.toSeq
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    write("b1.json", t0, Seq((base, 7L, "view"), (base + 1000, 7L, "click")))
+    assert(run() === Seq((7L, 1L), (7L, 2L)))
+    // horizon passes unseen; a batch WITHOUT user 7 fires the timeout...
+    Thread.sleep(3 * ttlMs)
+    write("b2.json", t0 + 10000, Seq((base + 2000, 8L, "view")))
+    assert(run() === Seq((7L, 1L), (7L, 2L), (8L, 1L)))
+    // ...so user 7's next purchase does NOT complete the old funnel — the
+    // state was dropped and the purchase has no qualifying click before it
+    write("b3.json", t0 + 20000, Seq((base + 3000, 7L, "purchase"), (base + 4000, 7L, "view")))
+    val out = run()
+    assert(out === Seq((7L, 1L), (7L, 1L), (7L, 2L), (8L, 1L)),
+      s"got $out — after the TTL drop, user 7 restarts at a fresh stage-1 view")
+  }
 }
