@@ -1903,10 +1903,74 @@ object TextQueries {
        |FROM sh
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+
+  /** q78_snapshot_diff — corpus version diffing: given snapshot v1 and its
+    * next crawl v2, classify every document `added` / `removed` /
+    * `changed` / `unchanged` by primary key + content fingerprint. This is
+    * the maintenance loop of any living corpus (incremental ingestion,
+    * re-crawl reconciliation, training-set release notes): downstream,
+    * `changed`∪`added` is the re-processing worklist and `removed` the
+    * tombstone feed for the merge sink (O26). v2 is simulated
+    * deterministically from the corpus itself — doc_id % 13 slices get
+    * dropped (removed), re-texted (changed) or re-keyed (added) — so both
+    * engines construct identical snapshots and the diff is fully
+    * hash-checkable.
+    *
+    * Scale shape: fingerprints are computed IN THE SCAN (narrow md5 — the
+    * text never shuffles), and the diff is ONE pk-keyed full-outer join of
+    * (doc_id, fp) pairs. At 100 TB, store snapshots bucketed by pk
+    * ([[graft.sql.CleanRoom.loadBucketed]]) and even that join runs with
+    * no exchange — the q69 layout-as-shuffle recipe; diff cost then tracks
+    * snapshot WIDTH (two narrow columns), never content volume. */
+  def q78SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = Tables.documents(s, dir).select($"doc_id", $"text")
+    // the simulated next crawl: % 13 == 3 dropped, == 5 edited, == 7 also
+    // re-published under a fresh id (the base row stays)
+    val v2 = v1.filter($"doc_id" % 13 =!= 3)
+      .withColumn("text", when($"doc_id" % 13 === 5, concat($"text", lit(" rev2")))
+        .otherwise($"text"))
+      .unionAll(v1.filter($"doc_id" % 13 === 7)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    def fp(df: DataFrame, name: String): DataFrame =
+      df.select($"doc_id", md5($"text".cast("binary")).as(name))
+    fp(v1, "fp_old").join(fp(v2, "fp_new"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"fp_old".isNull, "added")
+          .when($"fp_new".isNull, "removed")
+          .when($"fp_old" === $"fp_new", "unchanged")
+          .otherwise("changed").as("verdict"),
+        $"fp_old", $"fp_new")
+      .orderBy($"doc_id")
+  }
+
+  /** q78 oracle: the same deterministic v2 construction and pk-keyed
+    * full-outer fingerprint compare. */
+  val q78Sql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 13 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM v1 WHERE doc_id % 13 = 7),
+      |o AS (SELECT doc_id, md5(text) AS fp_old FROM v1),
+      |n AS (SELECT doc_id, md5(text) AS fp_new FROM v2)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.fp_old IS NULL THEN 'added'
+      |       WHEN n.fp_new IS NULL THEN 'removed'
+      |       WHEN o.fp_old = n.fp_new THEN 'unchanged'
+      |       ELSE 'changed' END AS verdict,
+      |  o.fp_old, n.fp_new
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
     "q75_quality_model"     -> (q75QualityModel _),
     "q77_mixture_temperature" -> (q77MixtureTemperature _),
+    "q78_snapshot_diff"     -> (q78SnapshotDiff _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
@@ -1939,6 +2003,7 @@ object TextQueries {
     "q74_hybrid_rrf"        -> q74Sql,
     "q75_quality_model"     -> q75Sql,
     "q77_mixture_temperature" -> q77Sql,
+    "q78_snapshot_diff"     -> q78Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
