@@ -228,37 +228,37 @@ object EventStream {
             state.remove() // campaign horizon passed: forget the user
             Iterator.empty
           } else {
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val entry = s
-          def stageOf(x: FunnelState): Long =
-            Seq(x.view, x.click, x.purchase).takeWhile(_ >= 0).size.toLong
-          var stage = stageOf(s)
-          val out = Seq.newBuilder[FunnelOut]
-          val sorted = rows.toSeq.filter(e => rank.contains(e.event_type))
-            .sortBy(e => (e.ts.getTime, rank(e.event_type)))
-          for (e <- sorted) {
-            val ms = e.ts.getTime // the shared ms grid (q44 convention)
-            e.event_type match {
-              case "view" if s.view < 0 => s = s.copy(view = ms)
-              case "click" if s.view >= 0 && s.click < 0 && ms >= s.view =>
-                s = s.copy(click = ms)
-              case "purchase" if s.click >= 0 && s.purchase < 0 && ms >= s.click =>
-                s = s.copy(purchase = ms)
-              case _ => () // non-advancing event
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val entry = s
+            def stageOf(x: FunnelState): Long =
+              Seq(x.view, x.click, x.purchase).takeWhile(_ >= 0).size.toLong
+            var stage = stageOf(s)
+            val out = Seq.newBuilder[FunnelOut]
+            val sorted = rows.toSeq.filter(e => rank.contains(e.event_type))
+              .sortBy(e => (e.ts.getTime, rank(e.event_type)))
+            for (e <- sorted) {
+              val ms = e.ts.getTime // the shared ms grid (q44 convention)
+              e.event_type match {
+                case "view" if s.view < 0 => s = s.copy(view = ms)
+                case "click" if s.view >= 0 && s.click < 0 && ms >= s.view =>
+                  s = s.copy(click = ms)
+                case "purchase" if s.click >= 0 && s.purchase < 0 && ms >= s.click =>
+                  s = s.copy(purchase = ms)
+                case _ => () // non-advancing event
+              }
+              val ns = stageOf(s)
+              if (ns > stage) {
+                stage = ns
+                out += FunnelOut(uid, ns,
+                  Some(s.view).filter(_ >= 0), Some(s.click).filter(_ >= 0),
+                  Some(s.purchase).filter(_ >= 0))
+              }
             }
-            val ns = stageOf(s)
-            if (ns > stage) {
-              stage = ns
-              out += FunnelOut(uid, ns,
-                Some(s.view).filter(_ >= 0), Some(s.click).filter(_ >= 0),
-                Some(s.purchase).filter(_ >= 0))
-            }
-          }
-          if (s != entry) state.update(s)
-          // refresh the horizon on EVERY sighting of a known user, not just
-          // advances — an active-but-not-advancing user must not age out
-          if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
-          out.result().iterator
+            if (s != entry) state.update(s)
+            // refresh the horizon on EVERY sighting of a known user, not
+            // just advances — an active-but-not-advancing user must not age
+            if (state.exists) stateTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
       }
   }
