@@ -1360,8 +1360,10 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  val q68Sql: String =
-    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+  /** Shared DuckDB CTE block ending in `ppl(doc_id, n_bigrams, ll_e6,
+    * nll_per_bigram_e6)` — the bigram-LM scoring core of q68 and q79. */
+  private val BigramPplCoreSql: String =
+    s"""t AS (SELECT doc_id, $Toks AS toks FROM documents),
        |bg AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
        |         toks[CAST(u.i + 1 AS INT)] AS w2
        |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
@@ -1373,13 +1375,20 @@ object TextQueries {
        |  FROM c2 JOIN c1 USING (w1), v),
        |dl AS (SELECT doc_id, count(*) AS n_bigrams,
        |         CAST(sum(lp_e6) AS BIGINT) AS ll_e6
-       |       FROM bg JOIN model USING (w1, w2) GROUP BY 1)
-       |SELECT t.doc_id, coalesce(dl.n_bigrams, 0) AS n_bigrams,
-       |  coalesce(dl.ll_e6, 0) AS ll_e6,
-       |  CASE WHEN dl.n_bigrams IS NULL THEN NULL
-       |       ELSE CAST(floor(CAST(-dl.ll_e6 AS DOUBLE) / dl.n_bigrams) AS BIGINT)
-       |  END AS nll_per_bigram_e6
-       |FROM t LEFT JOIN dl USING (doc_id)
+       |       FROM bg JOIN model USING (w1, w2) GROUP BY 1),
+       |ppl AS (
+       |  SELECT t.doc_id, coalesce(dl.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(dl.ll_e6, 0) AS ll_e6,
+       |    CASE WHEN dl.n_bigrams IS NULL THEN NULL
+       |         ELSE CAST(floor(CAST(-dl.ll_e6 AS DOUBLE) / dl.n_bigrams) AS BIGINT)
+       |    END AS nll_per_bigram_e6
+       |  FROM t LEFT JOIN dl USING (doc_id))"""
+      .stripMargin
+
+  val q68Sql: String =
+    s"""WITH $BigramPplCoreSql
+       |SELECT doc_id, n_bigrams, ll_e6, nll_per_bigram_e6
+       |FROM ppl
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q70
@@ -1966,11 +1975,65 @@ object TextQueries {
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+
+  /** q79_curriculum — difficulty staging for curriculum learning: every
+    * document is assigned a quartile bucket (1 = most fluent … 4 = most
+    * perplexing) by its q68 bigram-LM perplexity, with the quartile
+    * BOUNDARIES computed once and broadcast — NOT a global NTILE sort, the
+    * anti-pattern at 100 TB (NTILE needs a total order over every row;
+    * boundary assignment needs three comparisons per row against three
+    * broadcast scalars). The same shape serves any score-staged sampling:
+    * difficulty curricula, quality tiers, decontamination severity bands.
+    *
+    * Engine-determinism: boundaries are exact percentiles (the q39
+    * Spark-percentile ≡ DuckDB-quantile_cont convention) of the INTEGER
+    * e6 scores, floored back onto the grid, so bucket assignment is pure
+    * integer comparison on both engines. Documents with no bigrams score
+    * NULL and get a NULL bucket. */
+  def q79Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = q68BigramPpl(s, dir)
+      .select($"doc_id", $"nll_per_bigram_e6")
+    val bounds = scored.filter($"nll_per_bigram_e6".isNotNull)
+      .agg(
+        floor(expr("percentile(nll_per_bigram_e6, 0.25)")).cast("long").as("b1"),
+        floor(expr("percentile(nll_per_bigram_e6, 0.50)")).cast("long").as("b2"),
+        floor(expr("percentile(nll_per_bigram_e6, 0.75)")).cast("long").as("b3"))
+    scored.crossJoin(broadcast(bounds))
+      .select($"doc_id", $"nll_per_bigram_e6",
+        when($"nll_per_bigram_e6".isNull, lit(null).cast("long"))
+          .otherwise(lit(1L) +
+            ($"nll_per_bigram_e6" > $"b1").cast("long") +
+            ($"nll_per_bigram_e6" > $"b2").cast("long") +
+            ($"nll_per_bigram_e6" > $"b3").cast("long")).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** q79 oracle: the q68 scoring core + quantile_cont boundaries floored
+    * to the grid + the same integer-compare assignment. */
+  val q79Sql: String =
+    s"""WITH $BigramPplCoreSql,
+       |bounds AS (
+       |  SELECT CAST(floor(quantile_cont(nll_per_bigram_e6, 0.25)) AS BIGINT) AS b1,
+       |    CAST(floor(quantile_cont(nll_per_bigram_e6, 0.50)) AS BIGINT) AS b2,
+       |    CAST(floor(quantile_cont(nll_per_bigram_e6, 0.75)) AS BIGINT) AS b3
+       |  FROM ppl WHERE nll_per_bigram_e6 IS NOT NULL)
+       |SELECT doc_id, nll_per_bigram_e6,
+       |  CASE WHEN nll_per_bigram_e6 IS NULL THEN NULL
+       |       ELSE CAST(1 + (CASE WHEN nll_per_bigram_e6 > b1 THEN 1 ELSE 0 END)
+       |                   + (CASE WHEN nll_per_bigram_e6 > b2 THEN 1 ELSE 0 END)
+       |                   + (CASE WHEN nll_per_bigram_e6 > b3 THEN 1 ELSE 0 END)
+       |            AS BIGINT) END AS bucket
+       |FROM ppl, bounds
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
     "q75_quality_model"     -> (q75QualityModel _),
     "q77_mixture_temperature" -> (q77MixtureTemperature _),
     "q78_snapshot_diff"     -> (q78SnapshotDiff _),
+    "q79_curriculum"        -> (q79Curriculum _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
@@ -2004,6 +2067,7 @@ object TextQueries {
     "q75_quality_model"     -> q75Sql,
     "q77_mixture_temperature" -> q77Sql,
     "q78_snapshot_diff"     -> q78Sql,
+    "q79_curriculum"        -> q79Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
