@@ -570,8 +570,77 @@ object CoreQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q81
+
+  /** q81_fk_audit — referential-integrity audit: for each declared
+    * child→parent relationship, the child row count, the number of ORPHANS
+    * (child keys with no parent row), and the orphan key range — the
+    * constraint check a lakehouse runs because parquet enforces nothing
+    * (BigQuery/Spark declare FK constraints unenforced for exactly this
+    * reason; this query is the enforcement). `events.user_id→customer` is
+    * deliberately included: the synthetic event stream references users
+    * outside the customer table, so the audit reports real orphans, not
+    * just zeros.
+    *
+    * Scale shape: one LEFT ANTI join per relationship, each an equi-
+    * shuffle on the key (AQE broadcasts the parent's key column when it
+    * measures small — at 100 TB a dimension's single-column projection
+    * often still fits); the per-relationship aggregate folds the orphan
+    * set to four numbers before the union of 1-row results. */
+  def q81FkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(rel: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+      // both sides of the crossJoin are 1-row aggregates — no action at
+      // construction time (the q70 lesson), no driver-side data
+      orphans.agg(
+          count(lit(1)).as("n_orphans"),
+          min(col(key)).as("min_orphan_key"),
+          max(col(key)).as("max_orphan_key"))
+        .crossJoin(child.agg(count(lit(1)).as("n_child")))
+        .select(lit(rel).as("relation"), $"n_child",
+          $"n_orphans", $"min_orphan_key", $"max_orphan_key")
+    }
+    Seq(
+      audit("events.user_id->customer", Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir), "c_custkey"),
+      audit("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      audit("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .reduce(_ unionAll _)
+      .orderBy($"relation")
+  }
+
+  /** q81 oracle: NOT EXISTS, not NOT IN — NOT IN collapses to empty the
+    * moment a parent key is NULL, where the engine's LEFT ANTI join (and
+    * NOT EXISTS) keep the unmatched children. */
+  val q81Sql: String =
+    """SELECT 'events.user_id->customer' AS relation,
+      |  (SELECT count(*) FROM events) AS n_child,
+      |  count(*) AS n_orphans, min(user_id) AS min_orphan_key,
+      |  max(user_id) AS max_orphan_key
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = e.user_id)
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey->orders',
+      |  (SELECT count(*) FROM lineitem),
+      |  count(*), min(l_orderkey), max(l_orderkey)
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT count(*) FROM orders),
+      |  count(*), min(o_custkey), max(o_custkey)
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+      |ORDER BY relation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_table_stats" -> (q80TableStats _),
+    "q81_fk_audit" -> (q81FkAudit _),
     "q59_bloom_semijoin" -> (q59BloomSemiJoin _),
     "q42_outer_join"    -> (q42OuterJoin _),
     "q1_agg"            -> (q1Agg _),
@@ -595,6 +664,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q80_table_stats" -> q80Sql,
+    "q81_fk_audit" -> q81Sql,
     "q59_bloom_semijoin" -> q59Sql,
     "q42_outer_join"    -> q42Sql,
     "q1_agg"            -> q1Sql,

@@ -641,7 +641,96 @@ object EventQueries {
       |  LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+
+  /** q82_event_paths — behavioral path mining: the most common 3-step
+    * event sequences across users (every consecutive type triple in each
+    * user's time-ordered stream), top 10 by frequency — the "what do
+    * users actually do" query behind funnel design (q76 checks ONE
+    * hypothesized path; this discovers which paths are worth
+    * hypothesizing).
+    *
+    * Scale shape: one shuffle of events on user_id for the per-user
+    * ordered window (lead×2 — state is two rows, not the user's history),
+    * then a path-keyed count aggregation whose cardinality is bounded by
+    * |event types|³, and a global top-10 of that tiny aggregate. Ordering
+    * within a user is (ms, event_id) — event_id breaks same-ms ties, so
+    * both engines enumerate identical sequences. */
+  def q82EventPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+      .select($"user_id", $"event_type",
+        lead($"event_type", 1).over(w).as("t2"),
+        lead($"event_type", 2).over(w).as("t3"))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      |FROM e WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+
+  /** q83_cohort_retention — weekly cohort retention: users are cohorted by
+    * the week of their FIRST signup event, and each later week of activity
+    * (any event type) increments that cohort's (weeks-since-signup) cell —
+    * the classic retention triangle every growth dashboard draws. Weeks
+    * are integer epoch-ms weeks (`ms div 604800000`): a pure integer grid
+    * both engines share, with none of date_trunc's timezone/week-start
+    * ambiguity. Negative offsets (activity before the signup landed) are
+    * excluded; the horizon is capped at 8 weeks, so the output is at most
+    * |cohorts|×9 cells.
+    *
+    * Scale shape: the cohort table is one user-keyed min-aggregation; the
+    * join back to events is the same user_id key (shared partitioning);
+    * the retention cells are a (cohort, offset)-keyed count-distinct whose
+    * group count is bounded by the calendar, not the data. */
+  def q83CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val WeekMs = 604800000L
+    def wk(c: Column): Column = call_function("div", c, lit(WeekMs))
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", wk(unix_millis($"ts")).as("w"))
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"w").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_week", ($"w" - $"cohort_week").as("weeks_since"))
+      .filter($"weeks_since".between(0, 8))
+      .groupBy($"cohort_week", $"weeks_since")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"weeks_since")
+  }
+
+  val q83Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS w
+      |           FROM events),
+      |c AS (SELECT user_id, min(w) AS cohort_week FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT cohort_week, e.w - cohort_week AS weeks_since,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |WHERE e.w - cohort_week BETWEEN 0 AND 8
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_event_paths" -> (q82EventPaths _),
+    "q83_cohort_retention" -> (q83CohortRetention _),
     "q44_asof_join"  -> (q44AsofJoin _),
     "cdc_unwrap"     -> (cdcUnwrap _),
     "cdc_conform"    -> (cdcConform _),
@@ -661,6 +750,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_event_paths" -> q82Sql,
+    "q83_cohort_retention" -> q83Sql,
     "q44_asof_join"  -> q44Sql,
     "cdc_unwrap"     -> cdcUnwrapSql,
     "cdc_conform"    -> cdcConformSql,
