@@ -128,14 +128,56 @@ object MultimodalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+
+  /** q84_frame_sample — frame sampling under the oracle gate: the REAL
+    * [[graft.multimodal.Multimodal.sampleFrames]] pass (every 4th 64-byte
+    * window of each media object's content as one frame row — the stub
+    * stand-in for every-k-th-video-frame extraction) over the synthesized
+    * media table, exporting per frame its index, byte length and content
+    * digest. q28 gates the metadata pass; this gates the CONTENT
+    * windowing: offsets, tail-frame truncation, empty-content elision and
+    * the bytes themselves (via md5) all hash-checked. The oracle replays
+    * the windows with VARCHAR substrings — byte-identical on this ASCII
+    * corpus (the q28 digest convention; a multi-byte corpus would need the
+    * BLOB path and the gate would catch the divergence).
+    *
+    * Scale shape: flatMap row → its own frames only (distributed explode,
+    * no driver collects, no shuffle before the output sort); frame count
+    * is content-proportional and each frame carries ≤ 64 bytes + fixed
+    * columns. A real codec swaps into the same per-partition batch shape
+    * ([[graft.multimodal.Multimodal.StubCodec]]'s documented seam). */
+  def q84FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      s, Tables.documents(s, dir))
+    graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 64, everyK = 4)
+      .select($"media_id", $"frame_idx",
+        length($"frame").cast("long").as("n_frame_bytes"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q84Sql: String =
+    """SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_idx,
+      |  CAST(len(substring(text, CAST(u.i * 64 + 1 AS INT), 64)) AS BIGINT)
+      |    AS n_frame_bytes,
+      |  md5(substring(text, CAST(u.i * 64 + 1 AS INT), 64)) AS frame_md5
+      |FROM documents,
+      |  UNNEST(range(0, (len(text) + 63) // 64)) AS u(i)
+      |WHERE u.i % 4 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_media_meta"    -> (q28MediaMeta _),
+    "q84_frame_sample"  -> (q84FrameSample _),
     "q29_clustered_scan" -> (q29ClusteredScan _),
     "q60_zorder_scan"   -> (q60ZOrderScan _),
     "q69_bucketed_join" -> (q69BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q28_media_meta"    -> q28Sql,
+    "q84_frame_sample"  -> q84Sql,
     "q29_clustered_scan" -> q29Sql,
     "q60_zorder_scan"   -> q60Sql,
     "q69_bucketed_join" -> q69Sql)
