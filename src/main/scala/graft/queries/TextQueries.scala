@@ -994,7 +994,9 @@ object TextQueries {
     * frequent set, a shuffle semi-join marks covered starts, and coverage /
     * anti-join / reassembly all shuffle by doc — every stage is keyed, no
     * pair blowup anywhere (cost is Σ windows, never N²). The gram is
-    * reduced to a 128-BIT FINGERPRINT (two independent xxhash64 lanes) in
+    * reduced to a 128-BIT FINGERPRINT (two xxhash64 lanes made independent
+    * by a salt-FIRST second lane — see the inline note in
+    * [[coveredPositions]] for why salt order matters) in
     * the scan, so the count-distinct shuffle and the semi-join carry
     * 16-byte keys instead of W-token strings (severalfold smaller — the
     * gram text never leaves the executor that built it). 64 bits alone
@@ -1020,9 +1022,14 @@ object TextQueries {
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), size($"toks") - W),
           i => array_join(slice($"toks", i + 1, lit(W)), " "))).as(Seq("start", "g")))
-      // 128-bit fingerprint in the scan; the gram string never shuffles
+      // 128-bit fingerprint in the scan; the gram string never shuffles.
+      // Lane 2 salts FIRST: multi-arg xxhash64 left-folds (seed carries),
+      // so xxhash64(lit(1L), g) hashes g under effective seed XXH64(1L, 42)
+      // — independent of lane 1's plain XXH64(g, 42). (Salting LAST would
+      // make h2 = XXH64(1L, seed = h1), a pure function of h1: every h1
+      // collision would also collide h2, leaving only 64 effective bits.)
       .select($"doc_id", $"start",
-        xxhash64($"g").as("h1"), xxhash64($"g", lit(1L)).as("h2"))
+        xxhash64($"g").as("h1"), xxhash64(lit(1L), $"g").as("h2"))
     val freq = win.groupBy($"h1", $"h2")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"h1", $"h2")
@@ -1404,8 +1411,17 @@ object TextQueries {
     *
     * Scale shape: cost is Σ bucket² candidate pairs (never N²) × O(len²)
     * per verify; at 100 TB you widen the fingerprint (more bits → smaller
-    * buckets) and cap verified length (levenshtein on a prefix) — both
-    * dials, not redesigns. Fingerprint blocks are SKEWED (boilerplate
+    * buckets) and cap verified length — the latter is a SHIPPED dial,
+    * `verifyPrefixChars` on [[q70FuzzyMatchWith]]: with `Some(c)` the
+    * Levenshtein runs on the first `c` characters of each side and the
+    * 20% gate divides by `least(max_len, c)`, making the per-pair verify
+    * O(c²) instead of O(len²) — the ×10 wall ratio then tracks pair
+    * count, not pair count × text-length². Recall vs the uncapped sf0.01
+    * ground truth (Q70PrefixCapSpec measures it each run): caps 256/128/64
+    * all score recall 1.00 AND precision 1.00 (16/16 pairs) — near-dup
+    * pairs that survive SimHash blocking agree on their prefixes long
+    * before 64 chars, so the cap you'd run at 100 TB (≳256) is measured
+    * lossless at gate scale. Fingerprint blocks are SKEWED (boilerplate
     * content piles into a few buckets — at sf0.1 the two hottest hold a
     * quarter of all pairs), and unlike a join, the verify's cost rides the
     * pair ROWS, so AQE skew-join cannot rebalance it: the pairs are
@@ -1423,8 +1439,26 @@ object TextQueries {
     * anywhere, so the oracle replays bit-for-bit. Two empty documents are
     * excluded (max_len 0): byte-identical texts are q23 exact-dedup's
     * business, not fuzzy matching's. */
-  def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+  def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    q70FuzzyMatchWith(s, dir, verifyPrefixChars = None)
+
+  /** q70 with the verified-length dial exposed. `verifyPrefixChars = None`
+    * is the oracle-gated default (full-text Levenshtein); `Some(c)` verifies
+    * the first `c` characters of each side and gates on
+    * `lev·1e6 ≤ 2e5·least(max_len, c)` — same integer arithmetic, O(c²)
+    * per pair. Output schema is identical in both modes; `max_len` in the
+    * export stays the FULL length so downstream consumers see the same
+    * column meaning regardless of the dial. */
+  def q70FuzzyMatchWith(s: SparkSession, dir: String,
+                        verifyPrefixChars: Option[Int]): DataFrame = {
     import s.implicits._
+    val (va, vb, effLen) = verifyPrefixChars match {
+      case Some(c) =>
+        require(c > 0, s"verifyPrefixChars must be positive, got $c")
+        (substring($"text_a", 1, c), substring($"text_b", 1, c),
+          least($"max_len", lit(c.toLong)))
+      case None => ($"text_a", $"text_b", $"max_len")
+    }
     // LAZY localCheckpoint: the LogicalRDD barrier (what actually stops
     // predicate pushdown from re-inlining the levenshtein before the
     // balance) exists either way, but eager=false defers execution to the
@@ -1434,12 +1468,13 @@ object TextQueries {
     // if the verify stage must survive executor churn.
     val verified = fuzzyCandidates(s, dir)
       .select($"doc_a", $"doc_b", $"simhash",
-        levenshtein($"text_a", $"text_b").cast("long").as("lev"), $"max_len")
+        levenshtein(va, vb).cast("long").as("lev"),
+        effLen.as("eff_len"), $"max_len")
       .localCheckpoint(false)
     verified
-      .filter($"lev" * 1000000L <= $"max_len" * 200000L)
+      .filter($"lev" * 1000000L <= $"eff_len" * 200000L)
       .select($"doc_a", $"doc_b", $"simhash", $"lev",
-        expr("(lev * 1000000) DIV max_len").as("rel_e6"))
+        expr("(lev * 1000000) DIV eff_len").as("rel_e6"))
       .orderBy($"doc_a", $"doc_b")
   }
 
