@@ -72,32 +72,73 @@ object VectorQueries {
   // ---------------------------------------------------------------- q26
 
   /** q26_embed_neardup — embedding-cosine near-dup pairs with BLOCKED
-    * self-join: only vectors sharing a coarse cluster (here the `label`
-    * column, standing in for an IVF cell / LSH bucket id) are compared.
-    * Cost is Σ cell² instead of N² — the scale path for near-dup mining. */
+    * self-join: only vectors sharing BOTH the `label` column (the semantic
+    * partition a curation pass would respect anyway) AND a frozen-quantizer
+    * cell ([[graft.vector.IvfFrozen]], q64's recipe) are compared.
+    *
+    * The composed key is what makes the blocking scale-safe: `label` alone
+    * has FIXED cardinality, so per-label population grows linearly with N
+    * and within-block pairs grow QUADRATICALLY (measured 6.7× wall at ×10
+    * when this query blocked on label only). The quantizer cell count is
+    * re-frozen at k ≈ √N as the corpus grows, so blocks stay ~constant-
+    * sized and total pairs stay ~N·(N/(|label|·k)) — linear-ish in N, the
+    * q64 sizing rule. Recall cost of the extra key: genuinely near-
+    * duplicate embeddings quantize to the same nearest centroid almost
+    * surely — Q26BlockSpec plants 100 clone pairs (cos ≈ 0.999, LshSpec's
+    * scaled-copy recipe) and measures 100/100 recall through the composed
+    * key. The corpus's own gate-passing pairs are NOT near-dups (the
+    * strongest same-label pair at sf0.01 is cos 0.475 — random coincidence
+    * territory in a synthetic corpus; the 0.30 export gate exists so every
+    * scale factor emits rows), and many straddle cells; the spec pins that
+    * the composed key only ever REMOVES pairs relative to label-only
+    * blocking, never invents them.
+    * The exported `cell` column is the observability half: a consumer can
+    * see exactly which cell produced a pair and audit block sizes with a
+    * GROUP BY. Assignment replays in DuckDB from the literal centroid
+    * matrix (q30/q64's trick), so the composed blocking sits fully under
+    * the oracle gate. */
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val model = graft.vector.IvfFrozen.model
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", dvec($"embedding").as("v"))
-      .select($"vec_id", $"label", $"v", norm($"v").as("nrm"))
+      .select($"vec_id", $"label",
+        graft.vector.Ivf.cellOf($"v", model).as("cell"),
+        $"v", norm($"v").as("nrm"))
     val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
+        col("a.label") === col("b.label") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.cell").cast("long").as("cell"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosR.as("cos_r"))
-      .filter($"cos_r" >= 0.40)
+      .filter($"cos_r" >= 0.30)
       .orderBy($"vec_a", $"vec_b")
   }
 
-  val q26Sql: String =
-    s"""WITH e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+  /** q26 oracle: q30/q64's frozen-centroid assignment fragment (carrying
+    * `label` through), then the label×cell-blocked pair scan. */
+  def q26Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, label, v, cell FROM (
+       |    SELECT e.vec_id, e.label, e.v, cents.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("e.v", "cents.c")}, cents.cell) AS rn
+       |    FROM e CROSS JOIN cents) t WHERE rn = 1)
        |SELECT * FROM (
-       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT a.label AS label, CAST(a.cell AS BIGINT) AS cell,
+       |    a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    round(${duckCos("a.v", "b.v")}, 4) AS cos_r
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
-       |WHERE cos_r >= 0.40
+       |  FROM assigned a JOIN assigned b
+       |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id) t
+       |WHERE cos_r >= 0.30
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q30
 
