@@ -23,10 +23,20 @@ import scala.jdk.OptionConverters._
   *     of many queries, which the per-query MEDIAN of
   *     `SPARK_GRAFT_BENCH_REPS` (default 3) discards, instead of all reps
   *     of whichever queries were unlucky enough to run inside it;
-  *   - a fixed-work single-thread CPU canary runs before every timed rep;
-  *     its median and max land in the output JSON, so a contaminated run is
-  *     DETECTABLE post-hoc (canary_max ≫ canary_med = something stole CPU
-  *     mid-bench) — the generic co-tenant load the process check can't see;
+  *   - a fixed-work single-thread CPU canary runs before every timed rep
+  *     (so each rep has a LEADING canary and, via the next rep's, a
+  *     TRAILING one); its median and max land in the output JSON, so a
+  *     contaminated run is DETECTABLE post-hoc (canary_max ≫ canary_med =
+  *     something stole CPU mid-bench) — the generic co-tenant load the
+  *     process check can't see. Detection now also GATES (r7 verdict #3):
+  *     a rep with either adjacent canary above 1.5× the run median is
+  *     discarded and re-run (≤2 retries, each re-gated on its own adjacent
+  *     canaries); reps still hot after retries are kept but counted in
+  *     `tainted_reps`, so a clean run reports tainted_reps = 0 rather than
+  *     leaving the reader to eyeball canary_max/canary_med. Canaries are
+  *     JIT-warmed before anything is recorded — the first calls pay
+  *     compilation of the hash loop and would otherwise inflate canary_max
+  *     on every clean run;
   *   - run the cross-query cleanup (unpersist of leftover localCheckpoint
   *     blocks, e.g. q40's edge checkpoint) BLOCKING and outside the timed
   *     window, so cleanup of query N cannot bleed into query N+1's timing
@@ -147,11 +157,16 @@ object Bench {
     // any — see the hermeticity scaladoc (one contention window perturbs
     // one rep of many queries, never all reps of one)
     val names = selected.keys.toSeq.sorted
-    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    if (names.isEmpty) {
+      System.err.println("[bench] nothing selected (SPARK_GRAFT_BENCH_ONLY matched no queries)")
+      sys.exit(2)
+    }
+    // steady-state canaries only: the first calls pay JIT compilation of
+    // the hash loop, which would inflate canary_max on every clean run
+    (1 to 5).foreach(_ => canary())
+
     val failedSet = scala.collection.mutable.Set.empty[String]
-    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
-    for (rep <- 1 to reps; name <- names) {
-      canaries += canary()
+    def timeOne(name: String, rep: Int): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -160,13 +175,53 @@ object Bench {
         }
       val t = (System.nanoTime() - t0) / 1e9
       cleanup()
-      if (ok) times.updateWith(name)(prev => Some(t :: prev.getOrElse(Nil)))
-      else failedSet += name
+      if (ok) t else -1.0
     }
+
+    // pass 1: every rep bracketed by canaries — sample i's leading canary
+    // is canaries(i), its trailing canary is canaries(i+1) (the next rep's
+    // leading one; one extra closes the last rep)
+    case class Sample(name: String, rep: Int, var lead: Double, var t: Double,
+                      var trail: Double, var tainted: Boolean = false)
+    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
+    val samples = scala.collection.mutable.ListBuffer.empty[Sample]
+    for (rep <- 1 to reps; name <- names) {
+      val lead = canary(); canaries += lead
+      samples.lastOption.foreach(_.trail = lead)
+      samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead)
+    }
+    val closing = canary(); canaries += closing
+    samples.lastOption.foreach(_.trail = closing)
+
+    // gate: a rep is tainted when either adjacent canary ran >1.5x slower
+    // than the run's median canary — CPU was stolen inside or beside its
+    // timed window. Tainted reps are re-run (bounded), each retry re-gated
+    // on its own fresh adjacent canaries.
+    val cMed = median(canaries.toSeq)
+    def hot(c: Double): Boolean = c > cMed * 1.5
+    var retried = 0
+    for (smp <- samples if smp.t >= 0) {
+      smp.tainted = hot(smp.lead) || hot(smp.trail)
+      var attempts = 0
+      while (smp.tainted && attempts < 2) {
+        attempts += 1; retried += 1
+        System.err.println(f"[bench] rep ${smp.rep} of ${smp.name} tainted " +
+          f"(canaries ${smp.lead}%.3f/${smp.trail}%.3f vs med $cMed%.3f), retry $attempts")
+        val lead = canary()
+        val t = timeOne(smp.name, smp.rep)
+        val trail = canary()
+        if (t >= 0) { smp.lead = lead; smp.t = t; smp.trail = trail }
+        smp.tainted = hot(lead) || hot(trail)
+      }
+    }
+    samples.filter(_.t < 0).foreach(s => failedSet += s.name)
+    val taintedReps = samples.count(s => s.t >= 0 && s.tainted)
+
     // failures report the sentinel -1.0 so a consumer of the JSON line can
     // tell a failed query from a fast one; they are excluded from total
+    val byName = samples.groupBy(_.name)
     val results = names.map { name =>
-      val ts = times.getOrElse(name, Nil)
+      val ts = byName.getOrElse(name, Nil).filter(_.t >= 0).map(_.t).toSeq
       (name, if (!failedSet(name) && ts.size == reps) median(ts) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
@@ -174,9 +229,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val cMed = median(canaries.toSeq)
     val cMax = canaries.max
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
