@@ -100,11 +100,110 @@ object StreamQueries {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** q85_stream_funnel — [[graft.streaming.EventStream.funnelProgress]]
+    * (the stateful flatMapGroupsWithState operator) under the DRIVER gate,
+    * the q31 pattern applied to cross-batch user state: the events table
+    * streams through the funnel via Trigger.AvailableNow, emissions land in
+    * a parquet sink, and the exported table is each user's LATEST emission
+    * (their final funnel verdict) left-joined onto the distinct-user base —
+    * stage-0 users never advance, so they never emit, and fill as
+    * (0, null, null, null). The oracle is EXACTLY q76's batch SQL: under
+    * in-order arrival (the source is written time-sorted; within a batch
+    * the operator re-sorts) the stream's first-qualifying sequencing is the
+    * batch min-based sequencing, so the stateful operator must reproduce
+    * the batch funnel bit-for-bit — the spec-only stream≡batch assertion
+    * (EventStreamSpec) promoted to a hash-matched CORRECTNESS row.
+    *
+    * No TTL: `stateTtlMs = None` keeps the operator on NoTimeout, which is
+    * what lets AvailableNow drain and terminate (ProcessingTimeTimeout
+    * schedules no-data batches forever); the TTL path stays spec-covered. */
+  def q85StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStream
+    val root = graft.util.HarnessDirs.newDir("q85")
+
+    val ev = graft.Tables.events(s, dir)
+      .select($"ts", $"user_id", $"event_type")
+    // time-sorted single file = the in-order arrival contract under which
+    // stream ≡ batch holds across any batch split the source picks
+    ev.orderBy($"ts", $"event_type")
+      .select(to_json(struct($"ts", $"user_id", $"event_type")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.user_id", $"e.event_type")
+      .as[EventStream.FunnelEvent]
+    EventStream.funnelProgress(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"stage".desc)
+    val last = s.read
+      .schema("user_id LONG, stage LONG, t_view_ms LONG, t_click_ms LONG, t_purchase_ms LONG")
+      .parquet(s"$root/out")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    ev.select($"user_id").distinct()
+      .join(last, Seq("user_id"), "left")
+      .select($"user_id", coalesce($"stage", lit(0L)).as("stage"),
+        $"t_view_ms", $"t_click_ms", $"t_purchase_ms")
+      .orderBy($"user_id")
+  }
+
+  /** q86_stream_prep — [[graft.streaming.CorpusStream.curated]] (the
+    * cross-batch first-arrival dedup state) under the driver gate, q85's
+    * recipe applied to the corpus-prep stream: documents stream through in
+    * doc_id order (the arrival contract under which first-arrival dedup ≡
+    * q47's min-doc_id canonical rule), and the sink table must hash-match
+    * q47's batch SQL exactly. Stateless stages are literally shared with
+    * the batch query (prepScored / sampleBucket), so what this row gates
+    * is precisely the stateful dedup's cross-batch behavior. */
+  def q86StreamPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q86")
+
+    val docs = graft.Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+    docs.orderBy($"doc_id")
+      .select(to_json(struct($"doc_id", $"lang", $"text")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", docs.schema).as("d"))
+      .select($"d.doc_id", $"d.lang", $"d.text")
+    graft.streaming.CorpusStream.curated(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    s.read
+      .schema("doc_id LONG, lang STRING, n_tokens LONG, fp STRING, bucket STRING")
+      .parquet(s"$root/out")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_e2e"  -> (q31StreamE2e _),
-    "q34_merge_upsert" -> (q34MergeUpsert _))
+    "q34_merge_upsert" -> (q34MergeUpsert _),
+    "q85_stream_funnel" -> (q85StreamFunnel _),
+    "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
     "q31_stream_e2e"  -> q31Sql,
-    "q34_merge_upsert" -> q34Sql)
+    "q34_merge_upsert" -> q34Sql,
+    // the stateful streams must converge to their batch twins — same
+    // contract, same SQL (see the q85/q86 scaladocs)
+    "q85_stream_funnel" -> graft.queries.EventQueries.q76Sql,
+    "q86_stream_prep" -> graft.queries.TextQueries.q47Sql)
 }
