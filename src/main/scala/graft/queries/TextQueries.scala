@@ -1014,7 +1014,11 @@ object TextQueries {
     * window that appears verbatim in ≥ 2 distinct documents — the shared
     * mining core of q61 and q72 (see q61's scaladoc for the scale shape;
     * `docs` must be (doc_id, toks)). */
-  private def coveredPositions(docs: DataFrame): DataFrame = {
+  /** The shared window-mining core: `win` = every W-token window as
+    * (doc_id, start, fingerprint), `freq` = the fingerprints repeated
+    * across ≥ 2 documents, each with its CANONICAL document (the lowest
+    * doc_id containing the gram — what q87's keep-one-copy rule retains). */
+  private def repeatedWindows(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val W = RepeatW
@@ -1031,18 +1035,39 @@ object TextQueries {
       .select($"doc_id", $"start",
         xxhash64($"g").as("h1"), xxhash64(lit(1L), $"g").as("h2"))
     val freq = win.groupBy($"h1", $"h2")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"h1", $"h2")
-    win.join(freq, Seq("h1", "h2"))
-      .select($"doc_id", explode(sequence($"start", $"start" + (W - 1))).as("p"))
+      .agg(countDistinct($"doc_id").as("nd"), min($"doc_id").as("canon_doc"))
+      .filter($"nd" >= 2)
+    (win, freq)
+  }
+
+  private def coveredPositions(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val (win, freq) = repeatedWindows(docs)
+    win.join(freq.select($"h1", $"h2"), Seq("h1", "h2"))
+      .select($"doc_id", explode(sequence($"start", $"start" + (RepeatW - 1))).as("p"))
       .distinct()
   }
 
-  def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+  /** q87's removal set: positions covered by a repeated window whose
+    * canonical occurrence lives in ANOTHER document — the gram's lowest-
+    * doc_id copy keeps its positions (Lee et al.'s "all but one"). */
+  private def nonCanonicalCovered(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
-    val covered = coveredPositions(docs)
+    val (win, freq) = repeatedWindows(docs)
+    win.join(freq.select($"h1", $"h2", $"canon_doc"), Seq("h1", "h2"))
+      .filter($"doc_id" =!= $"canon_doc")
+      .select($"doc_id", explode(sequence($"start", $"start" + (RepeatW - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Drop `covered` (doc_id, p) token positions from `docs` and reassemble
+    * the surviving tokens in position order — the shared "apply" stage of
+    * q61 and q87. Emits (doc_id, clean_text, n_tokens, n_removed). */
+  private def scrubPositions(docs: DataFrame, covered: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val pos = docs.select($"doc_id", posexplode($"toks").as(Seq("p", "tok")))
     val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
     val agg = kept.groupBy($"doc_id").agg(
@@ -1055,7 +1080,13 @@ object TextQueries {
         coalesce($"clean_text", lit("")).as("clean_text"),
         $"n_tokens",
         ($"n_tokens" - coalesce($"n_kept", lit(0L))).cast("long").as("n_removed"))
-      .orderBy($"doc_id")
+  }
+
+  def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    scrubPositions(docs, coveredPositions(docs)).orderBy($"doc_id")
   }
 
   val q61Sql: String =
@@ -1615,6 +1646,82 @@ object TextQueries {
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+
+  /** q87_span_scrub — the maximal-span deduplication scrub that unifies
+    * q61 and q72 into Lee et al. 2022's ACTUAL output: remove every
+    * repeated span from the corpus BUT KEEP ONE CANONICAL COPY. q61 drops
+    * all occurrences of cross-document repeats (no surviving copy — a
+    * boilerplate filter); q72 only inventories the spans; this query
+    * applies the inventory with the keep-one rule — a repeated gram's
+    * occurrence in its CANONICAL document (the lowest doc_id containing
+    * it, the suite's standard min-id canonical rule, q23/q47) keeps its
+    * positions, and only the other documents' copies are scrubbed. The
+    * removed regions are exactly q72's maximal spans restricted to
+    * non-canonical documents: overlapping/adjacent window hits fuse into
+    * variable-length runs during reassembly, and `n_spans` (gaps-and-
+    * islands over the removal set) reports how many maximal spans were cut
+    * from each document — the span-based reassembly, DuckDB-replayed.
+    *
+    * Scale shape: identical to q61's — the mining core is SHARED
+    * ([[repeatedWindows]]: one 128-bit-fingerprint count-distinct shuffle;
+    * the canonical doc is a `min` riding the same aggregation for free),
+    * the keep-one filter is a row predicate on the semi-join, and the
+    * reassembly adds one doc_id-keyed window for span counting. Canonical
+    * choice is deterministic (min doc_id), so reruns are stable — the
+    * property a curation pass needs to be idempotent. */
+  def q87SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val removed = nonCanonicalCovered(docs)
+    val byPos = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = removed
+      .withColumn("grp", $"p" - row_number().over(byPos))
+      .groupBy($"doc_id").agg(countDistinct($"grp").as("n_spans"))
+    scrubPositions(docs, removed)
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"clean_text", $"n_tokens", $"n_removed",
+        coalesce($"n_spans", lit(0L)).as("n_spans"))
+      .orderBy($"doc_id")
+  }
+
+  /** q87 oracle: q61's mining CTEs with the canonical-doc min riding the
+    * frequent-gram aggregation (string semantics — a fingerprint collision
+    * on the Spark side would fail this gate), the keep-one filter, then
+    * q61's reassembly plus the q72 islands count over the removal set. */
+  val q87Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+       |    list_aggregate(toks[CAST(u.i AS INT):CAST(u.i + 5 AS INT)],
+       |                   'string_agg', ' ') AS g
+       |  FROM t, UNNEST(range(1, len(toks) - 6 + 2)) AS u(i)),
+       |freq AS (SELECT g, min(doc_id) AS canon_doc FROM win
+       |         GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT w.doc_id, CAST(u.p AS BIGINT) AS p
+       |        FROM win w JOIN freq USING (g),
+       |             UNNEST(range(w.i, w.i + 6)) AS u(p)
+       |        WHERE w.doc_id <> freq.canon_doc),
+       |isl AS (SELECT doc_id, p,
+       |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM cov),
+       |sp AS (SELECT doc_id, count(DISTINCT grp) AS n_spans FROM isl GROUP BY doc_id),
+       |pos AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[CAST(u.i AS INT)] AS tok
+       |        FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (SELECT pos.doc_id, pos.i, pos.tok FROM pos
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                           WHERE cov.doc_id = pos.doc_id AND cov.p = pos.i)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans
+       |FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN sp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q73
 
   /** q73_bm25 — ranked lexical retrieval: Okapi BM25 (k1 = 1.2, b = 0.75,
@@ -2070,6 +2177,7 @@ object TextQueries {
     "q78_snapshot_diff"     -> (q78SnapshotDiff _),
     "q79_curriculum"        -> (q79Curriculum _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
+    "q87_span_scrub"        -> (q87SpanScrub _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
     "q70_fuzzy_match"       -> (q70FuzzyMatch _),
@@ -2104,6 +2212,7 @@ object TextQueries {
     "q78_snapshot_diff"     -> q78Sql,
     "q79_curriculum"        -> q79Sql,
     "q72_repeat_spans"      -> q72Sql,
+    "q87_span_scrub"        -> q87Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
     "q70_fuzzy_match"       -> q70Sql,
