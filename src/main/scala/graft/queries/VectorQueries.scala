@@ -144,9 +144,12 @@ object VectorQueries {
 
   /** q30_ann_ivf — the IVF READ path ([[graft.vector.Ivf.topK]]) under a
     * FROZEN coarse quantizer ([[graft.vector.IvfFrozen]], trained once by
-    * `graft.tools.FreezeIvf`): codegen'd nearest-centroid assignment, probe
-    * the 4 closest of 8 cells, exact cosine re-score of only the probed
-    * sliver. Freezing the model is both what makes the query oracle-
+    * `graft.tools.FreezeIvf`, k = 45 ≈ √N cells per the IVF sizing rule —
+    * FreezeIvf derives it from the sizing corpus's row count): codegen'd
+    * nearest-centroid assignment, probe the `nprobe = 4` closest cells,
+    * exact cosine re-score of only the probed sliver (IvfSpec's sweep
+    * measures the nprobe recall/cost dial — see the table in its
+    * scaladoc). Freezing the model is both what makes the query oracle-
     * checkable (the DuckDB side replays assign/probe/re-score from the same
     * literal matrix — training alone is not SQL-expressible; IvfSpec covers
     * it) and the realistic 100 TB deployment: train on a sample once, ship
