@@ -41,11 +41,17 @@ object CleanRoom {
     * path the layout exists for. The signature includes the source dir,
     * so switching scale factors forces a reload rather than serving stale
     * data; a catalog that forgot the table (new JVM, in-memory catalog)
-    * always reloads. */
+    * always reloads. The signature alone is NOT sufficient: a persistent
+    * catalog can outlive a wiped/partially-deleted warehouse directory, in
+    * which case trusting the property would skip the load and serve an
+    * empty or broken table — so the guard also requires a successful
+    * LIMIT 1 read (cheap: one row-group of one file) before skipping. */
   private def upToDate(spark: SparkSession, table: String, sig: String): Boolean =
     spark.catalog.tableExists(table) &&
       spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-        .exists(r => r.getString(0) == "graft.load_sig" && r.getString(1) == sig)
+        .exists(r => r.getString(0) == "graft.load_sig" && r.getString(1) == sig) &&
+      (try { spark.table(table).limit(1).collect(); true }
+       catch { case _: Exception => false })
 
   private def stampSig(spark: SparkSession, table: String, sig: String): Unit = {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.load_sig' = '$sig')")

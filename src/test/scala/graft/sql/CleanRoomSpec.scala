@@ -41,6 +41,30 @@ class CleanRoomSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS cr_lineitem")
   }
 
+  test("load-sig guard survives a wiped warehouse: reload instead of empty table") {
+    CleanRoom.loadClustered(spark,
+      "/root/testdata/sf0.001/lineitem.parquet", "cr_wiped", "l_orderkey")
+    try {
+      val n = spark.table("cr_wiped").count()
+      assert(n > 0)
+      // simulate an operator wiping the warehouse under a live catalog:
+      // the table property (and the catalog entry) survive, the files don't
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql("DESCRIBE TABLE EXTENDED cr_wiped").collect()
+          .find(_.getString(0) == "Location").get.getString(1)))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(loc)
+      // the signature still matches, but upToDate's LIMIT-1 probe must
+      // notice the missing data and let the loader rebuild the table
+      CleanRoom.loadClustered(spark,
+        "/root/testdata/sf0.001/lineitem.parquet", "cr_wiped", "l_orderkey")
+      assert(spark.table("cr_wiped").count() === n,
+        "loader trusted a stale load_sig over a wiped warehouse")
+    } finally spark.sql("DROP TABLE IF EXISTS cr_wiped")
+  }
+
   test("partitioned bulk load: PartitionFilters prune directories (O21 companion)") {
     import org.apache.spark.sql.functions._
     CleanRoom.loadPartitioned(spark,
