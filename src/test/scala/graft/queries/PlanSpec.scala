@@ -377,6 +377,17 @@ class PlanSpec extends SparkSpec {
       s"the gram string must be fingerprinted before it reaches an exchange:\n$p")
   }
 
+  test("q87: keep-one span scrub shares the fingerprint-shuffle discipline") {
+    val plan = executed(TextQueries.q87SpanScrub(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = plan.toString
+    // same contract as q61/q72: the gram string never partitions an
+    // exchange — the canonical-doc min rides the fingerprint aggregation
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("(g#")),
+      s"the gram string must be fingerprinted before it reaches an exchange:\n$p")
+  }
+
   test("q73: fixed query terms prune at the scan; corpus stats broadcast back") {
     // the term semi-join and the df/stats/query joins are all bounded by
     // the fixed workload — every one must be a broadcast, and nothing may
