@@ -2117,6 +2117,88 @@ object TextQueries {
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+
+  /** q88_vocab_drift — distributional drift between corpus snapshots: the
+    * top-20 tokens by absolute contribution to KL(v1 ‖ v2), where v2 is
+    * q78's deterministic next-crawl simulation and both token
+    * distributions are add-one smoothed over the UNION vocabulary. q78
+    * answers "which DOCUMENTS changed"; this answers "did the LANGUAGE
+    * change" — the telemetry a training pipeline watches between crawls
+    * to catch topic collapse, spam floods, or scraper regressions before
+    * they reach a training run (the q71 histogram's lexical sibling).
+    *
+    * Engine-determinism (the q68/q73 ln convention): per token ONE double
+    * expression — 1e6 · p1 · ln(p1/p2) with p = (c+1)/(n+|V|) — written
+    * with identical literals and associativity in both engines over exact
+    * integer inputs (counts, totals, vocab size), floored onto the e6
+    * grid; ranking then compares integers with a token tie-break, so an
+    * ulp cannot flip the export.
+    *
+    * Scale shape: two explode → token-keyed count aggregations (partial
+    * aggs carry counts, not tokens), one |V|-sized full-outer join on the
+    * token key, totals as a broadcast 1-row aggregate, and a top-20 over
+    * |V| rows (WindowGroupLimit prunes map-side). Nothing scales with
+    * corpus size except the two count shuffles — the q36/q37 shape. */
+  def q88VocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = Tables.documents(s, dir).select($"doc_id", $"text")
+    // q78's simulated next crawl (verbatim — the two queries must describe
+    // the same v2 or their telemetry diverges)
+    val v2 = v1.filter($"doc_id" % 13 =!= 3)
+      .withColumn("text", when($"doc_id" % 13 === 5, concat($"text", lit(" rev2")))
+        .otherwise($"text"))
+      .unionAll(v1.filter($"doc_id" % 13 === 7)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(TextFunctions.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as(name))
+    val joined = counts(v1, "c1").join(counts(v2, "c2"), Seq("token"), "full_outer")
+      .select($"token",
+        coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+    val stats = joined.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+      count(lit(1)).as("vsz"))
+    val p1 = ($"c1" + lit(1.0)) / ($"n1" + $"vsz")
+    val p2 = ($"c2" + lit(1.0)) / ($"n2" + $"vsz")
+    val w = Window.orderBy(abs($"kl_e6").desc, $"token")
+    joined.crossJoin(broadcast(stats))
+      .select($"token", $"c1", $"c2",
+        floor(lit(1000000.0) * p1 * log(p1 / p2)).cast("long").as("kl_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 20)
+      .select($"rank", $"token", $"c1", $"c2", $"kl_e6")
+      .orderBy($"rank")
+  }
+
+  /** q88 oracle: q78's v2, the same smoothed-KL contribution text, the
+    * same integer ranking. */
+  val q88Sql: String =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+       |  FROM v1 WHERE doc_id % 13 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM v1 WHERE doc_id % 13 = 7),
+       |t1 AS (SELECT token, count(*) AS c1
+       |       FROM (SELECT unnest($Toks) AS token FROM v1) GROUP BY token),
+       |t2 AS (SELECT token, count(*) AS c2
+       |       FROM (SELECT unnest($Toks) AS token FROM v2) GROUP BY token),
+       |j AS (SELECT coalesce(t1.token, t2.token) AS token,
+       |        coalesce(t1.c1, 0) AS c1, coalesce(t2.c2, 0) AS c2
+       |      FROM t1 FULL OUTER JOIN t2 ON t1.token = t2.token),
+       |st AS (SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS vsz FROM j),
+       |k AS (SELECT token, c1, c2,
+       |        CAST(floor(1000000.0 * ((c1 + 1.0) / (n1 + vsz))
+       |          * ln(((c1 + 1.0) / (n1 + vsz)) / ((c2 + 1.0) / (n2 + vsz))))
+       |          AS BIGINT) AS kl_e6
+       |      FROM j, st)
+       |SELECT CAST(rank AS BIGINT) AS rank, token, c1, c2, kl_e6 FROM (
+       |  SELECT *, row_number() OVER (ORDER BY abs(kl_e6) DESC, token) AS rank
+       |  FROM k) r
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- q79
 
   /** q79_curriculum — difficulty staging for curriculum learning: every
@@ -2178,6 +2260,7 @@ object TextQueries {
     "q79_curriculum"        -> (q79Curriculum _),
     "q72_repeat_spans"      -> (q72RepeatSpans _),
     "q87_span_scrub"        -> (q87SpanScrub _),
+    "q88_vocab_drift"       -> (q88VocabDrift _),
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
     "q70_fuzzy_match"       -> (q70FuzzyMatch _),
@@ -2213,6 +2296,7 @@ object TextQueries {
     "q79_curriculum"        -> q79Sql,
     "q72_repeat_spans"      -> q72Sql,
     "q87_span_scrub"        -> q87Sql,
+    "q88_vocab_drift"       -> q88Sql,
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
     "q70_fuzzy_match"       -> q70Sql,
