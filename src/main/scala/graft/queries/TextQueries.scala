@@ -2153,9 +2153,14 @@ object TextQueries {
     def counts(df: DataFrame, name: String): DataFrame =
       df.select(explode(TextFunctions.tokens($"text")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as(name))
+    // lazy localCheckpoint (q52's pattern): `joined` feeds BOTH the 1-row
+    // totals aggregate and the scored output — without the barrier the
+    // full-outer join executes twice (with reused shuffles, but still
+    // 2x the |V|-row merge work)
     val joined = counts(v1, "c1").join(counts(v2, "c2"), Seq("token"), "full_outer")
       .select($"token",
         coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+      .localCheckpoint(false)
     val stats = joined.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
       count(lit(1)).as("vsz"))
     val p1 = ($"c1" + lit(1.0)) / ($"n1" + $"vsz")
