@@ -2140,7 +2140,11 @@ object TextQueries {
     * token key, totals as a broadcast 1-row aggregate, and a top-20 over
     * |V| rows (WindowGroupLimit prunes map-side). Nothing scales with
     * corpus size except the two count shuffles — the q36/q37 shape. */
-  def q88VocabDrift(s: SparkSession, dir: String): DataFrame = {
+  /** q88's pre-checkpoint join stage — (token, c1, c2) over the union
+    * vocabulary of v1 and q78's v2 — factored out so DumpPlans can show
+    * the join + count-shuffle shape the scaladoc describes (the public
+    * query checkpoints it, which cuts the executed plan; q70's pattern). */
+  private[graft] def vocabDriftJoined(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v1 = Tables.documents(s, dir).select($"doc_id", $"text")
     // q78's simulated next crawl (verbatim — the two queries must describe
@@ -2153,14 +2157,18 @@ object TextQueries {
     def counts(df: DataFrame, name: String): DataFrame =
       df.select(explode(TextFunctions.tokens($"text")).as("token"))
         .groupBy($"token").agg(count(lit(1)).as(name))
+    counts(v1, "c1").join(counts(v2, "c2"), Seq("token"), "full_outer")
+      .select($"token",
+        coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+  }
+
+  def q88VocabDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // lazy localCheckpoint (q52's pattern): `joined` feeds BOTH the 1-row
     // totals aggregate and the scored output — without the barrier the
     // full-outer join executes twice (with reused shuffles, but still
     // 2x the |V|-row merge work)
-    val joined = counts(v1, "c1").join(counts(v2, "c2"), Seq("token"), "full_outer")
-      .select($"token",
-        coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
-      .localCheckpoint(false)
+    val joined = vocabDriftJoined(s, dir).localCheckpoint(false)
     val stats = joined.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
       count(lit(1)).as("vsz"))
     val p1 = ($"c1" + lit(1.0)) / ($"n1" + $"vsz")
