@@ -638,7 +638,63 @@ object CoreQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
       |ORDER BY relation""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+
+  /** q95_contract_check — declarative data-contract validation
+    * ([[graft.quality.Contracts]]): the row-level conformance gate a
+    * snapshot publish runs, complementing q80 (what the data looks like)
+    * and q81 (whether references resolve) with what the data is ALLOWED to
+    * be — null checks, value domains, range windows, one report row per
+    * rule. Every predicate states its null case explicitly
+    * (`isNull || !inDomain`), the Contracts API contract.
+    *
+    * Scale shape: ONE lineitem scan no matter how many rules — each rule
+    * is a conditional-sum branch of the same single-row aggregate (partial
+    * aggs fold map-side; the exchange carries one row), and the per-rule
+    * unpivot happens on that one row. Adding a rule costs one codegen'd
+    * column, not a pass. */
+  def q95ContractCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.quality.Contracts.Rule
+    val li = Tables.lineitem(s, dir)
+    val rules = Seq(
+      Rule("discount_range", $"l_discount".isNull || !$"l_discount".between(0.0, 0.1)),
+      Rule("flag_domain", $"l_returnflag".isNull || !$"l_returnflag".isin("A", "N", "R")),
+      Rule("keys_present", $"l_orderkey".isNull || $"l_partkey".isNull || $"l_suppkey".isNull),
+      Rule("linenumber_range", $"l_linenumber".isNull || !$"l_linenumber".between(1, 7)),
+      Rule("price_positive", $"l_extendedprice".isNull || $"l_extendedprice" <= 0.0),
+      Rule("qty_range", $"l_quantity".isNull || !$"l_quantity".between(1.0, 50.0)),
+      Rule("ship_window",
+        $"l_shipdate".isNull ||
+          !to_date($"l_shipdate").between(lit("1992-01-01"), lit("1998-12-31"))),
+      Rule("status_domain", $"l_linestatus".isNull || !$"l_linestatus".isin("O", "F")),
+      Rule("tax_range", $"l_tax".isNull || !$"l_tax".between(0.0, 0.08)))
+    graft.quality.Contracts.validate(li, rules).orderBy($"rule")
+  }
+
+  val q95Sql: String = {
+    val rules = Seq(
+      "discount_range" -> "l_discount IS NULL OR l_discount NOT BETWEEN 0.0 AND 0.1",
+      "flag_domain" -> "l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')",
+      "keys_present" -> "l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL",
+      "linenumber_range" -> "l_linenumber IS NULL OR l_linenumber NOT BETWEEN 1 AND 7",
+      "price_positive" -> "l_extendedprice IS NULL OR l_extendedprice <= 0.0",
+      "qty_range" -> "l_quantity IS NULL OR l_quantity NOT BETWEEN 1.0 AND 50.0",
+      "ship_window" -> ("l_shipdate IS NULL OR CAST(l_shipdate AS DATE) " +
+        "NOT BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'"),
+      "status_domain" -> "l_linestatus IS NULL OR l_linestatus NOT IN ('O','F')",
+      "tax_range" -> "l_tax IS NULL OR l_tax NOT BETWEEN 0.0 AND 0.08")
+    val branches = rules.map { case (name, pred) =>
+      s"""SELECT '$name' AS rule, count(*) AS n_checked,
+         |  CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |  CAST(CASE WHEN sum(CASE WHEN $pred THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_contract_check" -> (q95ContractCheck _),
     "q80_table_stats" -> (q80TableStats _),
     "q81_fk_audit" -> (q81FkAudit _),
     "q59_bloom_semijoin" -> (q59BloomSemiJoin _),
@@ -663,6 +719,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_contract_check" -> q95Sql,
     "q80_table_stats" -> q80Sql,
     "q81_fk_audit" -> q81Sql,
     "q59_bloom_semijoin" -> q59Sql,

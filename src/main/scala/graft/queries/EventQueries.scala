@@ -728,7 +728,114 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, weeks_since""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** q93_outliers — robust per-group anomaly detection by the Hampel /
+    * MAD rule: an event is an outlier when |value − median| > 3·MAD
+    * (MAD = median absolute deviation), computed per event_type. Median +
+    * MAD is the robust replacement for mean + stddev telemetry (q50):
+    * breakdown point 50%, so the outliers being hunted cannot drag the
+    * threshold the way they drag a stddev.
+    *
+    * Engine determinism: values snap to the e6 integer grid at the scan,
+    * and both medians ride the ×2 trick — `2·percentile(ints, 0.5)` is
+    * `a+b` (even n) or `2a` (odd n), EXACT in int64, so `med2 = 2·median`
+    * and `mad4 = 4·MAD` are integers and the flag `2·dev2 > 3·mad4`
+    * (⟺ dev > 3·MAD) is pure integer comparison — no float can disagree.
+    *
+    * Scale shape: two grouped exact-percentile passes (per-type state =
+    * the value buffer, the q39 trade) + one broadcast-joined flag scan;
+    * group count is tiny. At 100 TB swap `percentile` for
+    * `approx_percentile` and certify with q45's rank-window contract —
+    * same plan, sketch-sized state. */
+  def q93Outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        floor($"value" * 1000000.0 + lit(0.5)).cast("long").as("v_e6"))
+    val med = ev.groupBy($"event_type")
+      .agg((expr("percentile(v_e6, 0.5)") * 2.0).cast("long").as("med2_e6"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev2_e6", abs($"v_e6" * 2L - $"med2_e6"))
+    val mad = dev.groupBy($"event_type")
+      .agg((expr("percentile(dev2_e6, 0.5)") * 2.0).cast("long").as("mad4_e6"))
+    dev.join(broadcast(mad), "event_type")
+      .filter($"dev2_e6" * 2L > $"mad4_e6" * 3L)
+      .select($"event_id", $"event_type", $"v_e6", $"dev2_e6", $"med2_e6", $"mad4_e6")
+      .orderBy($"event_id")
+  }
+
+  val q93Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_e6 FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(2.0 * quantile_cont(v_e6, 0.5) AS BIGINT) AS med2_e6
+      |  FROM e GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.v_e6, med.med2_e6,
+      |    abs(2*e.v_e6 - med.med2_e6) AS dev2_e6
+      |  FROM e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, CAST(2.0 * quantile_cont(dev2_e6, 0.5) AS BIGINT) AS mad4_e6
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.v_e6, d.dev2_e6, d.med2_e6, mad.mad4_e6
+      |FROM dev d JOIN mad USING (event_type)
+      |WHERE 2*d.dev2_e6 > 3*mad.mad4_e6
+      |ORDER BY d.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+
+  /** q94_ewma_trend — exponentially-weighted daily volume trend per
+    * event_type, the smoothing pass behind rate/anomaly dashboards. With
+    * α = 1/2 the truncated-at-8-lags EWMA is a DYADIC sum — this query
+    * exports `ewma_s = Σ_{j=0..7} n_{t−j}·2^(7−j)` (= 2⁸·EWMA with the
+    * j-th weight 2^-(j+1)), which is EXACT integer arithmetic: no float
+    * enters at all, the strongest form of the engine-determinism
+    * convention. Lags are row-based over each type's ordered day series
+    * (missing days treated as adjacent — the standard telemetry
+    * simplification; a calendar-dense variant is a `sequence()` date
+    * spine away).
+    *
+    * Scale shape: one groupBy(type, day) agg collapses the event volume
+    * map-side (the exchange carries |types|·|days| rows), then ONE window
+    * partitioned by type computes all 8 lags — one shuffle, tiny state. */
+  def q94EwmaTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val ewmaS = (0 until K).map { j =>
+      val wt = lit(1L << (K - 1 - j))
+      if (j == 0) $"n" * wt else coalesce(lag($"n", j).over(w), lit(0L)) * wt
+    }.reduce(_ + _)
+    // day exported as its ISO string — DATE is unproven in the driver's
+    // hash compare (the q11 convention keeps date exports scalar)
+    daily
+      .select($"event_type", $"day".cast("string").as("day"), $"n", ewmaS.as("ewma_s"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q94Sql: String = {
+    val k = 8
+    val terms = (0 until k).map { j =>
+      if (j == 0) s"n * ${1L << (k - 1)}"
+      else s"lag(n, $j, 0) OVER w * ${1L << (k - 1 - j)}"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, CAST(day AS VARCHAR) AS day, n, $terms AS ewma_s
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_outliers" -> (q93Outliers _),
+    "q94_ewma_trend" -> (q94EwmaTrend _),
     "q82_event_paths" -> (q82EventPaths _),
     "q83_cohort_retention" -> (q83CohortRetention _),
     "q44_asof_join"  -> (q44AsofJoin _),
@@ -750,6 +857,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_outliers" -> q93Sql,
+    "q94_ewma_trend" -> q94Sql,
     "q82_event_paths" -> q82Sql,
     "q83_cohort_retention" -> q83Sql,
     "q44_asof_join"  -> q44Sql,

@@ -193,8 +193,60 @@ object StreamQueries {
       .orderBy($"doc_id")
   }
 
+  /** q89_stream_join — the STREAM-STREAM interval join
+    * ([[graft.streaming.EventStream.purchasesWithRecentClicks]]) under the
+    * driver gate: the last spec-only streaming operator family promoted to
+    * a hash-matched CORRECTNESS row (q85/q86's pattern — q46 gates this
+    * operator's batch twin; this row gates the watermarked two-sided
+    * state machine itself, run to completion via Trigger.AvailableNow).
+    *
+    * Timestamps are ms-TRUNCATED at source synthesis, which closes the
+    * µs-vs-ms predicate gap between the streaming operator (raw-timestamp
+    * comparisons, so the predicate can drive watermark eviction) and the
+    * q46 oracle grid: on ms-grid inputs the two predicates are identical,
+    * so the oracle is EXACTLY q46's SQL. Events stream time-sorted (the
+    * in-order arrival contract): any purchase that could still match an
+    * evicted click would have to lie behind the watermark its own arrival
+    * advanced — so eviction provably never drops a pair, the same
+    * argument EventStreamSpec makes per-batch. */
+  def q89StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q89")
+
+    val ev = graft.Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        $"event_id", $"value")
+    ev.orderBy($"ms", $"event_id")
+      .select(to_json(struct($"ms", $"user_id", $"event_type", $"event_id", $"value")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", schema).as("e"))
+      .select(timestamp_millis($"e.ms").as("ts"), $"e.user_id".as("user_id"),
+        $"e.event_type".as("event_type"), $"e.event_id".as("event_id"),
+        $"e.value".as("value"))
+    graft.streaming.EventStream.purchasesWithRecentClicks(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+    s.read
+      .schema("user_id LONG, purchase_id LONG, click_id LONG, purchase_ms LONG, click_ms LONG, value DOUBLE")
+      .parquet(s"$root/out")
+      .orderBy($"purchase_id", $"click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_e2e"  -> (q31StreamE2e _),
+    "q89_stream_join" -> (q89StreamJoin _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
     "q85_stream_funnel" -> (q85StreamFunnel _),
     "q86_stream_prep" -> (q86StreamPrep _))
@@ -205,5 +257,8 @@ object StreamQueries {
     // the stateful streams must converge to their batch twins — same
     // contract, same SQL (see the q85/q86 scaladocs)
     "q85_stream_funnel" -> graft.queries.EventQueries.q76Sql,
-    "q86_stream_prep" -> graft.queries.TextQueries.q47Sql)
+    "q86_stream_prep" -> graft.queries.TextQueries.q47Sql,
+    // ms-grid inputs make the streaming predicate ≡ the batch-twin grid,
+    // so the stream-stream join answers to the SAME contract as q46
+    "q89_stream_join" -> graft.queries.EventQueries.q46Sql)
 }

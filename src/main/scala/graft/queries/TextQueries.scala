@@ -2265,7 +2265,114 @@ object TextQueries {
        |FROM ppl, bounds
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+
+  /** q90_weighted_sample — weighted sampling WITHOUT replacement by the
+    * Efraimidis–Spirakis A-ES priority rule: each document draws a uniform
+    * u from a CONTENT HASH (not an RNG) and gets priority u^(1/w) with
+    * w = n_chars; the top-50 priorities are the sample. Longer documents
+    * are proportionally likelier to be picked — the standard size-weighted
+    * corpus subsample — while the hash-derived u keeps the pick set
+    * REPRODUCIBLE: stable under repartitioning, retries, and corpus growth
+    * (existing picks only change if a higher-priority newcomer displaces
+    * the cutoff), exactly q43's determinism argument extended to weights.
+    *
+    * Ranking uses ln(u)/w (monotone in u^(1/w)) floored onto the e6 grid —
+    * ONE double expression with one `ln`, the q68 convention, so both
+    * engines rank identical integers; doc_id breaks grid ties.
+    *
+    * Scale shape: a narrow scan computes priorities (no shuffle), and
+    * top-k-by-priority is Spark's TakeOrdered — per-partition partial
+    * top-50 merged on a single reduce, never a global sort. At 100 TB this
+    * is scan + O(k) state per partition, the only shape a weighted
+    * subsample can afford. */
+  def q90WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hx = substring(md5($"doc_id".cast("string").cast("binary")), 1, 8)
+    val v = conv(hx, 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyE6 = floor(lit(1000000.0) * log(u) / $"n_chars").cast("long")
+    val picked = Tables.documents(s, dir)
+      .filter($"n_chars" > 0)
+      .select($"doc_id", $"n_chars", keyE6.as("key_e6"))
+      .orderBy($"key_e6".desc, $"doc_id")
+      .limit(50)
+    // global window AFTER the limit: 50 rows, not a corpus sort
+    picked
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"key_e6".desc, $"doc_id")).cast("long"))
+      .orderBy($"rank")
+  }
+
+  val q90Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(floor(1000000.0 * ln((CAST(('0x' || hx) AS BIGINT) + 0.5) / 4294967296.0) / n_chars) AS BIGINT) AS key_e6
+      |  FROM h)
+      |SELECT doc_id, n_chars, key_e6,
+      |  CAST(row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS BIGINT) AS rank
+      |FROM k ORDER BY key_e6 DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+
+  /** q91_heavy_hitters — frequent-items estimation with a FIXED-MEMORY
+    * sketch, certified against exact counts (the q45 sketch-contract
+    * pattern): per partition, one [[graft.functions.HeavyHitters]]
+    * Misra-Gries pass (k = 256 counters, one `mapPartitions` — genuine
+    * per-partition imperative state, the documented RDD-tier exception);
+    * the partial summaries merge by a plain associative
+    * `groupBy(token).sum` whose shuffle carries ≤ partitions·256 rows.
+    * This is the sketch a 100 TB vocabulary scan reaches for when q36's
+    * exact |vocabulary|-row shuffle would dominate: state is O(k) per
+    * partition no matter the corpus.
+    *
+    * What the oracle gates: raw estimates are partition-layout-dependent
+    * (like q45's raw sketch values), so the exported rows are the exact
+    * top-10 tokens plus the Misra-Gries CONTRACT as an integer verdict —
+    * found ⇒ `est ≤ true` and `(true − est)·(k+1) ≤ N`; missing allowed
+    * only when `true·(k+1) ≤ N`. The oracle states literal 1s next to
+    * DuckDB's exact counts; any sketch bug flips a verdict and fails the
+    * hash. HeavyHitterSpec asserts the underlying bounds directly. */
+  def q91HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kCounters = 256
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+    val est = toks.as[String]
+      .mapPartitions(it => graft.functions.HeavyHitters.summarize(it, kCounters))
+      .toDF("token", "est")
+      .groupBy($"token").agg(sum($"est").as("est"))
+    // one exact vocabulary agg feeds BOTH the top-10 and the total (N =
+    // Σ counts) — no third tokenization pass
+    val exactAll = toks.groupBy($"token").agg(count(lit(1)).as("n_occurrences"))
+    val total = exactAll.agg(sum($"n_occurrences").as("n_total")) // 1 row
+    val exact = exactAll.orderBy($"n_occurrences".desc, $"token").limit(10)
+    val bound = lit((kCounters + 1).toLong)
+    exact.join(est, Seq("token"), "left").crossJoin(total)
+      .select($"token", $"n_occurrences",
+        (when($"est".isNotNull,
+            ($"est" <= $"n_occurrences") &&
+              (($"n_occurrences" - $"est") * bound <= $"n_total"))
+          .otherwise($"n_occurrences" * bound <= $"n_total")).cast("long").as("hh_ok"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"n_occurrences".desc, $"token")).cast("long"))
+      .select($"rank", $"token", $"n_occurrences", $"hh_ok")
+      .orderBy($"rank")
+  }
+
+  val q91Sql: String =
+    s"""WITH toks AS (SELECT unnest($Toks) AS token FROM documents)
+       |SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank,
+       |  token, count(*) AS n_occurrences, CAST(1 AS BIGINT) AS hh_ok
+       |FROM toks GROUP BY token
+       |ORDER BY count(*) DESC, token LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_weighted_sample"   -> (q90WeightedSample _),
+    "q91_heavy_hitters"     -> (q91HeavyHitters _),
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
     "q75_quality_model"     -> (q75QualityModel _),
     "q77_mixture_temperature" -> (q77MixtureTemperature _),
@@ -2302,6 +2409,8 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q90_weighted_sample"   -> q90Sql,
+    "q91_heavy_hitters"     -> q91Sql,
     "q74_hybrid_rrf"        -> q74Sql,
     "q75_quality_model"     -> q75Sql,
     "q77_mixture_temperature" -> q77Sql,

@@ -438,8 +438,96 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q92
+
+  /** q92_ann_pq — product-quantized (PQ) ANN under frozen codebooks
+    * ([[graft.vector.Pq]] / [[graft.vector.PqFrozen]], trained once by
+    * `graft.tools.FreezePq`): every database vector is encoded to m=8
+    * 4-bit subspace codes (32× smaller than float64, the FAISS PQ4
+    * geometry) and scored ASYMMETRICALLY — the exact query against the
+    * vector's reconstruction, which equals the classic per-query
+    * lookup-table ADC number exactly (subspaces partition the dims; see
+    * [[graft.vector.Pq]]'s scaladoc). Completes the compression corner of
+    * the ANN family: q30 probes fewer vectors, q54 fewer buckets, q67
+    * keeps 4× more corpus per executor, PQ 32× — and like them, the recall
+    * cost is measurable against q25's exact ranks on the same queries
+    * (PqSpec does).
+    *
+    * Scale shape: encoding is m codegen'd per-row argmins inside the one
+    * scan — no join, no shuffle; the search reuses q25's
+    * broadcast-the-k-queries shape on the reconstructed (still narrow)
+    * vectors. The oracle replays encode → reconstruct → re-score from the
+    * identical codebook literals with q30's sequential-Σ/argmin/tie-break
+    * conventions, so a single flipped code fails the hash. */
+  def q92AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = graft.vector.PqFrozen.model
+    val base = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
+    val recon = base
+      .select($"vec_id", graft.vector.Pq.reconstruct($"v", model).as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    val q = base.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"q_id", $"qv", norm($"qv").as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    recon.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The frozen PQ codebooks as a DuckDB VALUES list (sub, cell, c). */
+  private def pqCodebookValues: String =
+    graft.vector.PqFrozen.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, cell) =>
+        s"($sub, $cell, [${c.map(sqlDouble).mkString(", ")}])"
+      }
+    }.mkString(",\n    ")
+
+  /** q92 oracle: per-subspace nearest-centroid assignment from the literal
+    * codebooks (q30's sequential-Σ/argmin/lowest-cell fragments), centroid
+    * concatenation in subspace order, then the asymmetric q25 pair scan —
+    * exact query side, reconstructed database side. */
+  def q92Sql: String = {
+    val m = graft.vector.PqFrozen.model.m
+    val sd = graft.vector.PqFrozen.model.subDim
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    def dt(a: String, b: String) =
+      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+    s"""WITH cbs(sub, cell, c) AS (VALUES
+       |    $pqCodebookValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |subs AS (
+       |  SELECT e.vec_id, r.sub, list_slice(e.v, r.sub*$sd + 1, r.sub*$sd + $sd) AS sv
+       |  FROM e CROSS JOIN range($m) r(sub)),
+       |assigned AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT s.vec_id, s.sub, cbs.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |                         ORDER BY ${sq("s.sv", "cbs.c")}, cbs.cell) AS rn
+       |    FROM subs s JOIN cbs ON s.sub = cbs.sub) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT a.vec_id, flatten(list(cbs.c ORDER BY a.sub)) AS v
+       |  FROM assigned a JOIN cbs ON a.sub = cbs.sub AND a.cell = cbs.cell
+       |  GROUP BY a.vec_id),
+       |prs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+       |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_r
+       |  FROM e q JOIN recon n ON q.vec_id < 5 AND n.vec_id <> q.vec_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM prs) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_ann_sq8"       -> (q67AnnSq8 _),
+    "q92_ann_pq"        -> (q92AnnPq _),
     "q25_ann_topk"      -> (q25AnnTopK _),
     "q26_embed_neardup" -> (q26EmbedNearDup _),
     "q30_ann_ivf"       -> (q30AnnIvf _),
@@ -448,6 +536,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q67_ann_sq8"       -> q67Sql,
+    "q92_ann_pq"        -> q92Sql,
     "q25_ann_topk"      -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
     "q30_ann_ivf"       -> q30Sql,
