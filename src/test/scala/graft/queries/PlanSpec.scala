@@ -420,4 +420,68 @@ class PlanSpec extends SparkSpec {
       "a non-user_id hash exchange breaks the shared-partitioning chain:\n" +
         bad.mkString("\n"))
   }
+
+  test("q90: weighted sample is TakeOrdered over a narrow scan — no sort, no hash shuffle") {
+    // priorities are computed in the scan projection; top-50 must run as
+    // per-partition partial top-k (TakeOrderedAndProject), never a global
+    // sort — THE property that lets a weighted subsample run at 100 TB
+    val p = executed(TextQueries.q90WeightedSample(spark, dir)).toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "the pick phase must not shuffle the corpus:\n" + p)
+  }
+
+  test("q91: sketch and exact branches each merge in ONE token-keyed exchange") {
+    val plan = executed(TextQueries.q91HeavyHitters(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the 1-row total must ride a broadcast nested loop, not a cartesian")
+    val p = plan.toString
+    // token-keyed shuffles: the Misra-Gries union-merge + the exact agg
+    // (partial aggs below each); nothing else may shuffle by token
+    val tokenEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("token"))
+    assert(tokenEx <= 3, s"unexpected extra token shuffles ($tokenEx):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both branches need map-side partial aggregation:\n" + p)
+  }
+
+  test("q92: PQ encode/score stays native and broadcasts only the query side") {
+    val p = executed(VectorQueries.q92AnnPq(spark, dir)).toString
+    assert(p.contains("graft_nearest_centroid"),
+      "PQ codes must come from the codegen'd argmin expression:\n" + p)
+    assert(p.contains("graft_dot"), "ADC scoring must use the native dot:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      "the k queries are the broadcast side (q25's shape):\n" + p)
+    // the only permissible hash exchange is the top-k window's q_id
+    // repartition — O(queries·k) candidate rows; the corpus itself
+    // (vec_id-keyed) must never shuffle
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("q_id")).toSeq
+    assert(bad.isEmpty,
+      "encode+score must not shuffle the corpus:\n" + bad.mkString("\n"))
+  }
+
+  test("q93: both robust-stats tables broadcast back into the flag scan") {
+    val p = executed(EventQueries.q93Outliers(spark, dir)).toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "median and MAD tables are O(|types|) — they must broadcast:\n" + p)
+  }
+
+  test("q94: one event_type-keyed exchange feeds agg AND all 8 lag windows") {
+    val p = executed(EventQueries.q94EwmaTrend(spark, dir)).toString
+    // groupBy(event_type, day) then Window(partitionBy event_type): the
+    // window must NOT add a second hash exchange beyond the agg's
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"lag chain re-shuffled ($hashEx exchanges):\n$p")
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
+    val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
+    // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
+    // re-reads only the single shared scan's columns; no rule may induce a
+    // hash shuffle (single-row partial aggs exchange as SinglePartition)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "a contract rule induced a keyed shuffle:\n" + p)
+  }
 }
