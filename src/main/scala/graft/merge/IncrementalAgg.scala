@@ -1,0 +1,91 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental aggregate-view maintenance — the OTHER merge discipline next
+  * to [[MergeSink]]'s latest-wins upsert: the state table holds one PARTIAL
+  * AGGREGATE row per key, and each batch folds in by `combine`-merging new
+  * partials with stored ones (sum with sum, max with max, …). This is how a
+  * warehouse keeps a per-entity rollup current at 100 TB: a batch touching
+  * 0.1% of keys reads and rewrites ~0.1% of the view, never re-scanning
+  * history — change-volume cost, not table-size cost.
+  *
+  * The algebra is the classic partial-aggregation semiring: every state
+  * column's combiner must be ASSOCIATIVE and COMMUTATIVE over that column
+  * (count/sum/min/max; avg ships as sum+count and divides at read). That
+  * gives batch-split invariance — any partition of the input into batches,
+  * applied in any order, converges to the full-recompute aggregate
+  * (IncrementalAggSpec proves it; q96 hash-gates it against the
+  * full-recompute SQL). Unlike MergeSink, application is NOT idempotent —
+  * re-folding a batch double-counts, which is inherent to additive state —
+  * so the streaming entry point relies on foreachBatch's exactly-once
+  * epochs, and replays after a checkpoint rollback must re-seed the state
+  * (the standard incremental-view contract).
+  *
+  * Layout is MergeSink's: hash-bucketed `part=pmod(xxhash64(key), n)`
+  * directories, dynamic partition overwrite of only the touched buckets,
+  * bounded driver state (the touched-bucket id list).
+  */
+final class IncrementalAgg(
+    spark: SparkSession,
+    tableDir: String,
+    keyCol: String,
+    combiners: Seq[(String, Column => Column)],
+    numBuckets: Int = 64) {
+
+  private val partCol = "__part"
+
+  private def withPart(df: DataFrame): DataFrame =
+    df.withColumn(partCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)))
+
+  /** Fold one batch of per-key PARTIALS (columns: key + every combiner
+    * column) into the view. */
+  def update(partials: DataFrame): Unit = {
+    val spark = this.spark
+    val newPart = withPart(partials)
+    val touched = newPart.select(partCol).distinct()
+      .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
+    if (touched.isEmpty) return
+
+    val existingOpt =
+      if (new java.io.File(tableDir).exists())
+        Some(spark.read.parquet(tableDir)
+          .filter(col(partCol).isin(touched.toSeq: _*)))
+      else None
+    val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
+
+    val merged = all
+      .groupBy(col(keyCol), col(partCol))
+      .agg(combiners.head._2(col(combiners.head._1)).as(combiners.head._1),
+        combiners.tail.map { case (c, f) => f(col(c)).as(c) }: _*)
+      // materialize before the write: the table dir is also a read source
+      // of this plan; cost is bounded by the touched buckets
+      .localCheckpoint(true)
+
+    merged.write
+      .partitionBy(partCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(tableDir)
+  }
+
+  /** Current view state (without the internal partition column). */
+  def read(): DataFrame =
+    spark.read.parquet(tableDir).drop(partCol)
+
+  /** Continuous maintenance: every micro-batch's partials fold in through
+    * the same merge. `toPartials` must produce one row per key touched by
+    * the batch (a groupBy over the batch). */
+  def streamInto(
+      changes: DataFrame,
+      toPartials: DataFrame => DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => update(toPartials(batch)); () }
+      .start()
+}

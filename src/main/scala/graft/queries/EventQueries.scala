@@ -833,7 +833,125 @@ object EventQueries {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+
+  /** q97_range_bin_join — range join WITHOUT an equi key, made scale-safe
+    * by BINNING: "incident windows" (hours with ≥2 errors, spanning
+    * [first-error, +90 min) — deliberately NOT bin-aligned) are joined to
+    * every event whose timestamp falls inside them. q44/q46's interval
+    * joins ride a user_id equi key; with no key at all the naive plan is a
+    * cartesian range join — the classic scale cliff. The standard fix,
+    * implemented here: explode each window into the hour bins it covers,
+    * join events to window-bins on the BIN (pure equi join), then apply
+    * the exact range predicate as a residual filter. An event lives in
+    * exactly one bin and a window lists each covered bin once, so pairs
+    * appear once — no dedup pass.
+    *
+    * Scale shape: the window-bin table is O(windows · bins-per-window) and
+    * BROADCASTS — the event scan never shuffles at all; the only exchange
+    * is the per-window aggregation (O(windows) rows). At 100 TB with a
+    * window table too big to broadcast, the same plan becomes an equi
+    * SHUFFLE join on the bin — still never a cartesian. */
+  def q97RangeBinJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Bin = 3600000L // 1 h bins; windows are 90 min so cover 2-3 bins
+    def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val windows = ev.filter($"event_type" === "error")
+      .groupBy(idiv($"ms", Bin).as("window_id"))
+      .agg(count(lit(1)).as("n_err"), min($"ms").as("start_ms"))
+      .filter($"n_err" >= 2)
+      .select($"window_id", $"start_ms", ($"start_ms" + 5400000L).as("end_ms"))
+    val windowBins = windows
+      .select($"window_id", $"start_ms", $"end_ms",
+        explode(sequence(idiv($"start_ms", Bin), idiv($"end_ms" - 1, Bin))).as("bin"))
+    ev.withColumn("bin", idiv($"ms", Bin))
+      .join(broadcast(windowBins), "bin")
+      .filter($"ms" >= $"start_ms" && $"ms" < $"end_ms")
+      .groupBy($"window_id", $"start_ms", $"end_ms")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_id")
+  }
+
+  /** q97 oracle: the PLAIN range join (DuckDB's IEJoin handles it at
+    * oracle scale) — stating the semantics the binned plan must equal. */
+  val q97Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |w AS (
+      |  SELECT ms // 3600000 AS window_id, min(ms) AS start_ms,
+      |    min(ms) + 5400000 AS end_ms
+      |  FROM ev WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT w.window_id, w.start_ms, w.end_ms,
+      |  count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN ev e ON e.ms >= w.start_ms AND e.ms < w.end_ms
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_id""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+
+  /** q98_equidepth_hist — equi-depth (equal-mass) histogram of
+    * `events.value`: 8 buckets split at the exact octiles, the ANALYZE
+    * artifact selectivity estimators want (q71's fixed-WIDTH histogram
+    * shows shape; equi-DEPTH bounds per-bucket error).
+    *
+    * Why octiles and a ×8 export, not deciles: exact-percentile
+    * interpolation lands on `a + (b−a)·f` where f is the fractional rank.
+    * For p = k/8, both p and every reachable f are DYADIC, so with
+    * integer-grid inputs each interpolation term is float-EXACT and any
+    * algebraically-equivalent formula in any engine computes the identical
+    * double; ×8 then lifts boundaries to exact int64 (`oct8 = 8·value_e6`
+    * units). Deciles (p = k/10) are not representable in binary and the
+    * two engines' interpolation orders could drift a ulp — the q93
+    * ×2-median trick generalized to its safe limit. Bucket membership is
+    * then pure integer comparison (8·v ≥ boundary).
+    *
+    * Scale shape: one percentile agg (per-group value buffer — the q39
+    * trade; approx_percentile is the sketch-sized drop-in), boundaries
+    * broadcast as a 1-row cross join, one 8-group count agg. */
+  def q98EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(floor($"value" * 1000000.0 + lit(0.5)).cast("long").as("v_e6"))
+    val ps = (1 to 7).map(_ / 8.0)
+    val bnd = ev.agg(
+      expr(s"percentile(v_e6, array(${ps.mkString(", ")}))").as("qs"))
+      .select(transform($"qs", q => (q * 8.0).cast("long")).as("oct8"))
+    val bucket = (1 to 7).map(i =>
+      when($"v_e6" * 8L >= element_at($"oct8", i), 1L).otherwise(0L)).reduce(_ + _)
+    ev.crossJoin(broadcast(bnd))
+      .select(bucket.as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(bnd))
+      .select($"bucket", $"n_rows",
+        when($"bucket" === 0L, lit(null).cast("long"))
+          .otherwise(element_at($"oct8", $"bucket".cast("int"))).as("lo8"),
+        when($"bucket" === 7L, lit(null).cast("long"))
+          .otherwise(element_at($"oct8", $"bucket".cast("int") + 1)).as("hi8"))
+      .orderBy($"bucket")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v FROM events),
+      |b AS (
+      |  SELECT [CAST(x * 8.0 AS BIGINT) for x in
+      |          quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])] AS oct8
+      |  FROM e),
+      |m AS (
+      |  SELECT len(list_filter(b.oct8, o -> 8*e.v >= o)) AS bucket FROM e, b)
+      |SELECT bucket, count(*) AS n_rows,
+      |  CASE WHEN bucket = 0 THEN NULL ELSE b.oct8[CAST(bucket AS INTEGER)] END AS lo8,
+      |  CASE WHEN bucket = 7 THEN NULL ELSE b.oct8[CAST(bucket AS INTEGER) + 1] END AS hi8
+      |FROM m, b
+      |GROUP BY bucket, b.oct8
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_range_bin_join" -> (q97RangeBinJoin _),
+    "q98_equidepth_hist" -> (q98EquidepthHist _),
     "q93_outliers" -> (q93Outliers _),
     "q94_ewma_trend" -> (q94EwmaTrend _),
     "q82_event_paths" -> (q82EventPaths _),
@@ -857,6 +975,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_range_bin_join" -> q97Sql,
+    "q98_equidepth_hist" -> q98Sql,
     "q93_outliers" -> q93Sql,
     "q94_ewma_trend" -> q94Sql,
     "q82_event_paths" -> q82Sql,

@@ -269,9 +269,53 @@ object StreamQueries {
       .orderBy($"purchase_id", $"click_id")
   }
 
+  /** q96_incr_agg — incremental aggregate-view maintenance
+    * ([[graft.merge.IncrementalAgg]]) under the oracle gate: a per-user
+    * rollup (event count, grid-exact value sum, last-seen ms) maintained
+    * across THREE change batches (split by event_id mod 3 — later batches
+    * must fold into stored state, not recompute it), then read back and
+    * hash-matched against the full-recompute SQL. The q34 pattern applied
+    * to the partial-aggregation semiring instead of latest-wins rows: what
+    * the gate certifies is CONVERGENCE — fold(fold(fold(∅,b0),b1),b2) ≡
+    * groupBy over the whole table, the contract that makes change-volume-
+    * cost view maintenance trustworthy at 100 TB.
+    *
+    * Sums ride the scale-2 integer grid ([[graft.functions.Grid]]) so the
+    * folded total is associative-exact — the same convention that makes
+    * the distributed/single-threaded engines agree everywhere else. */
+  def q96IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q96")
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"user_id",
+        graft.functions.Grid.units2($"value").cast("long").as("v2"),
+        unix_millis($"ts").as("ms"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy($"user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum($"v2").as("sum_v2"),
+        max($"ms").as("last_ms"))
+    val view = new graft.merge.IncrementalAgg(s, s"$root/view", "user_id",
+      Seq("n_events" -> (sum(_)), "sum_v2" -> (sum(_)), "last_ms" -> (max(_))),
+      numBuckets = 32)
+    (0 until 3).foreach(i => view.update(partials(ev.filter($"event_id" % 3 === i))))
+    view.read()
+      .select($"user_id", $"n_events", $"sum_v2",
+        ($"sum_v2".cast("double") / 100.0).as("sum_value"), $"last_ms")
+      .orderBy($"user_id")
+  }
+
+  val q96Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v2,
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value,
+      |  max(epoch_ms(ts)) AS last_ms
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q89_stream_join" -> (q89StreamJoin _),
+    "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
     "q85_stream_funnel" -> (q85StreamFunnel _),
     "q86_stream_prep" -> (q86StreamPrep _))
@@ -285,5 +329,6 @@ object StreamQueries {
     "q86_stream_prep" -> graft.queries.TextQueries.q47Sql,
     // ms-grid inputs make the streaming predicate ≡ the batch-twin grid,
     // so the stream-stream join answers to the SAME contract as q46
-    "q89_stream_join" -> graft.queries.EventQueries.q46Sql)
+    "q89_stream_join" -> graft.queries.EventQueries.q46Sql,
+    "q96_incr_agg"    -> q96Sql)
 }

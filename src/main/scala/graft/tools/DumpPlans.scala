@@ -48,7 +48,9 @@ object DumpPlans {
     "q92_ann_pq"        -> "PQ codes via m in-scan argmins; reconstruct + broadcast-query ADC score",
     "q93_outliers"      -> "median/MAD tables broadcast back into the flag scan",
     "q94_ewma_trend"    -> "one (type,day) agg; all 8 lags on one event_type window partitioning",
-    "q95_contract_check" -> "ONE lineitem scan; 9 conditional-sum rules folding to a single row")
+    "q95_contract_check" -> "ONE lineitem scan; 9 conditional-sum rules folding to a single row",
+    "q97_range_bin_join" -> "keyless range join binned: broadcast equi join on the hour bin + residual",
+    "q98_equidepth_hist" -> "octile boundaries as 1-row broadcasts; integer bucket membership")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage

@@ -476,6 +476,28 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).nonEmpty)
   }
 
+  test("q97: the keyless range join runs as a broadcast EQUI join on the bin") {
+    val plan = executed(EventQueries.q97RangeBinJoin(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "a keyless range join must bin, never go cartesian")
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("bin"),
+      "window-bins must broadcast into the event scan as an equi join:\n" + p)
+    // the event side's only exchange is the final O(windows) aggregation
+    assert(!p.contains("SortMergeJoin"),
+      "the event scan must not shuffle for the join itself:\n" + p)
+  }
+
+  test("q98: octile boundaries ride 1-row broadcasts; no cartesian, no merge join") {
+    val plan = executed(EventQueries.q98EquidepthHist(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the 1-row boundary table must broadcast")
+    val p = plan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      "both boundary cross joins should be broadcast nested loops:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
