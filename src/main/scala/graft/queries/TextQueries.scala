@@ -2370,7 +2370,92 @@ object TextQueries {
        |FROM toks GROUP BY token
        |ORDER BY count(*) DESC, token LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+
+  /** q99_connected_components — EXACT near-dup cluster assignment: min-label
+    * propagation over the verified LSH pair graph (q40's edges) run to
+    * FIXPOINT with convergence detection, plus the component size each doc
+    * belongs to. q40 deliberately fixes the round count (static, oracle-
+    * replayable plan; diameter ≤ 2 on this corpus); this query is the
+    * general operator a pipeline needs when cluster diameter is UNKNOWN —
+    * chains of borderline near-dups can be arbitrarily long, and a
+    * too-small fixed k silently splits clusters. The oracle certifies the
+    * TRUE transitive closure (a recursive CTE), not a k-round
+    * approximation — so a premature convergence exit fails the hash.
+    *
+    * Scale shape: each round is one edge join + one min-agg (the hash-min
+    * step of the standard distributed CC family — large-star/small-star
+    * shortcutting is the O(log n)-round upgrade, same per-round plan);
+    * labels are localCheckpointed per round so lineage stays flat. The
+    * driver loop is CONTROL only — a per-round `changed` count, bounded by
+    * the cluster diameter (converged-in-3 here; cap 50), never data on the
+    * driver. Rounds cost one shuffle of the (capped, observed) edge list —
+    * Σ bucket² edges, never N². */
+  def q99ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val verts = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", TextFunctions.shingles($"toks", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id")
+    val pairs = q24DedupMinhash(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint(true) // materialize the mined edges once
+    val edges = pairs.unionByName(
+        pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .localCheckpoint(true)
+
+    var labels = verts.select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "nbr"),
+          $"doc_b" === $"nbr")
+        .groupBy($"doc_a").agg(min($"label").as("nbr_label"))
+      val next = labels.join(nbrMin, $"doc_id" === $"doc_a", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("component"), $"csize")
+      .orderBy($"doc_id")
+  }
+
+  /** q99 oracle: the true transitive closure — labels flow along edges via
+    * a recursive CTE (UNION dedup terminates it), each doc takes the MIN
+    * reachable id, sizes counted per component. Edges are the exact-Jaccard
+    * pair semantics the q24/q40 oracles share. */
+  val q99Sql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $Shingles3 AS s
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.doc_a, r.label
+       |  FROM reach r JOIN edges e ON e.doc_b = r.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+       |sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+       |SELECT c.doc_id, c.component, sz.csize
+       |FROM comp c JOIN sz USING (component)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_connected_components" -> (q99ConnectedComponents _),
     "q90_weighted_sample"   -> (q90WeightedSample _),
     "q91_heavy_hitters"     -> (q91HeavyHitters _),
     "q74_hybrid_rrf"        -> (q74HybridRrf _),
@@ -2409,6 +2494,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q99_connected_components" -> q99Sql,
     "q90_weighted_sample"   -> q90Sql,
     "q91_heavy_hitters"     -> q91Sql,
     "q74_hybrid_rrf"        -> q74Sql,

@@ -54,6 +54,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(state(byThirdsReversed) === state(full))
   }
 
+  test("streamInto: foreachBatch maintenance converges to the full recompute") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ia-stream")
+    // stream the events as json lines; each micro-batch folds through the
+    // same update() the batch path uses
+    val src = ev.select(to_json(struct($"event_id", $"user_id", $"v2")).as("value"))
+    src.coalesce(2).write.mode("overwrite").text(s"$root/src")
+
+    val view = newView(root)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, user_id LONG, v2 LONG")
+    val stream = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .text(s"$root/src")
+      .select(from_json($"value", schema).as("e"))
+      .select($"e.user_id".as("user_id"), $"e.v2".as("v2"))
+    view.streamInto(stream, partials, s"$root/ckpt").awaitTermination()
+
+    val full = newView(tmpDir("ia-stream-full"))
+    full.update(partials(ev))
+    assert(state(view) === state(full))
+  }
+
   test("an update folding one key rewrites only that key's bucket") {
     val s = spark
     import s.implicits._
