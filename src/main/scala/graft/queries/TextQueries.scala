@@ -2454,7 +2454,40 @@ object TextQueries {
        |FROM comp c JOIN sz USING (component)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+
+  /** q100_fuzzy_capped — q70's `verifyPrefixChars` dial UNDER THE GATE at
+    * its documented production setting (256 chars): the capped Levenshtein
+    * verify whose per-pair cost is O(cap²) instead of O(len²) — the cut
+    * that turns q70's by-construction superlinear ×10 ratio into a
+    * data-proportional one (measured in SCALE.md; Q70PrefixCapSpec
+    * measures the recall cost of the cap — 1.00 at every tested setting
+    * on this corpus). The uncapped default stays gated as q70 — this row
+    * certifies that the DIAL's semantics (prefix truncation on both
+    * sides, `eff_len = least(max_len, cap)` in the gate and the exported
+    * ratio) replay exactly in SQL, so turning the dial at 100 TB cannot
+    * silently change what the operator computes. */
+  def q100FuzzyCapped(s: SparkSession, dir: String): DataFrame =
+    q70FuzzyMatchWith(s, dir, verifyPrefixChars = Some(256))
+
+  val q100Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text, CAST($simhashBitsSql AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, text, list_transform($Toks, t -> md5(t)) AS hs
+       |        FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash,
+       |    CAST(levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS BIGINT) AS lev,
+       |    CAST(least(greatest(len(a.text), len(b.text)), 256) AS BIGINT) AS eff_len,
+       |    CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, simhash, lev, lev * 1000000 // eff_len AS rel_e6
+       |FROM prs
+       |WHERE max_len > 0 AND lev * 1000000 <= eff_len * 200000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_fuzzy_capped"     -> (q100FuzzyCapped _),
     "q99_connected_components" -> (q99ConnectedComponents _),
     "q90_weighted_sample"   -> (q90WeightedSample _),
     "q91_heavy_hitters"     -> (q91HeavyHitters _),
@@ -2494,6 +2527,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q100_fuzzy_capped"     -> q100Sql,
     "q99_connected_components" -> q99Sql,
     "q90_weighted_sample"   -> q90Sql,
     "q91_heavy_hitters"     -> q91Sql,
