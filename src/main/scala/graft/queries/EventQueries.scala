@@ -949,7 +949,67 @@ object EventQueries {
       |GROUP BY bucket, b.oct8
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+
+  /** q101_salted_join — skew-SALTED replicated shuffle join: the classic
+    * hot-key treatment for the case AQE's skew-join split cannot reach.
+    * AQE splits an oversized SHUFFLE PARTITION of the stream side of a
+    * sort-merge/hash join, but when one KEY dominates (a bot user, a
+    * null-ish default id, an `unknown` domain), every plan that keys the
+    * exchange on `user_id` alone sends that key's entire row set through
+    * one task. The fix is algebraic, not adaptive: the fact side gets a
+    * uniform salt in [0, R) derived from a per-ROW attribute
+    * (`xxhash64(event_id)` — NOT the join key, which is constant within
+    * the hot key), the dim side replicates each row R times (one per
+    * salt), and the join runs on `(key, salt)` — the hot key now spreads
+    * across R tasks, at the bounded cost of an R× dim blow-up
+    * (|dim|·R rows, still exchange-sized, never |fact|-sized).
+    *
+    * The salt is INTERNAL: it exists between the two projections and the
+    * join, and the aggregation after the join erases it — so the oracle
+    * states the semantics as the PLAIN join + GROUP BY (the q97/q59
+    * pattern: the scale technique must be invisible in the result).
+    *
+    * `hint("shuffle_hash")` pins the shuffled-join shape the technique
+    * exists for: at sf0.01 the replicated dim is broadcast-sized and
+    * Catalyst would (correctly) broadcast it, collapsing the salted
+    * exchange this query certifies — at 100 TB the dim that needs salting
+    * is precisely the one too big to broadcast. Grid.sum2 keeps the value
+    * sum exact-integer across partial-agg orders (1000-executor ≡ oracle).
+    * SkewSpec proves the spread: a hot key owning half the fact table
+    * lands in all R salt groups. */
+  def q101SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    q101SaltedJoinWith(s, dir, salts = 8)
+
+  /** q101 with the replication factor R exposed (R=1 degenerates to the
+    * plain shuffle join; SkewSpec checks R-invariance of the result). */
+  def q101SaltedJoinWith(s: SparkSession, dir: String, salts: Int): DataFrame = {
+    import s.implicits._
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val fact = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"value",
+        pmod(xxhash64($"event_id"), lit(salts.toLong)).as("salt"))
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), graft.functions.Grid.sum2($"value").as("sum_value"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  /** q101 oracle: the plain join — salting is a physical rewrite and must
+    * not be observable. */
+  val q101Sql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_salted_join" -> (q101SaltedJoin _),
     "q97_range_bin_join" -> (q97RangeBinJoin _),
     "q98_equidepth_hist" -> (q98EquidepthHist _),
     "q93_outliers" -> (q93Outliers _),
@@ -975,6 +1035,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_salted_join" -> q101Sql,
     "q97_range_bin_join" -> q97Sql,
     "q98_equidepth_hist" -> q98Sql,
     "q93_outliers" -> q93Sql,

@@ -498,6 +498,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q101: the join exchanges key on (key, salt) and stay shuffled, not broadcast") {
+    val plan = executed(EventQueries.q101SaltedJoin(spark, dir))
+    val p = plan.toString
+    // the whole point: the fact exchange hashes on BOTH the join key and
+    // the salt, so one hot user_id spreads over R reducer tasks
+    val saltedEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id") && l.contains("salt")).toSeq
+    assert(saltedEx.nonEmpty,
+      "fact side must exchange on (user_id, salt):\n" + p)
+    // the shuffled-join shape the technique exists for (a broadcast of the
+    // replicated dim would collapse the salted exchange)
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join must run as a shuffled join:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch

@@ -64,6 +64,60 @@ class SkewSpec extends SparkSpec {
       .agg(max($"trailing_hour_n")).collect()(0).getLong(0) === 61L)
   }
 
+  test("q101 salted join: hot key spreads across all R salts, result R-invariant") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("skewjoin")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // hot user 1 owns 50k of 55k events; customers 1..100
+    val hot = spark.range(0, 50000).select(
+      ($"id" + 1000000L).as("event_id"),
+      timestamp_millis(lit(base) + $"id" * 1000L).as("ts"),
+      lit(1L).as("user_id"),
+      lit("click").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props"))
+    val cold = spark.range(0, 100 * 50).select(
+      ($"id" + 2000000L).as("event_id"),
+      timestamp_millis(lit(base) + $"id" * 1000L).as("ts"),
+      (($"id" % 100) + 1L).cast("long").as("user_id"),
+      lit("view").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props"))
+    hot.unionByName(cold).write.parquet(s"$dir/events.parquet")
+    spark.range(1, 101).select(
+      $"id".as("c_custkey"),
+      concat(lit("Customer#"), $"id").as("c_name"),
+      lit("addr").as("c_address"),
+      ($"id" % 25).cast("long").as("c_nationkey"),
+      lit("p").as("c_phone"),
+      lit(0.0).as("c_acctbal"),
+      element_at(array(lit("BUILDING"), lit("MACHINERY")),
+        ($"id" % 2 + 1).cast("int")).as("c_mktsegment"),
+      lit("c").as("c_comment"))
+      .write.parquet(s"$dir/customer.parquet")
+
+    // the exchange-splitting claim: the hot key's fact rows occupy ALL 8
+    // (key, salt) groups, i.e. no single task owns user 1's row set
+    val salted = graft.Tables.events(spark, dir)
+      .select($"user_id", pmod(xxhash64($"event_id"), lit(8L)).as("salt"))
+      .filter($"user_id" === 1L)
+      .groupBy($"salt").count().collect()
+    assert(salted.length === 8, "hot key must land in all 8 salt groups")
+    // the per-row salt source is near-uniform: no salt group owns more
+    // than 2x its fair share of the hot key
+    assert(salted.map(_.getLong(1)).max <= 2L * 50000 / 8)
+
+    // semantic gate: salted (R=8) == degenerate (R=1) == plain join
+    val r8 = EventQueries.q101SaltedJoinWith(spark, dir, salts = 8).collect().toSeq
+    val r1 = EventQueries.q101SaltedJoinWith(spark, dir, salts = 1).collect().toSeq
+    assert(r8 === r1)
+    // user 1 is odd -> MACHINERY; all 50k hot clicks survive the join intact
+    val hotRow = r8.find(r => r.getString(1) == "click").get
+    assert(hotRow.getString(0) === "MACHINERY")
+    assert(hotRow.getLong(2) === 50000L)
+  }
+
   test("q55/q57 stay correct under a hot stratum owning most of the corpus") {
     val s = spark
     import s.implicits._
