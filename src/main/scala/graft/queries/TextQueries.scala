@@ -2486,7 +2486,83 @@ object TextQueries {
        |WHERE max_len > 0 AND lev * 1000000 <= eff_len * 200000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+
+  /** q102_incr_dedup — INCREMENTAL dedup: probe only the crawl DELTA
+    * against the previous snapshot's content-fingerprint index, instead of
+    * re-deduplicating the whole corpus. q78 answers "which documents
+    * changed between crawls"; this continues: "of the added/changed ones,
+    * which are content we already have" — the O(|Δ|) admission check a
+    * 100 TB pipeline runs per crawl, where q23's full-corpus dedup is the
+    * O(N) job it replaces for steady-state ingest.
+    *
+    * Semantics: v2 is q78's deterministic next-crawl simulation. A v2 doc
+    * is DELTA if its doc_id is new or its content fingerprint (q23's
+    * shingle-set md5 — so a re-published copy under a fresh id still
+    * matches) differs from v1's under the same id. Each delta doc probes
+    * the v1 index (fp → min doc_id, q23's canonical convention):
+    * `dup_of_v1` names the canonical prior copy, `known_dup` is the
+    * BIGINT 0/1 admission verdict.
+    *
+    * Scale shape: delta detection is one pk-keyed left join (q78's
+    * exchange); the probe is one fp-keyed join whose LEFT side is only the
+    * delta — an unchanged corpus probes nothing. At 100 TB the index is a
+    * MAINTAINED artifact: a bucketed-by-fp table kept current by q96's
+    * incremental-fold discipline (append new fps per admitted batch), so
+    * the per-crawl cost is O(|Δ|) scan + O(|Δ|) probe, never O(N). Here
+    * the index build is in-plan because the oracle must replay it. */
+  def q102IncrDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = Tables.documents(s, dir).select($"doc_id", $"text")
+    // q78's crawl: % 13 == 3 dropped, == 5 edited, == 7 re-published fresh
+    val v2 = v1.filter($"doc_id" % 13 =!= 3)
+      .withColumn("text", when($"doc_id" % 13 === 5, concat($"text", lit(" rev2")))
+        .otherwise($"text"))
+      .unionAll(v1.filter($"doc_id" % 13 === 7)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    def fp(df: DataFrame): DataFrame =
+      df.select($"doc_id", contentFp(TextFunctions.tokens($"text")).as("fp"))
+    val v1fp = fp(v1)
+    val index = v1fp.groupBy($"fp").agg(min($"doc_id").as("dup_of_v1"))
+    val delta = fp(v2)
+      .join(v1fp.select($"doc_id", $"fp".as("fp_old")), Seq("doc_id"), "left_outer")
+      .filter($"fp_old".isNull || $"fp_old" =!= $"fp")
+    delta.join(index, Seq("fp"), "left_outer")
+      .select($"doc_id", $"fp",
+        when($"fp_old".isNull, "added").otherwise("changed").as("delta_kind"),
+        $"dup_of_v1",
+        $"dup_of_v1".isNotNull.cast("long").as("known_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** q102 oracle: v2 construction (q78's text), fingerprints (q23's
+    * fragments), delta filter, and index probe replayed verbatim. */
+  val q102Sql: String =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 5 THEN text || ' rev2' ELSE text END AS text
+       |  FROM v1 WHERE doc_id % 13 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM v1 WHERE doc_id % 13 = 7),
+       |f1 AS (SELECT doc_id, $FpSql AS fp
+       |       FROM (SELECT doc_id, $Toks AS toks FROM v1)),
+       |f2 AS (SELECT doc_id, $FpSql AS fp
+       |       FROM (SELECT doc_id, $Toks AS toks FROM v2)),
+       |idx AS (SELECT fp, min(doc_id) AS dup_of_v1 FROM f1 GROUP BY fp),
+       |delta AS (
+       |  SELECT f2.doc_id, f2.fp, f1.fp AS fp_old
+       |  FROM f2 LEFT JOIN f1 ON f2.doc_id = f1.doc_id
+       |  WHERE f1.fp IS NULL OR f1.fp <> f2.fp)
+       |SELECT d.doc_id, d.fp,
+       |  CASE WHEN d.fp_old IS NULL THEN 'added' ELSE 'changed' END AS delta_kind,
+       |  i.dup_of_v1,
+       |  CAST(CASE WHEN i.dup_of_v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS known_dup
+       |FROM delta d LEFT JOIN idx i ON d.fp = i.fp
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_incr_dedup"       -> (q102IncrDedup _),
     "q100_fuzzy_capped"     -> (q100FuzzyCapped _),
     "q99_connected_components" -> (q99ConnectedComponents _),
     "q90_weighted_sample"   -> (q90WeightedSample _),
@@ -2527,6 +2603,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q102_incr_dedup"       -> q102Sql,
     "q100_fuzzy_capped"     -> q100Sql,
     "q99_connected_components" -> q99Sql,
     "q90_weighted_sample"   -> q90Sql,

@@ -515,6 +515,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q102: incremental dedup exchanges only on doc_id or fp; no cartesian") {
+    val plan = executed(TextQueries.q102IncrDedup(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = plan.toString
+    // delta detection keys on the pk, index build + probe on the
+    // fingerprint — nothing may shuffle on anything wider
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("doc_id") && !l.contains("fp")).toSeq
+    assert(bad.isEmpty, "unexpected exchange key:\n" + bad.mkString("\n"))
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
