@@ -312,7 +312,90 @@ object StreamQueries {
       |  max(epoch_ms(ts)) AS last_ms
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q103_stream_sessions — [[graft.streaming.EventStream.gapSessions]]
+    * (native `session_window` + watermark) under the driver gate: the
+    * events table streams through via Trigger.AvailableNow, append-mode
+    * emissions land in a parquet sink, and the sink must hash-match the
+    * gaps-and-islands SQL restricted to WATERMARK-FINALIZED sessions —
+    * the watermark rule (a session emits iff `end < max_event_time −
+    * delay`) stated verbatim in the oracle, so eviction timing is part of
+    * the gated contract, not an implementation detail.
+    *
+    * Two deliberate semantic pins the oracle encodes:
+    *  - `session_window` starts a NEW session at gap ≥ 30 min (an event at
+    *    exactly last+gap falls outside the half-open window), where
+    *    q20's batch formulation uses strict >. Same operator family, two
+    *    published conventions — each gated against its own SQL.
+    *  - the source is ms-TRUNCATED before streaming (the q89 lesson):
+    *    Spark sessionizes at µs precision while the oracle sees ms, so
+    *    the gate holds on the grid where both engines agree.
+    *
+    * The oracle pre-aggregates to the (user_id, ms) grain before the gap
+    * scan: ties at a session boundary would otherwise make the islands
+    * running-sum order-dependent, and sessions are a function of the
+    * distinct timestamp set anyway.
+    *
+    * Scale shape: one user_id-keyed exchange; session state is
+    * O(open sessions) per key and the watermark bounds it — this is the
+    * 100 TB sessionizer (q20's full-history window sort is the batch
+    * backfill twin). */
+  def q103StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q103")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(timestamp_millis(unix_millis($"ts")).as("ts"), $"user_id", $"value")
+    ev.orderBy($"ts", $"user_id")
+      .select(to_json(struct($"ts", $"user_id", $"value")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.user_id", $"e.value")
+    withStreamPartitions(s) {
+      graft.streaming.EventStream.gapSessions(src).writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read
+      .schema("user_id LONG, start_ms LONG, end_ms LONG, n_events LONG, sum_value DOUBLE")
+      .parquet(s"$root/out")
+      .orderBy($"user_id", $"start_ms")
+  }
+
+  val q103Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, count(*) AS n,
+      |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+      |g AS (
+      |  SELECT user_id, ms, n, sv,
+      |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+      |          OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |t AS (
+      |  SELECT user_id, ms, n, sv,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  (CAST(sum(sv) AS DOUBLE) / 100.0) AS sum_value
+      |FROM t CROSS JOIN m
+      |GROUP BY user_id, sess, m.mx
+      |HAVING max(ms) + 1800000 < m.mx - 7200000
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_stream_sessions" -> (q103StreamSessions _),
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
@@ -321,6 +404,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q103_stream_sessions" -> q103Sql,
     "q31_stream_e2e"  -> q31Sql,
     "q34_merge_upsert" -> q34Sql,
     // the stateful streams must converge to their batch twins — same
