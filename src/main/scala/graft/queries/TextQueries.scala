@@ -2561,7 +2561,97 @@ object TextQueries {
        |FROM delta d LEFT JOIN idx i ON d.fp = i.fp
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+
+  /** q104_sparse_cosine — SPARSE-vector cosine similarity join over TF-IDF
+    * weights via an inverted-index postings join: the sparse complement to
+    * the dense-embedding family (q25/q26/q64) and the token-SET family
+    * (q52's Jaccard) — pairs score by WEIGHTED lexical overlap, the
+    * classic near-dup signal when embeddings don't exist yet (first-pass
+    * crawl triage runs exactly this).
+    *
+    * Semantics: per-(doc, token) weight = tf·idf floored onto the e6 grid
+    * (q37's scoring, integerized); tokens with df > 100 are dropped from
+    * the VECTORS (not from the tf denominator or idf corpus stats) — the
+    * standard df-cap that both bounds the postings join and removes
+    * stopword-grade mass. Pairs with cos ≥ 0.3 emit; cos is ONE double
+    * expression over three exact int64 sums (dot, two norms — products of
+    * e6 ints sum exactly in int64), floored onto the e6 grid; sqrt is
+    * IEEE-correctly-rounded in both engines (the q68/q93 convention).
+    *
+    * Scale shape: the only quadratic surface is the token-keyed postings
+    * self-join, bounded by Σ df² ≤ cap·|postings| — LINEAR in corpus size
+    * at fixed cap, never N². Everything else is doc_id- or token-keyed
+    * exchanges of narrow int rows. At 100 TB, q52's AllPairs prefix
+    * filter composes on top (score-ordered postings, prefix pruning) to
+    * shrink candidates further; the df cap alone already kills the
+    * hot-token blowup. */
+  def q104SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val DfCap = 100L
+    val tc = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("n_tok"), explode($"toks").as("token"))
+      .groupBy($"doc_id", $"n_tok", $"token")
+      .agg(count(lit(1)).as("cnt"))
+    val dft = tc.groupBy($"token").agg(count(lit(1)).as("df_docs"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val vec = tc.join(dft.filter($"df_docs" <= DfCap), "token")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"token",
+        floor(lit(1000000.0) * ($"cnt".cast("double") / $"n_tok") *
+          log($"n_docs".cast("double") / $"df_docs")).cast("long").as("w"))
+    val norms = vec.groupBy($"doc_id").agg(sum($"w" * $"w").as("n2"))
+    val dots = vec.select($"doc_id".as("doc_a"), $"token", $"w".as("wa"))
+      .join(vec.select($"doc_id".as("doc_b"), $"token", $"w".as("wb")), "token")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"wa" * $"wb").as("dot"), count(lit(1)).as("n_shared"))
+    dots
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared",
+        floor(lit(1000000.0) * $"dot".cast("double") /
+          (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+          .cast("long").as("cos_e6"))
+      .filter($"cos_e6" >= 300000L)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q104 oracle: weights, df cap, postings join, and the single-expression
+    * cosine replayed with identical formula text and associativity. */
+  val q104Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |tc AS (
+       |  SELECT doc_id, len(toks) AS n_tok, t.token, count(*) AS cnt
+       |  FROM toks, unnest(toks) AS t(token)
+       |  GROUP BY doc_id, len(toks), t.token),
+       |dft AS (SELECT token, count(*) AS df_docs FROM tc GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |vec AS (
+       |  SELECT tc.doc_id, tc.token,
+       |    CAST(floor(1000000.0 * (CAST(tc.cnt AS DOUBLE) / tc.n_tok) *
+       |      ln(CAST(n.n_docs AS DOUBLE) / dft.df_docs)) AS BIGINT) AS w
+       |  FROM tc JOIN dft USING (token) CROSS JOIN n
+       |  WHERE dft.df_docs <= 100),
+       |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM vec GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    sum(a.w * b.w) AS dot, count(*) AS n_shared
+       |  FROM vec a JOIN vec b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT d.doc_a, d.doc_b, d.n_shared,
+       |    CAST(floor(1000000.0 * CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) AS cos_e6
+       |  FROM dots d
+       |  JOIN norms na ON d.doc_a = na.doc_id
+       |  JOIN norms nb ON d.doc_b = nb.doc_id) p
+       |WHERE cos_e6 >= 300000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_sparse_cosine"    -> (q104SparseCosine _),
     "q102_incr_dedup"       -> (q102IncrDedup _),
     "q100_fuzzy_capped"     -> (q100FuzzyCapped _),
     "q99_connected_components" -> (q99ConnectedComponents _),
@@ -2603,6 +2693,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q104_sparse_cosine"    -> q104Sql,
     "q102_incr_dedup"       -> q102Sql,
     "q100_fuzzy_capped"     -> q100Sql,
     "q99_connected_components" -> q99Sql,

@@ -527,6 +527,19 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, "unexpected exchange key:\n" + bad.mkString("\n"))
   }
 
+  test("q104: the postings self-join is token-keyed — never cartesian") {
+    val plan = executed(TextQueries.q104SparseCosine(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "sparse cosine must pair through the inverted index, not all-pairs")
+    val p = plan.toString
+    // every keyed exchange is on the token (postings), the pair, or the
+    // doc — the Σ df² bound depends on the join running on token alone
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("token") && !l.contains("doc")).toSeq
+    assert(bad.isEmpty, "unexpected exchange key:\n" + bad.mkString("\n"))
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
