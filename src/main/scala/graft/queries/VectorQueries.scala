@@ -99,6 +99,13 @@ object VectorQueries {
     * the oracle gate. */
   def q26EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    q26Pairs(s, dir).orderBy($"vec_a", $"vec_b")
+  }
+
+  /** q26's gated pair set without the output sort — shared verbatim with
+    * q105's mutual-NN matcher, so both run the SAME blocking and gate. */
+  private def q26Pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val model = graft.vector.IvfFrozen.model
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", dvec($"embedding").as("v"))
@@ -113,7 +120,6 @@ object VectorQueries {
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosR.as("cos_r"))
       .filter($"cos_r" >= 0.30)
-      .orderBy($"vec_a", $"vec_b")
   }
 
   /** q26 oracle: q30/q64's frozen-centroid assignment fragment (carrying
@@ -525,7 +531,83 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+
+  /** q105_mutual_nn — mutual-nearest-neighbor matching over q26's gated
+    * candidate pairs: a pair (a, b) emits iff b is a's best-scoring
+    * candidate AND a is b's (ties broken by lowest partner id on the
+    * round-4 cosine, the shared ANN convention). Mutual-NN is the
+    * conservative entity-resolution / record-linkage matcher — unlike
+    * q26's "all pairs over the gate" or q64's "evict all but the cell
+    * medoid", a mutual match is a 1:1 claim with no transitive leakage:
+    * exactly the pairs a curation pipeline auto-merges without human
+    * review. Sharing `q26Pairs` verbatim means blocking, gate, and
+    * cosine convention are certified once and inherited here.
+    *
+    * Scale shape: q26's blocked pair scan (Σ block², linear-ish under the
+    * k ≈ √N re-freeze rule) plus one src-keyed window over DIRECTED
+    * gate-survivor edges (2·|pairs| rows — output-sized, not corpus-
+    * sized) and one self-join of the per-vector best rows (|vectors|
+    * rows). Nothing new shuffles the corpus. */
+  def q105MutualNn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q26Pairs(s, dir)
+    val directed = pairs
+      .select($"vec_a".as("src"), $"vec_b".as("dst"), $"label", $"cell", $"cos_r")
+      .unionByName(pairs
+        .select($"vec_b".as("src"), $"vec_a".as("dst"), $"label", $"cell", $"cos_r"))
+    val w = Window.partitionBy($"src").orderBy($"cos_r".desc, $"dst")
+    val best = directed
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    best.as("a").join(best.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .select(col("a.src").as("vec_a"), col("a.dst").as("vec_b"),
+        col("a.label").as("label"), col("a.cell").as("cell"),
+        col("a.cos_r").as("cos_r"))
+      .orderBy($"vec_a")
+  }
+
+  /** q105 oracle: q26's CTE chain (assignment from the literal centroids,
+    * blocked gated pairs), then best-per-src over directed edges and the
+    * mutuality self-join. */
+  def q105Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, label, v, cell FROM (
+       |    SELECT e.vec_id, e.label, e.v, cents.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("e.v", "cents.c")}, cents.cell) AS rn
+       |    FROM e CROSS JOIN cents) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT * FROM (
+       |    SELECT a.label AS label, CAST(a.cell AS BIGINT) AS cell,
+       |      a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      round(${duckCos("a.v", "b.v")}, 4) AS cos_r
+       |    FROM assigned a JOIN assigned b
+       |      ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id) t
+       |  WHERE cos_r >= 0.30),
+       |directed AS (
+       |  SELECT vec_a AS src, vec_b AS dst, label, cell, cos_r FROM pairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst, label, cell, cos_r FROM pairs),
+       |best AS (
+       |  SELECT src, dst, label, cell, cos_r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |                                 ORDER BY cos_r DESC, dst) AS rn
+       |    FROM directed) t WHERE rn = 1)
+       |SELECT a.src AS vec_a, a.dst AS vec_b, a.label, a.cell, a.cos_r
+       |FROM best a JOIN best b
+       |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+       |ORDER BY vec_a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_mutual_nn"    -> (q105MutualNn _),
     "q67_ann_sq8"       -> (q67AnnSq8 _),
     "q92_ann_pq"        -> (q92AnnPq _),
     "q25_ann_topk"      -> (q25AnnTopK _),
@@ -535,6 +617,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q105_mutual_nn"    -> q105Sql,
     "q67_ann_sq8"       -> q67Sql,
     "q92_ann_pq"        -> q92Sql,
     "q25_ann_topk"      -> q25Sql,
