@@ -2571,10 +2571,12 @@ object TextQueries {
     * crawl triage runs exactly this).
     *
     * Semantics: per-(doc, token) weight = tf·idf floored onto the e6 grid
-    * (q37's scoring, integerized); tokens with df > 100 are dropped from
-    * the VECTORS (not from the tf denominator or idf corpus stats) — the
-    * standard df-cap that both bounds the postings join and removes
-    * stopword-grade mass. Pairs with cos ≥ 0.3 emit; cos is ONE double
+    * (q37's scoring, integerized); tokens in more than 20% of the corpus
+    * (df·5 > N — RELATIVE, so the cap means the same thing at every
+    * scale) are dropped from the VECTORS (not from the tf denominator or
+    * idf corpus stats) — the standard df-cap that both bounds the
+    * postings join and removes stopword-grade mass. Pairs with cos ≥ 0.3
+    * emit; cos is ONE double
     * expression over three exact int64 sums (dot, two norms — products of
     * e6 ints sum exactly in int64), floored onto the e6 grid; sqrt is
     * IEEE-correctly-rounded in both engines (the q68/q93 convention).
@@ -2588,7 +2590,6 @@ object TextQueries {
     * hot-token blowup. */
   def q104SparseCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val DfCap = 100L
     val tc = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", size($"toks").as("n_tok"), explode($"toks").as("token"))
@@ -2596,8 +2597,9 @@ object TextQueries {
       .agg(count(lit(1)).as("cnt"))
     val dft = tc.groupBy($"token").agg(count(lit(1)).as("df_docs"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val vec = tc.join(dft.filter($"df_docs" <= DfCap), "token")
+    val vec = tc.join(dft, "token")
       .crossJoin(broadcast(nDocs))
+      .filter($"df_docs" * 5 <= $"n_docs")
       .select($"doc_id", $"token",
         floor(lit(1000000.0) * ($"cnt".cast("double") / $"n_tok") *
           log($"n_docs".cast("double") / $"df_docs")).cast("long").as("w"))
@@ -2633,7 +2635,7 @@ object TextQueries {
        |    CAST(floor(1000000.0 * (CAST(tc.cnt AS DOUBLE) / tc.n_tok) *
        |      ln(CAST(n.n_docs AS DOUBLE) / dft.df_docs)) AS BIGINT) AS w
        |  FROM tc JOIN dft USING (token) CROSS JOIN n
-       |  WHERE dft.df_docs <= 100),
+       |  WHERE dft.df_docs * 5 <= n.n_docs),
        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM vec GROUP BY doc_id),
        |dots AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
