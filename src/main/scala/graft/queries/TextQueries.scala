@@ -1947,23 +1947,32 @@ object TextQueries {
     * rule. */
   def q75QualityModel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    qualityScored(s, dir)
+      .select($"doc_id", $"n_tokens", $"score_e6")
+      .withColumn("keep", ($"score_e6" >= 500000L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** q75's frozen-weights scoring with `lang` carried through — shared
+    * verbatim by q75 (model scores) and q106 (per-source caps), so the
+    * score semantics are certified once. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", $"text", TextFunctions.tokens($"text").as("toks"))
-      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+      .select($"doc_id", $"lang", $"text", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tokens"),
         stopRatioE6(col("toks")).as("stop_e6"),
         size(array_distinct($"toks")).cast("double").as("nd"),
         length($"text").cast("double").as("nc"))
       .filter($"n_tokens" >= 1)
-      .select($"doc_id", $"n_tokens",
+      .select($"doc_id", $"lang", $"n_tokens",
         (lit(-3.0) +
           lit(2.0) * (least($"n_tokens", lit(400L)).cast("double") / lit(400.0)) +
           lit(4.0) * ($"stop_e6".cast("double") / lit(1000000.0)) +
           lit(2.0) * ($"nd" / $"n_tokens") +
           lit(1.0) * ($"nc" / $"n_tokens" / lit(10.0))).as("z"))
-      .select($"doc_id", $"n_tokens",
+      .select($"doc_id", $"lang", $"n_tokens",
         floor(lit(1000000.0) / (lit(1.0) + exp(-$"z"))).cast("long").as("score_e6"))
-      .withColumn("keep", ($"score_e6" >= 500000L).cast("long"))
-      .orderBy($"doc_id")
   }
 
   /** q75 oracle: identical feature ratios and sigmoid text; exp()'s ulp
@@ -2652,7 +2661,70 @@ object TextQueries {
        |WHERE cos_e6 >= 300000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+
+  /** q106_domain_cap — per-source document caps: keep the top-50 docs per
+    * `lang` by the frozen quality model's score (q75's `qualityScored`,
+    * shared verbatim — the score semantics are certified once and
+    * inherited). The FineWeb/CCNet-style domain-balancing pass: without
+    * per-source caps, one over-crawled domain floods the mixture no
+    * matter what the q77 temperature weights say — caps bound every
+    * source BEFORE mixture math, and the (rank, score) export makes the
+    * cut auditable per source.
+    *
+    * Determinism: rank orders by (score_e6 DESC, doc_id) — integer keys,
+    * no float comparisons. Zero-token docs are excluded upstream by the
+    * shared scorer (q75's rule).
+    *
+    * Scale shape: one lang-keyed exchange for the window. At 100 TB the
+    * window's within-source sort is the cost — the standard dial is a
+    * two-phase top-K (per-partition partial top-K, then merge, q90's
+    * TakeOrdered shape) or a pre-filter at an approximate Kth-score
+    * threshold from q45's sketches; both leave these semantics (and this
+    * oracle) unchanged, which is exactly why the cap is defined by
+    * (score, doc_id) order and not by arrival order. */
+  def q106DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"score_e6".desc, $"doc_id")
+    qualityScored(s, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 50)
+      .select($"lang", $"rank", $"doc_id", $"score_e6")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** q106 oracle: q75's scoring text with `lang` carried, then the
+    * per-source rank window and cap. */
+  val q106Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    $StopRatioSql AS stop_e6,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |    CAST(len(text) AS DOUBLE) AS nc
+       |  FROM (SELECT doc_id, lang, text, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 1),
+       |z AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    -3.0 +
+       |    2.0 * (CAST(least(n_tokens, 400) AS DOUBLE) / 400.0) +
+       |    4.0 * (CAST(stop_e6 AS DOUBLE) / 1000000.0) +
+       |    2.0 * (nd / n_tokens) +
+       |    1.0 * (nc / n_tokens / 10.0) AS z
+       |  FROM f),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_e6
+       |  FROM z)
+       |SELECT lang, rank, doc_id, score_e6 FROM (
+       |  SELECT lang, doc_id, score_e6,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 50
+       |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_domain_cap"       -> (q106DomainCap _),
     "q104_sparse_cosine"    -> (q104SparseCosine _),
     "q102_incr_dedup"       -> (q102IncrDedup _),
     "q100_fuzzy_capped"     -> (q100FuzzyCapped _),
@@ -2695,6 +2767,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q106_domain_cap"       -> q106Sql,
     "q104_sparse_cosine"    -> q104Sql,
     "q102_incr_dedup"       -> q102Sql,
     "q100_fuzzy_capped"     -> q100Sql,
