@@ -394,7 +394,136 @@ object StreamQueries {
       |HAVING max(ms) + 1800000 < m.mx - 7200000
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** q107_stream_dedup — Spark's NATIVE streaming `dropDuplicates` (the
+    * built-in stateful dedup operator) under the driver gate, with GENUINE
+    * multi-batch arrival: the source is written as several files and read
+    * with `maxFilesPerTrigger=1`, so Trigger.AvailableNow runs one
+    * micro-batch per file and the no-reemission contract is exercised
+    * ACROSS batches (state written by batch k must suppress the same key in
+    * batch k+7), not just within one. q86 gates the custom
+    * mapGroupsWithState first-arrival dedup; this row gates the engine's
+    * own operator.
+    *
+    * Only the dedup KEY columns are exported: every row of a key projects
+    * to the same output tuple, so the gate is immune to which arrival the
+    * operator keeps (that choice is intra-batch-order dependent), while
+    * the interesting property — each key emitted EXACTLY once across the
+    * whole run — is precisely `SELECT DISTINCT`. Arrival order across
+    * files is therefore also irrelevant, so the source needs no sort.
+    *
+    * Scale shape: one key-hashed exchange into the state store; state is
+    * O(distinct keys), the same bound as batch DISTINCT's final agg. The
+    * unbounded-retention variant gated here is the backfill twin;
+    * production streams bound state with `dropDuplicatesWithinWatermark`
+    * (same operator family, TTL'd store) — the dial lives with the
+    * deployment, like q103's watermark delay. */
+  def q107StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q107")
+
+    val ev = graft.Tables.events(s, dir).select($"user_id", $"event_type")
+    ev.select(to_json(struct($"user_id", $"event_type")).as("value"))
+      .repartition(8)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.user_id", $"e.event_type")
+    withStreamPartitions(s) {
+      src.dropDuplicates("user_id", "event_type").writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read.schema("user_id LONG, event_type STRING").parquet(s"$root/out")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q107Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q110_stream_window — the NATIVE watermarked tumbling-window
+    * aggregation (append mode) under the driver gate: per (hour-window,
+    * event_type) counts and grid-exact value sums, emitted only when the
+    * watermark finalizes the window. q103 gates `session_window`; this row
+    * gates the fixed-window groupBy-window operator — the single most
+    * common streaming aggregation — with the SAME eviction-rule pin: a
+    * window emits iff `window_end < max_event_time − delay` (strict <,
+    * stated verbatim in the oracle's HAVING, so eviction timing is gated
+    * contract, not implementation detail). The batch twin is q15's
+    * time-window rollup over the full history.
+    *
+    * The source is ms-truncated before streaming (the q89/q103 lesson) so
+    * Spark's µs window assignment and the oracle's ms grid agree, and
+    * arrives time-sorted so the final watermark is max(ts) − delay.
+    *
+    * Scale shape: map-side partial aggregation into a (window, type)-keyed
+    * exchange; state is O(open windows × types) and the watermark bounds
+    * open windows — constant per key-space slice no matter the corpus.
+    * This is the 100 TB rollup: q15 recomputes the history, this
+    * maintains it at change-volume cost. */
+  def q110StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q110")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(timestamp_millis(unix_millis($"ts")).as("ts"), $"event_type", $"value")
+    ev.orderBy($"ts", $"event_type")
+      .select(to_json(struct($"ts", $"event_type", $"value")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.event_type", $"e.value")
+    withStreamPartitions(s) {
+      src.withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Grid.units2($"value").cast("long")).as("sv2"))
+        .select(unix_millis($"window.start").as("start_ms"),
+          unix_millis($"window.end").as("end_ms"),
+          $"event_type", $"n", $"sv2")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read
+      .schema("start_ms LONG, end_ms LONG, event_type STRING, n LONG, sv2 LONG")
+      .parquet(s"$root/out")
+      .select($"start_ms", $"end_ms", $"event_type", $"n", $"sv2",
+        ($"sv2".cast("double") / 100.0).as("sum_value"))
+      .orderBy($"start_ms", $"event_type")
+  }
+
+  val q110Sql: String =
+    """WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+      |w AS (
+      |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS start_ms, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv2
+      |  FROM events GROUP BY 1, 2)
+      |SELECT start_ms, start_ms + 3600000 AS end_ms, event_type, n, sv2,
+      |  (CAST(sv2 AS DOUBLE) / 100.0) AS sum_value
+      |FROM w CROSS JOIN m
+      |WHERE start_ms + 3600000 < m.mx - 7200000
+      |ORDER BY start_ms, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_stream_window" -> (q110StreamWindow _),
+    "q107_stream_dedup" -> (q107StreamDedup _),
     "q103_stream_sessions" -> (q103StreamSessions _),
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q89_stream_join" -> (q89StreamJoin _),
@@ -404,6 +533,8 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q110_stream_window" -> q110Sql,
+    "q107_stream_dedup" -> q107Sql,
     "q103_stream_sessions" -> q103Sql,
     "q31_stream_e2e"  -> q31Sql,
     "q34_merge_upsert" -> q34Sql,
