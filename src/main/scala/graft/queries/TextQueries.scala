@@ -748,7 +748,14 @@ object TextQueries {
     *
     * Oracle: plain all-pairs exact Jaccard — affordable at sf0.01/0.1 only —
     * which checks the completeness claim, not just the verifier. */
-  def q52NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Each document's 3-gram shingle set as a SORTED array of dense integer
+    * ids in the global df-ascending token order — q52's dictionary-encoded
+    * set representation, shared verbatim by the Jaccard (q52) and
+    * containment (q109) joins so the machinery is certified once. See
+    * q52's scaladoc for why the encoding and the distributed rank
+    * assignment look the way they do. localCheckpoint'ed: every caller
+    * fans it into ≥3 branches (index + both verification sides). */
+  private def shingleGidSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("sh"))
@@ -776,10 +783,15 @@ object TextQueries {
     // each doc's set re-collected as a SORTED gid array = the set in the
     // global df-ascending order; localCheckpoint because it feeds three
     // branches (prefix index + both verification sides — q40's pattern)
-    val gids = tok.join(dict, "tk")
+    tok.join(dict, "tk")
       .groupBy($"doc_id", $"sz")
       .agg(sort_array(collect_list($"gid")).as("ord"))
       .localCheckpoint(true)
+  }
+
+  def q52NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gids = shingleGidSets(s, dir)
     // prefix length for t = 7/10: sz - ceil(7·sz/10) + 1, all-integer
     // (floor of exact small-int division — no float-ceil edge cases)
     val p = ($"sz" - floor(($"sz" * 7 + 9) / 10) + 1).cast("int")
@@ -2723,7 +2735,281 @@ object TextQueries {
        |WHERE rank <= 50
        |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+
+  /** q108_char_entropy — per-document character-distribution entropy, the
+    * classic cheap gibberish/binary-spill detector (low entropy = one
+    * symbol dominates: `aaaa…`, padded boilerplate; a natural-language doc
+    * over a 27-symbol alphabet sits near 2.4–2.9 nats). Runs after q21's
+    * surface stats and alongside q58's repetition gates in the standard
+    * reject pass — q58 catches repeated TOKENS/grams, this catches
+    * degenerate CHARACTER streams that still tokenize innocently.
+    *
+    * Formulation: alphabet counts per doc via `transform` over the fixed
+    * 27-char alphabet — cnt(c) = len(t) − len(replace(t, c)) on the
+    * lowercased text — then H·n = n·ln(n) − Σ cnt·ln(cnt) entirely inside
+    * `aggregate` HOFs. ZERO shuffles, zero explodes: the whole query is a
+    * narrow O(chars·|alphabet|) column pass at scan speed (the
+    * explode-and-groupBy-(doc,char) formulation this replaces shuffles a
+    * row per (doc,char) — pointless when the alphabet is a compile-time
+    * constant).
+    *
+    * Engine-determinism (q68's convention): each ln term is ONE double
+    * expression floored onto the e6 grid — per-symbol floor(1e6·c·ln c)
+    * summed EXACTLY in int64, subtracted from floor(1e6·n·ln n), and the
+    * per-char normalization is exact integer division. The low-entropy
+    * flag compares integers (ent_num_e6 < τ·n) so no float comparison can
+    * flip it; τ = 2.6 nats sits just under this corpus's p05 (measured
+    * min/p05/max ≈ 2.55/2.71/2.94 at sf0.001) so the gate flags a real
+    * low-entropy tail at every SF without emptying the corpus. */
+  def q108CharEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val alpha = array((('a' to 'z').map(c => lit(c.toString)) :+ lit(" ")): _*)
+    val t = lower($"text")
+    val cnts = transform(alpha, c => length(t) - length(call_function("replace", t, c)))
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", cnts.as("cs"))
+      .select($"doc_id",
+        aggregate($"cs", lit(0L), (acc, c) => acc + c).as("n_used"),
+        aggregate($"cs", lit(0L), (acc, c) => acc +
+          when(c > 0,
+            floor(lit(1000000.0) * c.cast("double") * log(c.cast("double"))).cast("long"))
+            .otherwise(lit(0L))).as("s_e6"))
+      .filter($"n_used" >= 1)
+    base
+      .select($"doc_id", $"n_used",
+        (floor(lit(1000000.0) * $"n_used".cast("double") * log($"n_used".cast("double")))
+          .cast("long") - $"s_e6").as("ent_num_e6"))
+      .select($"doc_id", $"n_used", $"ent_num_e6",
+        call_function("div", $"ent_num_e6", $"n_used").as("entropy_e6"),
+        when($"ent_num_e6" < lit(2600000L) * $"n_used", lit(1L)).otherwise(lit(0L))
+          .as("low_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** q108 oracle: identical alphabet, count formula, grid terms, and
+    * integer thresholds — the ln calls are the only cross-library floats
+    * and each sits alone under its e6 floor. */
+  val q108Sql: String = {
+    val alphaSql = (('a' to 'z').map(c => s"'$c'") :+ "' '").mkString("[", ", ", "]")
+    s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |cnt AS (
+       |  SELECT doc_id,
+       |    [length(t) - length(replace(t, c, '')) for c in $alphaSql] AS cs
+       |  FROM lt),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(cs) AS BIGINT) AS n_used,
+       |    CAST(list_sum([CASE WHEN c > 0 THEN
+       |        CAST(floor(1000000.0 * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS BIGINT)
+       |      ELSE 0 END for c in cs]) AS BIGINT) AS s_e6
+       |  FROM cnt
+       |  WHERE list_sum(cs) >= 1),
+       |num AS (
+       |  SELECT doc_id, n_used,
+       |    CAST(floor(1000000.0 * CAST(n_used AS DOUBLE) * ln(CAST(n_used AS DOUBLE))) AS BIGINT)
+       |      - s_e6 AS ent_num_e6
+       |  FROM agg)
+       |SELECT doc_id, n_used, ent_num_e6,
+       |  ent_num_e6 // n_used AS entropy_e6,
+       |  CAST(CASE WHEN ent_num_e6 < 2600000 * n_used THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
+       |FROM num ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q109
+
+  /** q109_containment — EXACT set-containment join over 3-gram shingles:
+    * emit ordered pairs (a, b) with C(a→b) = |Sa∩Sb|/|Sa| ≥ 9/10. The
+    * asymmetric complement to q52's Jaccard: containment finds QUOTES and
+    * near-subsets — a short doc embedded in a longer one scores C≈1 while
+    * its Jaccard (divided by the union) stays low, so symmetric dedup
+    * never sees it. This is the quote/excerpt-detection pass (and the
+    * direction train-eval contamination actually happens: the small eval
+    * doc contained in a big crawl doc).
+    *
+    * Prefix filter, containment form: under ANY global token order, if
+    * none of Sa's first `p = sz_a − ceil(t·sz_a) + 1` tokens is in Sb,
+    * then ≥ p of Sa's tokens are missing, so |∩| ≤ sz_a − p < t·sz_a — a
+    * true pair must hit Sa's p-prefix. Only the PROBE side prefixes;
+    * the indexed side posts its whole set (containment puts no lower
+    * bound on |Sb|, so no symmetric prefix or length filter applies —
+    * the structural cost gap vs q52, which is why the index is built on
+    * the same df-ascending gid order: probe prefixes hold the RAREST
+    * grams, so the postings they touch are the short ones).
+    *
+    * Shares q52's dictionary/sorted-gid machinery ([[shingleGidSets]] —
+    * one certified implementation, two gates) and its no-float
+    * discipline: the 10·|∩| ≥ 9·|Sa| gate and prefix lengths are pure
+    * integer arithmetic.
+    *
+    * Scale shape: Σ (probe-prefix df × posting length) — posting lists of
+    * the FULL index are the dial; at 100 TB the df cap (q104's) or
+    * positional filters (PPJoin+) bound the hot tail, and both leave
+    * these semantics unchanged. Oracle: all-pairs exact containment. */
+  def q109Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gids = shingleGidSets(s, dir)
+    // probe prefixes for t = 9/10: sz − ceil(9·sz/10) + 1 (integer ceil)
+    val p = ($"sz" - floor(($"sz" * 9 + 9) / 10) + 1).cast("int")
+    val pre = gids.select($"doc_id".as("doc_a"),
+      explode(slice($"ord", lit(1), p)).as("gid"))
+    // FULL inverted index on the candidate (superset) side
+    val full = gids.select($"doc_id".as("doc_b"), explode($"ord").as("gid"))
+    val cand = pre.join(full, "gid")
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+    val gA = gids.select($"doc_id".as("doc_a"), $"ord".as("ord_a"), $"sz".as("sz_a"))
+    val gB = gids.select($"doc_id".as("doc_b"), $"ord".as("ord_b"))
+    val inter = call_function("graft_intersect_size", $"ord_a", $"ord_b")
+    cand.join(gA, "doc_a").join(gB, "doc_b")
+      .filter(inter * 10 >= $"sz_a" * 9)
+      .select($"doc_a", $"doc_b",
+        round(inter.cast("double") / $"sz_a", 6).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q109Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $Shingles3 AS s
+       |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
+       |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+       |WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+
+  /** q111_pmi_collocations — collocation/phrase mining by pointwise mutual
+    * information: PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent-bigram
+    * and unigram corpus distributions, with a min-support floor (c2 ≥ 5)
+    * so rare coincidences don't top the list. The classic phrase-table
+    * builder (Mikolov et al.'s word2vec phrases pass, Hearst collocation
+    * mining): the output IS the vocabulary-extension table a tokenizer or
+    * embedding pipeline consumes.
+    *
+    * Engine-determinism: counts and totals are exact int64; each PMI is
+    * ONE double expression — 1e6·ln((c2·N1·N1)/((N2·c1a)·c1b)) with
+    * identical literal text and associativity on both sides, floored onto
+    * the e6 grid (q68's convention; the double products stay far inside
+    * exact range at any SF that fits a cluster). Support filter and
+    * ordering are integer-only.
+    *
+    * Scale shape: shares q68's instance pass (narrow zip_with, no doc_id
+    * carried); two map-side-combined count shuffles (bigram types, token
+    * types); totals are the only broadcasts (O(1) scalars, q37's rule);
+    * the PMI join is keyed on the bigram-TYPE table — vocabulary-sized,
+    * not corpus-sized. */
+  def q111PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+    val m = greatest(size($"toks") - 1, lit(0))
+    val bg = docs.select(explode(
+        zip_with(slice($"toks", lit(1), m), slice($"toks", lit(2), m),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val totals = c1.agg(sum($"c1").as("n1"))
+      .crossJoin(c2.agg(sum($"c2").as("n2")))
+    c2.filter($"c2" >= 5)
+      .join(c1.select($"w".as("w1"), $"c1".as("c1a")), "w1")
+      .join(c1.select($"w".as("w2"), $"c1".as("c1b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"c2",
+        floor(lit(1000000.0) * log(($"c2".cast("double") * $"n1" * $"n1") /
+          (($"n2".cast("double") * $"c1a") * $"c1b"))).cast("long").as("pmi_e6"))
+      .orderBy($"pmi_e6".desc, $"w1", $"w2")
+  }
+
+  val q111Sql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |bg AS (SELECT toks[CAST(u.i AS INT)] AS w1, toks[CAST(u.i + 1 AS INT)] AS w2
+       |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT u.t AS w, count(*) AS c1 FROM t, UNNEST(t.toks) AS u(t) GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM c1) AS n1,
+       |               (SELECT CAST(sum(c2) AS BIGINT) FROM c2) AS n2)
+       |SELECT c2.w1, c2.w2, c2.c2,
+       |  CAST(floor(1000000.0 * ln((CAST(c2.c2 AS DOUBLE) * n1 * n1) /
+       |    ((CAST(n2 AS DOUBLE) * a.c1) * b.c1))) AS BIGINT) AS pmi_e6
+       |FROM c2
+       |JOIN c1 a ON c2.w1 = a.w
+       |JOIN c1 b ON c2.w2 = b.w
+       |CROSS JOIN tot
+       |WHERE c2.c2 >= 5
+       |ORDER BY pmi_e6 DESC, c2.w1, c2.w2""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+
+  /** q112_source_overlap — the cross-source lexical-overlap matrix: for
+    * every source pair, how many distinct 3-gram shingle TYPES they share,
+    * plus the shingle-set Jaccard on the e6 grid. The corpus-level view of
+    * what q63 does per eval-benchmark: before fixing mixture weights
+    * (q77) or per-source caps (q106), this matrix is how a pipeline spots
+    * near-mirror source pairs (syndication, scraped mirrors) whose
+    * documents dodge exact-fp dedup (measured here: ZERO cross-source
+    * fp collisions at sf0.01) but still double the effective weight of
+    * their content.
+    *
+    * Scale shape: one distinct-(source, shingle) shuffle (the dominant
+    * term — shingle-type-count rows, map-side deduped), then a
+    * shingle-keyed self-join whose postings are ≤ |sources| long, so pair
+    * work is bounded by |types|·|sources|² with a FIXED source count —
+    * linear in vocabulary. With open-ended source counts (per-domain at
+    * web scale) the same matrix comes from per-source MinHash signatures
+    * (q24's machinery aggregated per source) — the exact form gated here
+    * is the calibration target for that estimate. Jaccard is one double
+    * division under an e6 floor over exact int64 set sizes. */
+  def q112SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"source", explode(
+        TextFunctions.shingles(TextFunctions.tokens($"text"), 3)).as("g"))
+      .distinct()
+    val sz = sh.groupBy($"source").agg(count(lit(1)).as("n_types"))
+    val shared = sh.select($"source".as("source_a"), $"g")
+      .join(sh.select($"source".as("source_b"), $"g"), "g")
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.select($"source".as("source_a"), $"n_types".as("na")), "source_a")
+      .join(sz.select($"source".as("source_b"), $"n_types".as("nb")), "source_b")
+      .select($"source_a", $"source_b", $"n_shared", $"na", $"nb",
+        floor(lit(1000000.0) * $"n_shared".cast("double") /
+          ($"na" + $"nb" - $"n_shared")).cast("long").as("jaccard_e6"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q112Sql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, g.g
+       |  FROM (SELECT source, $Shingles3 AS s
+       |        FROM (SELECT source, $Toks AS toks FROM documents)) t,
+       |       UNNEST(t.s) AS g(g)),
+       |sz AS (SELECT source, count(*) AS n_types FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s.source_a, s.source_b, s.n_shared, za.n_types AS na, zb.n_types AS nb,
+       |  CAST(floor(1000000.0 * CAST(s.n_shared AS DOUBLE) /
+       |    (za.n_types + zb.n_types - s.n_shared)) AS BIGINT) AS jaccard_e6
+       |FROM shared s
+       |JOIN sz za ON s.source_a = za.source
+       |JOIN sz zb ON s.source_b = zb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_source_overlap"   -> (q112SourceOverlap _),
+    "q111_pmi_collocations" -> (q111PmiCollocations _),
+    "q109_containment"      -> (q109Containment _),
+    "q108_char_entropy"     -> (q108CharEntropy _),
     "q106_domain_cap"       -> (q106DomainCap _),
     "q104_sparse_cosine"    -> (q104SparseCosine _),
     "q102_incr_dedup"       -> (q102IncrDedup _),
@@ -2767,6 +3053,10 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q112_source_overlap"   -> q112Sql,
+    "q111_pmi_collocations" -> q111Sql,
+    "q109_containment"      -> q109Sql,
+    "q108_char_entropy"     -> q108Sql,
     "q106_domain_cap"       -> q106Sql,
     "q104_sparse_cosine"    -> q104Sql,
     "q102_incr_dedup"       -> q102Sql,
