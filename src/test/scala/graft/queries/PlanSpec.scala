@@ -540,6 +540,34 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, "unexpected exchange key:\n" + bad.mkString("\n"))
   }
 
+  test("q108: entropy is one narrow HOF pass — zero hash shuffles, zero explodes") {
+    val plan = executed(TextQueries.q108CharEntropy(spark, dir))
+    val p = plan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "alphabet counts and grid terms live in transform/aggregate HOFs " +
+        "over the scan — the (doc,char) explode-and-groupBy shape this " +
+        "replaces would shuffle a row per character class")
+    assert(!p.contains("Generate "), "no explode may appear — the alphabet is a literal array")
+  }
+
+  test("q111: only the O(1) totals row broadcasts; count joins shuffle by token keys") {
+    val plan = executed(TextQueries.q111PmiCollocations(spark, dir))
+    val p = plan.toString
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    // corpus-derived count tables must exchange (q37's rule) — the single
+    // BroadcastNestedLoopJoin/broadcast is the hinted 1-row totals
+    val bad = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("w1") && !l.contains("w2") && !l.contains("w#")).toSeq
+    assert(bad.isEmpty, "unexpected exchange key:\n" + bad.mkString("\n"))
+  }
+
+  test("q112: pair expansion rides the shingle-keyed join — never cartesian") {
+    val plan = executed(TextQueries.q112SourceOverlap(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "source pairs must come from shared-shingle postings, not |S|x|S| all-pairs")
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
