@@ -480,6 +480,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RepetitionStats(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.expressions.TopK].getName, null, "graft_topk",
+        "graft_topk(score, id, k) - bounded-state grouped top-K aggregate: " +
+          "keeps the k largest (score DESC, id ASC) bigint pairs per group " +
+          "with partial merge (<= k-sized states cross the shuffle), " +
+          "returning array<struct<score, id>> sorted in that order.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(score, id, Literal(k: Int, _)) =>
+            graft.functions.expressions.TopK(score, id, k).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"graft_topk(score, id, k): expects 3 args with integer-literal k, " +
+              s"got ${other.mkString("(", ", ", ")")}")
+        }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

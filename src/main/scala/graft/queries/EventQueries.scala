@@ -1008,7 +1008,49 @@ object EventQueries {
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+
+  /** q113_grouped_topk — grouped top-K via the engine's bounded-state
+    * aggregate ([[graft.functions.expressions.TopK]], `graft_topk`): the
+    * top 10 events per type by (grid value DESC, event_id ASC), exploded
+    * with ranks. SEMANTICALLY the q106/q8 window shape — and the oracle
+    * states it as exactly that `row_number()` SQL — but executed as a
+    * TypedImperativeAggregate with partial merge: the map side reduces
+    * every partition to ≤ K pairs per group BEFORE the exchange, so only
+    * K-sized states cross the wire and no global per-group sort ever
+    * runs. This SHIPS the "two-phase top-K" dial q106's scaladoc names:
+    * same contract, O(groups·K) exchanged instead of O(rows) shuffled and
+    * sorted.
+    *
+    * Determinism: scores are e6-grid ints, ties break by id ASC inside
+    * the aggregate, so the result is a function of the input SET —
+    * TopKSpec pins partition-layout invariance and the window≡aggregate
+    * equivalence; the oracle gate hash-pins it cross-engine. */
+  def q113GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        graft.functions.Grid.units2($"value").cast("long").as("v2"), $"event_id")
+      .groupBy($"event_type")
+      .agg(call_function("graft_topk", $"v2", $"event_id", lit(10)).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("event_id"), $"col.score".as("v2"))
+      .orderBy($"event_type", $"rank")
+  }
+
+  val q113Sql: String =
+    """SELECT event_type, rank, event_id, v2 FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, event_id) AS BIGINT) AS rank
+      |  FROM events) t
+      |WHERE rank <= 10
+      |ORDER BY event_type, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_grouped_topk" -> (q113GroupedTopK _),
     "q101_salted_join" -> (q101SaltedJoin _),
     "q97_range_bin_join" -> (q97RangeBinJoin _),
     "q98_equidepth_hist" -> (q98EquidepthHist _),
@@ -1035,6 +1077,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_grouped_topk" -> q113Sql,
     "q101_salted_join" -> q101Sql,
     "q97_range_bin_join" -> q97Sql,
     "q98_equidepth_hist" -> q98Sql,
