@@ -521,7 +521,69 @@ object StreamQueries {
       |WHERE start_ms + 3600000 < m.mx - 7200000
       |ORDER BY start_ms, event_type""".stripMargin
 
+  /** q114_stream_enrich — the STREAM-STATIC join under the driver gate:
+    * events stream through in four micro-batches (q107's
+    * `maxFilesPerTrigger=1` recipe) and each batch left-joins the static
+    * customer dimension read from parquet — the standard streaming
+    * enrichment shape (fact stream × slowly-changing dim). Completes the
+    * gated join family: batch equi/outer (q3/q42), stream-stream interval
+    * (q89), stream-static here.
+    *
+    * The static side re-plans per micro-batch as a broadcast build — the
+    * O(1)-dim broadcast discipline (PlanSpec's rule) applied to
+    * streaming: no state store at all (stateless join), so the gate pins
+    * that N batches × one dim lookup ≡ one batch join. Dims too big to
+    * broadcast at 100 TB flip this to the q69 bucketed co-located join on
+    * the batch side, or key-range state in a stream-stream join —
+    * deployment dials, not semantics.
+    *
+    * Oracle: the plain batch LEFT JOIN — stateless enrichment has no
+    * timing semantics to pin, which is exactly the property being
+    * certified (append emission must be the batch join row set no matter
+    * the batch split). */
+  def q114StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q114")
+
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.select(to_json(struct($"event_id", $"user_id", $"event_type", $"value")).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val dim = broadcast(graft.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal"))
+
+    val src = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.event_id", $"e.user_id", $"e.event_type", $"e.value")
+    withStreamPartitions(s) {
+      src.join(dim, $"user_id" === $"c_custkey", "left")
+        .select($"event_id", $"user_id", $"event_type", $"c_mktsegment", $"value")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read
+      .schema("event_id LONG, user_id LONG, event_type STRING, c_mktsegment STRING, value DOUBLE")
+      .parquet(s"$root/out")
+      .orderBy($"event_id")
+  }
+
+  val q114Sql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, e.value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_stream_enrich" -> (q114StreamEnrich _),
     "q110_stream_window" -> (q110StreamWindow _),
     "q107_stream_dedup" -> (q107StreamDedup _),
     "q103_stream_sessions" -> (q103StreamSessions _),
@@ -533,6 +595,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q114_stream_enrich" -> q114Sql,
     "q110_stream_window" -> q110Sql,
     "q107_stream_dedup" -> q107Sql,
     "q103_stream_sessions" -> q103Sql,
