@@ -3005,7 +3005,57 @@ object TextQueries {
        |JOIN sz zb ON s.source_b = zb.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+
+  /** q115_stratified_weighted — per-stratum weighted sampling without
+    * replacement: 20 docs per `lang`, size-weighted, by composing q90's
+    * hash-derived Efraimidis–Spirakis priorities (reproducible, RNG-free,
+    * certified there) with the bounded-state `graft_topk` aggregate
+    * (certified by q113/TopKSpec). q43 strata + q90 weights in one
+    * operator — the per-language size-weighted subsample a mixture
+    * pipeline draws per epoch.
+    *
+    * Scale shape: THE showcase for the aggregate — the window/TakeOrdered
+    * formulations either sort every row per stratum or only handle one
+    * global top-k (q90's TakeOrdered); here a narrow scan computes
+    * priorities and the aggregate carries ≤ 20 pairs per (partition,
+    * lang) through one exchange. O(strata·k) exchanged, zero sorts of
+    * corpus-sized data, any stratum cardinality. */
+  def q115StratifiedWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hx = substring(md5($"doc_id".cast("string").cast("binary")), 1, 8)
+    val v = conv(hx, 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyE6 = floor(lit(1000000.0) * log(u) / $"n_chars").cast("long")
+    Tables.documents(s, dir)
+      .filter($"n_chars" > 0)
+      .select($"lang", $"doc_id", keyE6.as("key_e6"))
+      .groupBy($"lang")
+      .agg(call_function("graft_topk", $"key_e6", $"doc_id", lit(20)).as("top"))
+      .select($"lang", posexplode($"top"))
+      .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("doc_id"), $"col.score".as("key_e6"))
+      .orderBy($"lang", $"rank")
+  }
+
+  /** q115 oracle: q90's A-ES key text verbatim, ranked per stratum. */
+  val q115Sql: String =
+    """WITH h AS (
+      |  SELECT lang, doc_id, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (
+      |  SELECT lang, doc_id,
+      |    CAST(floor(1000000.0 * ln((CAST(('0x' || hx) AS BIGINT) + 0.5) / 4294967296.0) / n_chars) AS BIGINT) AS key_e6
+      |  FROM h)
+      |SELECT lang, rank, doc_id, key_e6 FROM (
+      |  SELECT lang, doc_id, key_e6,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key_e6 DESC, doc_id) AS BIGINT) AS rank
+      |  FROM k) t
+      |WHERE rank <= 20
+      |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_stratified_weighted" -> (q115StratifiedWeighted _),
     "q112_source_overlap"   -> (q112SourceOverlap _),
     "q111_pmi_collocations" -> (q111PmiCollocations _),
     "q109_containment"      -> (q109Containment _),
@@ -3053,6 +3103,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q115_stratified_weighted" -> q115Sql,
     "q112_source_overlap"   -> q112Sql,
     "q111_pmi_collocations" -> q111Sql,
     "q109_containment"      -> q109Sql,
