@@ -480,6 +480,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RepetitionStats(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_char_counts"),
+      new ExpressionInfo(classOf[graft.functions.expressions.CharCounts].getName, null,
+        "graft_char_counts",
+        "graft_char_counts(text) - one-pass 27-slot histogram of a-z " +
+          "(case-insensitive) and space over ASCII text, as array<bigint>.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.CharCounts(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.expressions.TopK].getName, null, "graft_topk",
         "graft_topk(score, id, k) - bounded-state grouped top-K aggregate: " +

@@ -2745,14 +2745,18 @@ object TextQueries {
     * reject pass — q58 catches repeated TOKENS/grams, this catches
     * degenerate CHARACTER streams that still tokenize innocently.
     *
-    * Formulation: alphabet counts per doc via `transform` over the fixed
-    * 27-char alphabet — cnt(c) = len(t) − len(replace(t, c)) on the
-    * lowercased text — then H·n = n·ln(n) − Σ cnt·ln(cnt) entirely inside
-    * `aggregate` HOFs. ZERO shuffles, zero explodes: the whole query is a
-    * narrow O(chars·|alphabet|) column pass at scan speed (the
-    * explode-and-groupBy-(doc,char) formulation this replaces shuffles a
-    * row per (doc,char) — pointless when the alphabet is a compile-time
-    * constant).
+    * Formulation: per-doc alphabet counts from the native ONE-PASS
+    * [[graft.functions.expressions.CharCounts]] histogram (semantically
+    * `cnt(c) = len(t) − len(replace(t, c))` on the lowercased text — the
+    * composable formulation ExpressionSpec differentials against, and the
+    * one the oracle replays — but reading the bytes once instead of 27
+    * copy-and-scan passes: measured 4.25 s → 0.48 s at sf0.1, ×10 ratio
+    * 2.04× → 1.33×), then
+    * H·n = n·ln(n) − Σ cnt·ln(cnt) entirely inside `aggregate` HOFs.
+    * ZERO shuffles, zero explodes: the whole query is a narrow O(chars)
+    * column pass at scan speed (the explode-and-groupBy-(doc,char)
+    * formulation this replaces shuffles a row per (doc,char) — pointless
+    * when the alphabet is a compile-time constant).
     *
     * Engine-determinism (q68's convention): each ln term is ONE double
     * expression floored onto the e6 grid — per-symbol floor(1e6·c·ln c)
@@ -2764,9 +2768,7 @@ object TextQueries {
     * low-entropy tail at every SF without emptying the corpus. */
   def q108CharEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val alpha = array((('a' to 'z').map(c => lit(c.toString)) :+ lit(" ")): _*)
-    val t = lower($"text")
-    val cnts = transform(alpha, c => length(t) - length(call_function("replace", t, c)))
+    val cnts = call_function("graft_char_counts", $"text")
     val base = Tables.documents(s, dir)
       .select($"doc_id", cnts.as("cs"))
       .select($"doc_id",

@@ -24,6 +24,33 @@ class ExpressionSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("graft_char_counts equals the 27x replace() formulation (incl. case folding, null, empty, non-ASCII)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Some("The quick brown Fox jumps over the LAZY dog"),
+      Some(""),
+      Some("    "),
+      Some("ZzzAaa zzz"),
+      Some("punct!?;.,:-_#42 and d1g1ts"),
+      Some("café naïve 你好"), // non-ASCII counts nothing extra
+      None)
+      .toDF("text")
+    val alpha = array((('a' to 'z').map(c => lit(c.toString)) :+ lit(" ")): _*)
+    val t = lower($"text")
+    val composable = transform(alpha,
+      c => (length(t) - length(call_function("replace", t, c))).cast("long"))
+    val rows = df.select($"text", call_function("graft_char_counts", $"text").as("native"),
+      composable.as("ref")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) {
+        // native is null-intolerant (NULL in, NULL out); the composable
+        // transform over a literal alphabet degrades to [null x 27] instead
+        assert(r.isNullAt(1), "graft_char_counts(NULL) must be NULL")
+      } else assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch: $r")
+    }
+  }
+
   test("graft_dot null propagation") {
     val s = spark
     import s.implicits._
