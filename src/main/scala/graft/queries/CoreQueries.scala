@@ -693,7 +693,86 @@ object CoreQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY rule")
   }
 
+  // ---------------------------------------------------------------- q116
+
+  /** q116_orc_scan — the ORC source/sink path under the oracle gate: the
+    * events table is rewritten as ORC (Spark's built-in columnar
+    * alternative to parquet — the interchange format half the Hive/Trino
+    * world still speaks), read back with a pushed type filter and pruned
+    * columns, and aggregated. The oracle computes the same rollup from
+    * the PARQUET original, so what the hash pins is round-trip FIDELITY:
+    * longs, strings, and the e6-grid values must survive
+    * write→read across the second format bit-for-bit.
+    *
+    * The grid values are written as LONGS (the engine's exact-sum
+    * convention) — so the gate is immune to any format-level double
+    * representation quirks, which is precisely how a 100 TB pipeline
+    * should move sums between formats anyway. PlanSpec pins that the
+    * type filter and column pruning reach the ORC scan the way they do
+    * the parquet one. */
+  def q116OrcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q116")
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        graft.functions.Grid.units2($"value").cast("long").as("v2"))
+      .write.mode("overwrite").orc(s"$root/events_orc")
+    s.read.orc(s"$root/events_orc")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"v2").as("sum_v2"))
+      .select($"user_id", $"n", $"sum_v2",
+        ($"sum_v2".cast("double") / 100.0).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  val q116Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v2,
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+
+  /** q117_csv_roundtrip — the CSV source/sink path under the oracle gate:
+    * documents are written as quoted CSV and read back under an explicit
+    * schema, and the gate hash-pins identity columns plus a content md5
+    * of the round-tripped text against the parquet original. CSV is where
+    * ingest pipelines actually start, and its failure modes are silent
+    * (quote/escape mangling, empty-vs-null collapse, header drift) — a
+    * hash gate is the only honest way to claim the path works.
+    *
+    * This corpus is printable-ASCII without embedded quotes/commas (the
+    * easy case); the writer's quoting of the separator-free text and the
+    * reader's schema projection are what's exercised — the
+    * quote/escape/nullValue edge matrix is spec territory
+    * (empty-string-vs-null is a DOCUMENTED lossy default: Spark reads ""
+    * back as null, so pipelines carrying possibly-empty strings must set
+    * nullValue/emptyValue apart — this corpus has none). */
+  def q117CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q117")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").option("header", "true").csv(s"$root/docs_csv")
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("header", "true").csv(s"$root/docs_csv")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        length($"text").as("len_rt"),
+        md5($"text".cast("binary")).as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val q117Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  length(text) AS len_rt, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_orc_scan" -> (q116OrcScan _),
+    "q117_csv_roundtrip" -> (q117CsvRoundtrip _),
     "q95_contract_check" -> (q95ContractCheck _),
     "q80_table_stats" -> (q80TableStats _),
     "q81_fk_audit" -> (q81FkAudit _),
@@ -719,6 +798,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_orc_scan" -> q116Sql,
+    "q117_csv_roundtrip" -> q117Sql,
     "q95_contract_check" -> q95Sql,
     "q80_table_stats" -> q80Sql,
     "q81_fk_audit" -> q81Sql,

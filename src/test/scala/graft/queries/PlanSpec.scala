@@ -568,6 +568,15 @@ class PlanSpec extends SparkSpec {
       "source pairs must come from shared-shingle postings, not |S|x|S| all-pairs")
   }
 
+  test("q116: filter pushdown and column pruning reach the ORC scan like the parquet one") {
+    val s = leaves(CoreQueries.q116OrcScan(spark, dir))
+    assert(s.toLowerCase.contains("orc"), "the read side must be the ORC source:\n" + s)
+    assert(s.contains("PushedFilters") && s.contains("event_type"),
+      "the type filter must reach the ORC scan:\n" + s)
+    assert(!s.contains("event_id"),
+      "event_id is written but unused — the read schema must prune it:\n" + s)
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
