@@ -399,11 +399,14 @@ object VectorQueries {
     * replays quantization bit-for-bit from the same float64 arithmetic.
     * A constant vector (max = min) quantizes to all-zero codes and
     * dequantizes to the constant — the scale-0 guard. */
-  def q67AnnSq8(s: SparkSession, dir: String): DataFrame = {
+  /** The SQ8-dequantized vector table (vec_id, v, nrm) — q67's
+    * quantization, shared verbatim with q118's coarse stage so the
+    * compression semantics are certified once. */
+  private def sq8Vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
     // per-vector affine params; scale 0 (constant vector) -> codes all 0
-    val quant = base
+    base
       .withColumn("mn", array_min($"v"))
       .withColumn("sc", (array_max($"v") - $"mn") / lit(255.0))
       .withColumn("dq", transform($"v", x =>
@@ -411,6 +414,11 @@ object VectorQueries {
           .otherwise(col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))))
       .select($"vec_id", $"dq".as("v"))
       .select($"vec_id", $"v", norm($"v").as("nrm"))
+  }
+
+  def q67AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = sq8Vectors(s, dir)
     val q = quant.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
@@ -423,16 +431,23 @@ object VectorQueries {
       .orderBy($"q_id", $"rank")
   }
 
+  private def duckDot(a: String, b: String) =
+    s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
+
+  /** DuckDB CTE block `e` (raw double vectors) + `dq` (SQ8-dequantized) —
+    * the oracle twin of [[sq8Vectors]], shared by q67 and q118. */
+  private val Sq8DqSql: String =
+    """e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+      |p AS (SELECT vec_id, v, list_min(v) AS mn,
+      |        (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+      |dq AS (SELECT vec_id,
+      |        [CASE WHEN sc = 0.0 THEN mn
+      |              ELSE mn + round((x - mn) / sc) * sc END for x in v] AS v
+      |       FROM p)""".stripMargin
+
   val q67Sql: String = {
-    def dt(a: String, b: String) =
-      s"list_sum([$a[i]*$b[i] for i in range(1, len($a)+1)])"
-    s"""WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
-       |p AS (SELECT vec_id, v, list_min(v) AS mn,
-       |        (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
-       |dq AS (SELECT vec_id,
-       |        [CASE WHEN sc = 0.0 THEN mn
-       |              ELSE mn + round((x - mn) / sc) * sc END for x in v] AS v
-       |       FROM p),
+    def dt(a: String, b: String) = duckDot(a, b)
+    s"""WITH $Sq8DqSql,
        |prs AS (
        |  SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
        |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_r
@@ -606,7 +621,84 @@ object VectorQueries {
        |ORDER BY vec_a""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q118
+
+  /** q118_ann_rerank — two-stage ANN serving: a cheap SQ8 coarse pass over
+    * the WHOLE corpus shortlists 20 candidates per query, then the exact
+    * cosine re-ranks the shortlist on the original float vectors for the
+    * final top-3. FAISS's standard `refine` pattern — the quantized scan
+    * touches 4× less memory per vector (q67's economics), and the exact
+    * stage repairs the quantization's rank flips at O(queries·shortlist)
+    * cost, which is how production ANN actually ships: compressed recall,
+    * exact precision.
+    *
+    * Both stages reuse certified pieces verbatim: [[sq8Vectors]] (q67's
+    * quantization) for the coarse scores, q25's broadcast-queries shape
+    * and round(·,4)-then-(cos DESC, id) rank convention in both stages —
+    * so the oracle replays coarse shortlist and refinement exactly.
+    *
+    * Scale shape: stage 1 is the q67 scan (k×N over int8-compressed
+    * vectors, no shuffle of the big side); stage 2 is a candidate-keyed
+    * join of 20·k rows back to the vector table — output-sized. The
+    * exported cos_sq8 column makes the coarse/exact gap auditable per
+    * neighbor (the recall dial: shortlist depth vs q67's standalone
+    * ranks). */
+  def q118AnnRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = sq8Vectors(s, dir)
+    val qc = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wc = Window.partitionBy($"q_id").orderBy($"cos_sq8".desc, $"neighbor_id")
+    val cand = quant.join(broadcast(qc), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_sq8"))
+      .withColumn("crank", row_number().over(wc))
+      .filter($"crank" <= 20)
+      .select($"q_id", $"neighbor_id", $"cos_sq8")
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    val qe = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wr = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    cand
+      .join(e.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .join(broadcast(qe), "q_id")
+      .select($"q_id", $"neighbor_id", $"cos_sq8",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r", $"cos_sq8")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q118Sql: String = {
+    def dt(a: String, b: String) = duckDot(a, b)
+    s"""WITH $Sq8DqSql,
+       |coarse AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS neighbor_id,
+       |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_sq8
+       |  FROM dq q JOIN dq n ON q.vec_id < 5 AND n.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, cos_sq8 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sq8 DESC, neighbor_id) AS crank
+       |    FROM coarse) t WHERE crank <= 20),
+       |ref AS (
+       |  SELECT c.q_id, c.neighbor_id, c.cos_sq8,
+       |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_r
+       |  FROM cand c
+       |  JOIN e n ON n.vec_id = c.neighbor_id
+       |  JOIN e q ON q.vec_id = c.q_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r, cos_sq8 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM ref) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_ann_rerank"   -> (q118AnnRerank _),
     "q105_mutual_nn"    -> (q105MutualNn _),
     "q67_ann_sq8"       -> (q67AnnSq8 _),
     "q92_ann_pq"        -> (q92AnnPq _),
@@ -617,6 +709,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q118_ann_rerank"   -> q118Sql,
     "q105_mutual_nn"    -> q105Sql,
     "q67_ann_sq8"       -> q67Sql,
     "q92_ann_pq"        -> q92Sql,
