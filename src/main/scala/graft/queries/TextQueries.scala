@@ -3056,7 +3056,82 @@ object TextQueries {
       |WHERE rank <= 20
       |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+
+  /** q119_survivorship — dedup SURVIVORSHIP policy: within each candidate
+    * near-dup bucket (q27's 16-bit SimHash — different texts can share a
+    * bucket, so the choice is real), keep the HIGHEST-QUALITY member by
+    * the frozen q75 score, not the first-seen/min-id member q23/q47
+    * canonicalize to. This is the decision layer every production dedup
+    * actually needs: "which copy survives" is a policy (best quality,
+    * newest crawl, preferred source), and min-id is only the degenerate
+    * default. Composes two certified pieces verbatim — q27's blocking key
+    * and q75's `qualityScored` — and exports the full audit trail
+    * (per-member rank context: bucket, score, survivor, kept flag).
+    *
+    * Determinism: (score_e6 DESC, doc_id) is an integer total order.
+    * Scale shape: ONE shuffle on the 2-byte simhash key shared by both
+    * windows; survivor choice is output-sized. At 100 TB the bucket key
+    * widens (q24's band keys, q40's clusters) — the policy and this
+    * oracle shape are unchanged. */
+  def q119Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", DedupFunctions.simhash(TextFunctions.tokens($"text")).as("simhash"))
+    val scored = qualityScored(s, dir).select($"doc_id", $"score_e6")
+    val wAll = Window.partitionBy($"simhash")
+    val wRank = Window.partitionBy($"simhash").orderBy($"score_e6".desc, $"doc_id")
+    sh.join(scored, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("survivor_id", first($"doc_id").over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"doc_id", $"simhash", $"score_e6", $"n_members", $"survivor_id",
+        when($"rn" === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** q119 oracle: q27's simhash fragment + q75's scoring text + the
+    * survivorship windows. */
+  val q119Sql: String =
+    s"""WITH b AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+       |h AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+       |      FROM (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM b)),
+       |f AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    $StopRatioSql AS stop_e6,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |    CAST(len(text) AS DOUBLE) AS nc
+       |  FROM b
+       |  WHERE len(toks) >= 1),
+       |z AS (
+       |  SELECT doc_id,
+       |    -3.0 +
+       |    2.0 * (CAST(least(n_tokens, 400) AS DOUBLE) / 400.0) +
+       |    4.0 * (CAST(stop_e6 AS DOUBLE) / 1000000.0) +
+       |    2.0 * (nd / n_tokens) +
+       |    1.0 * (nc / n_tokens / 10.0) AS z
+       |  FROM f),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_e6
+       |  FROM z),
+       |w AS (
+       |  SELECT s.doc_id, h.simhash, s.score_e6,
+       |    count(*) OVER (PARTITION BY h.simhash) AS n_members,
+       |    row_number() OVER (PARTITION BY h.simhash
+       |      ORDER BY s.score_e6 DESC, s.doc_id) AS rn,
+       |    first_value(s.doc_id) OVER (PARTITION BY h.simhash
+       |      ORDER BY s.score_e6 DESC, s.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS survivor_id
+       |  FROM sc s JOIN h USING (doc_id))
+       |SELECT doc_id, simhash, score_e6,
+       |  CAST(n_members AS BIGINT) AS n_members, survivor_id,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_survivorship" -> (q119Survivorship _),
     "q115_stratified_weighted" -> (q115StratifiedWeighted _),
     "q112_source_overlap"   -> (q112SourceOverlap _),
     "q111_pmi_collocations" -> (q111PmiCollocations _),
@@ -3105,6 +3180,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q119_survivorship" -> q119Sql,
     "q115_stratified_weighted" -> q115Sql,
     "q112_source_overlap"   -> q112Sql,
     "q111_pmi_collocations" -> q111Sql,
