@@ -207,11 +207,16 @@ object Bench {
         attempts += 1; retried += 1
         System.err.println(f"[bench] rep ${smp.rep} of ${smp.name} tainted " +
           f"(canaries ${smp.lead}%.3f/${smp.trail}%.3f vs med $cMed%.3f), retry $attempts")
-        val lead = canary()
+        val lead = canary(); canaries += lead
         val t = timeOne(smp.name, smp.rep)
-        val trail = canary()
-        if (t >= 0) { smp.lead = lead; smp.t = t; smp.trail = trail }
-        smp.tainted = hot(lead) || hot(trail)
+        val trail = canary(); canaries += trail
+        // only adopt the retry (time AND taint verdict) when it ran; a
+        // FAILED retry must not clear the original taint, else a hot
+        // measurement ships with tainted_reps = 0
+        if (t >= 0) {
+          smp.lead = lead; smp.t = t; smp.trail = trail
+          smp.tainted = hot(lead) || hot(trail)
+        }
       }
     }
     samples.filter(_.t < 0).foreach(s => failedSet += s.name)

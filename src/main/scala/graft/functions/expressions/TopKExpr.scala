@@ -3,6 +3,7 @@ package graft.functions.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -47,6 +48,17 @@ case class TopK(
   require(k > 0, s"graft_topk: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time type contract: both score and id ride the engine's
+  // bigint grid. Without this, a double score fails mid-execution with a
+  // ClassCastException inside the aggregate instead of a clear error.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq("score" -> score, "id" -> id).collect {
+      case (n, e) if e.dataType != LongType => s"$n is ${e.dataType.simpleString}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires BIGINT score and id, got: ${bad.mkString(", ")}")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", LongType), StructField("id", LongType))),

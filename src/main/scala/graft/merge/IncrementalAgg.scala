@@ -49,8 +49,14 @@ final class IncrementalAgg(
       .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
     if (touched.isEmpty) return
 
+    // existence must resolve through the Hadoop FileSystem for tableDir's
+    // scheme: java.io.File is local-only, and on HDFS/S3 (the 100 TB
+    // deployment) it would silently report the stored state absent, making
+    // every update overwrite the view with only the latest batch's partials
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existingOpt =
-      if (new java.io.File(tableDir).exists())
+      if (tableFs.exists(tablePath))
         Some(spark.read.parquet(tableDir)
           .filter(col(partCol).isin(touched.toSeq: _*)))
       else None

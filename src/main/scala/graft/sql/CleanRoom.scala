@@ -45,12 +45,15 @@ object CleanRoom {
     * catalog can outlive a wiped/partially-deleted warehouse directory, in
     * which case trusting the property would skip the load and serve an
     * empty or broken table — so the guard also requires a successful
-    * LIMIT 1 read (cheap: one row-group of one file) before skipping. */
+    * NON-EMPTY LIMIT 1 read (cheap: one row-group of one file) before
+    * skipping: a wiped-but-readable directory (data files deleted, table
+    * dir intact) collects zero rows and must force a reload, since these
+    * benchmark tables are never legitimately empty. */
   private def upToDate(spark: SparkSession, table: String, sig: String): Boolean =
     spark.catalog.tableExists(table) &&
       spark.sql(s"SHOW TBLPROPERTIES $table").collect()
         .exists(r => r.getString(0) == "graft.load_sig" && r.getString(1) == sig) &&
-      (try { spark.table(table).limit(1).collect(); true }
+      (try { spark.table(table).limit(1).collect().nonEmpty }
        catch { case _: Exception => false })
 
   private def stampSig(spark: SparkSession, table: String, sig: String): Unit = {

@@ -66,6 +66,21 @@ class TopKSpec extends SparkSpec {
       Seq((1L, 1, 30L, 2L), (1L, 2, 20L, 3L), (1L, 3, 10L, 1L)))
   }
 
+  test("non-bigint score/id rejected at analysis time, not mid-execution") {
+    import spark.implicits._
+    val df = Seq((1L, 1.5, 1L)).toDF("g", "s", "i")
+    val e = intercept[Exception] {
+      df.groupBy("g")
+        .agg(call_function("graft_topk", col("s"), col("i"), lit(2)))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("bigint") ||
+      e.getMessage.contains("graft_topk"),
+      s"expected an analysis-time type error naming the contract, got: ${e.getMessage}")
+    assert(!e.isInstanceOf[ClassCastException],
+      "type mismatch must fail analysis, not cast inside the aggregate")
+  }
+
   test("plan: partial ObjectHashAggregate below the exchange — k-sized states shuffle") {
     import spark.implicits._
     val df = spark.range(1000)
