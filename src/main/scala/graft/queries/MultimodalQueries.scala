@@ -128,6 +128,47 @@ object MultimodalQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q120_partition_prune — directory-partition pruning end to end: bulk
+    * load events partitioned on a derived `day` column
+    * ([[graft.sql.CleanRoom.loadPartitioned]]), then a 7-day range
+    * aggregate against the partitioned table. The day predicate is a
+    * PARTITION filter — whole directories are eliminated at plan time
+    * (PartitionFilters in the scan, pinned by PlanSpec together with a
+    * files-read < total-files metric check), before a single row group is
+    * opened. This is the #1 scan lever at 100 TB: q29/q60 skip row groups
+    * WITHIN files via min/max stats, bucketing (q69) pre-pays the join
+    * exchange — partition elimination skips the files themselves, so a
+    * day-range query over years of data touches only its days' directories.
+    * The oracle runs the same range aggregate over the raw table: layout
+    * is pure reorganization (q60's recipe). Counts and the grid sum are
+    * partition-order-independent; `day` exports as its ISO string (q94's
+    * DATE convention). */
+  def q120PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the raw read sees ts as NANOS long (nanosAsLong); derive the civil
+    // day exactly as Tables.events' µs conversion + to_date would
+    graft.sql.CleanRoom.loadPartitioned(
+      s, s"$dir/events.parquet", "q120_events_daypart",
+      expr("to_date(timestamp_micros(ts div 1000))"), "day")
+    s.table("q120_events_daypart")
+      .filter($"day".between(lit("2024-01-08").cast("date"),
+                             lit("2024-01-14").cast("date")))
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Grid.sum2($"value").as("sum_value"))
+      .select($"day".cast("string").as("day"), $"event_type", $"n", $"sum_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  val q120Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  count(*) AS n,
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q84
 
   /** q84_frame_sample — frame sampling under the oracle gate: the REAL
@@ -173,12 +214,14 @@ object MultimodalQueries {
     "q84_frame_sample"  -> (q84FrameSample _),
     "q29_clustered_scan" -> (q29ClusteredScan _),
     "q60_zorder_scan"   -> (q60ZOrderScan _),
-    "q69_bucketed_join" -> (q69BucketedJoin _))
+    "q69_bucketed_join" -> (q69BucketedJoin _),
+    "q120_partition_prune" -> (q120PartitionPrune _))
 
   val oracles: Map[String, String] = Map(
     "q28_media_meta"    -> q28Sql,
     "q84_frame_sample"  -> q84Sql,
     "q29_clustered_scan" -> q29Sql,
     "q60_zorder_scan"   -> q60Sql,
-    "q69_bucketed_join" -> q69Sql)
+    "q69_bucketed_join" -> q69Sql,
+    "q120_partition_prune" -> q120Sql)
 }

@@ -307,6 +307,31 @@ class PlanSpec extends SparkSpec {
       "both range predicates must reach parquet so min/max stats can prune")
   }
 
+  test("q120: day range is a plan-time PartitionFilter — 7 of 30 directories read") {
+    // AQE hides the scan inside leaf QueryStageExec nodes; pruning is a
+    // static plan property, so pin it on the non-adaptive plan
+    val adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = MultimodalQueries.q120PartitionPrune(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    val scan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.map(_.toString).mkString.contains("day"),
+      "day predicate must prune at plan time (PartitionFilters), " +
+        "not run as a per-row data filter:\n" + scan)
+    // the scan's file index is ALREADY pruned (PruneFileSourcePartitions
+    // rewrote the relation), so compare against the catalog's full listing
+    val totalParts = spark.sql("SHOW PARTITIONS q120_events_daypart").count()
+    assert(totalParts == 30, s"the corpus spans 30 days, got $totalParts")
+    assert(scan.selectedPartitions.partitionCount == 7,
+      s"the 7-day range must touch exactly its 7 day-directories (of " +
+        s"$totalParts), got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
     // at-scale shape: auto-broadcast off, so the only broadcasts left are
     // the two explicit hints on the query side (bands + rescore vectors)
