@@ -402,18 +402,27 @@ object VectorQueries {
   /** The SQ8-dequantized vector table (vec_id, v, nrm) — q67's
     * quantization, shared verbatim with q118's coarse stage so the
     * compression semantics are certified once. */
-  private def sq8Vectors(s: SparkSession, dir: String): DataFrame = {
+  private def sq8Vectors(s: SparkSession, dir: String): DataFrame =
+    sq8VectorsCelled(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+
+  /** [[sq8Vectors]] + the frozen-quantizer cell of the ORIGINAL float
+    * vector (index-build order: assign first, compress second — q121's
+    * IVF+SQ8 composition needs the cell an index builder would have
+    * stored alongside the codes, not one derived from lossy codes). */
+  private def sq8VectorsCelled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val model = graft.vector.IvfFrozen.model
     val base = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
     // per-vector affine params; scale 0 (constant vector) -> codes all 0
     base
+      .withColumn("cell", graft.vector.Ivf.cellOf($"v", model))
       .withColumn("mn", array_min($"v"))
       .withColumn("sc", (array_max($"v") - $"mn") / lit(255.0))
       .withColumn("dq", transform($"v", x =>
         when(col("sc") === 0.0, col("mn"))
           .otherwise(col("mn") + round((x - col("mn")) / col("sc")) * col("sc"))))
-      .select($"vec_id", $"dq".as("v"))
-      .select($"vec_id", $"v", norm($"v").as("nrm"))
+      .select($"vec_id", $"cell", $"dq".as("v"))
+      .select($"vec_id", $"cell", $"v", norm($"v").as("nrm"))
   }
 
   def q67AnnSq8(s: SparkSession, dir: String): DataFrame = {
@@ -630,7 +639,9 @@ object VectorQueries {
     * touches 4× less memory per vector (q67's economics), and the exact
     * stage repairs the quantization's rank flips at O(queries·shortlist)
     * cost, which is how production ANN actually ships: compressed recall,
-    * exact precision.
+    * exact precision. The coarse stage here deliberately scans the WHOLE
+    * compressed corpus (the FAISS flat-refine pattern); q121 is the
+    * IVF-probed composition that restricts it to probed cells.
     *
     * Both stages reuse certified pieces verbatim: [[sq8Vectors]] (q67's
     * quantization) for the coarse scores, q25's broadcast-queries shape
@@ -697,7 +708,130 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+
+  /** q121_ann_ivf_rerank — the PRODUCTION ANN serving path, composed from
+    * three separately-certified stages: (1) the frozen-quantizer IVF probe
+    * (q30's machinery, nprobe=16 — the measured high-recall setting from
+    * the SCALE.md dial, recall@10 ≈ 0.74 scale-stable), (2) SQ8 asymmetric
+    * ADC scoring (q67's quantization; exact query against the dequantized
+    * codes — FAISS's ADC convention) over ONLY the probed cells'
+    * vectors, shortlisting 20 candidates per query, and (3) q118's exact
+    * refine of the shortlist on the original floats for the final top-3.
+    *
+    * This is the composition q118 deliberately omits: its coarse stage
+    * scans the WHOLE compressed corpus per query (O(N·queries)); here the
+    * coarse scan touches ~nprobe/k of the corpus (16/45 at the frozen
+    * sizing; at 100 TB with k ≈ √N the probed fraction vanishes), and the
+    * refine cost is O(queries·shortlist) regardless of N. Cells are
+    * assigned from the ORIGINAL vectors at "index build" (the stored-
+    * alongside-the-codes convention, [[sq8VectorsCelled]]), so
+    * quantization error can never move a vector between cells.
+    *
+    * Scale shape: the corpus scan joins a BROADCAST (query, cell) probe
+    * set — big side read once, only matching cells scored, no shuffle of
+    * the corpus; both window top-Ks are per-query (tiny). PlanSpec pins
+    * the probe join's broadcast side and no-cartesian. Recall vs exact
+    * (q25) is recorded by IvfRerankSpec on the same queries; every
+    * similarity rides the shared round(·,4)-then-(cos DESC, id) grid so
+    * the oracle replays all three stages from the frozen literals. */
+  def q121AnnIvfRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = graft.vector.IvfFrozen.model
+    val nprobe = 16
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", dvec($"embedding").as("v"))
+      .select($"vec_id", $"v", norm($"v").as("nrm"))
+    // stage 1: probe — each query ranks the k centroids, keeps nprobe
+    // cells (q30's q·q − 2q·c + c·c expansion; both sides tiny)
+    val centroidsDf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "c")
+    val byDist = Window.partitionBy($"q_id").orderBy($"sqdist", $"cell")
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("sqdist",
+        dot($"qv", $"qv") - lit(2.0) * dot($"qv", $"c") + dot($"c", $"c"))
+      .withColumn("r", row_number().over(byDist))
+      .filter($"r" <= nprobe)
+      .select($"q_id", $"qv", $"qnrm", $"cell")
+    // stage 2: SQ8 ADC over probed cells only — the corpus never shuffles,
+    // the probe set broadcasts, non-probed cells are never read past the
+    // join
+    val quant = sq8VectorsCelled(s, dir)
+    val wc = Window.partitionBy($"q_id").orderBy($"cos_sq8".desc, $"neighbor_id")
+    val cand = quant.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_sq8"))
+      .withColumn("crank", row_number().over(wc))
+      .filter($"crank" <= 20)
+      .select($"q_id", $"neighbor_id", $"cos_sq8")
+    // stage 3: exact refine of the 20-deep shortlist on the original floats
+    val qex = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wr = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    cand
+      .join(e.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .join(broadcast(qex), "q_id")
+      .select($"q_id", $"neighbor_id", $"cos_sq8",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cos_r", $"cos_sq8")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q121 oracle: all three stages replayed from the identical frozen
+    * constants — q30's assignment/probe CTEs + [[Sq8DqSql]]'s dequant +
+    * q118's refine convention. */
+  val q121Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    def dt(a: String, b: String) = duckDot(a, b)
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |$Sq8DqSql,
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cents.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("e.v", "cents.c")}, cents.cell) AS rn
+       |    FROM e CROSS JOIN cents) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, cents.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY (${dt("q.v", "q.v")} - 2.0*${dt("q.v", "cents.c")}) + ${dt("cents.c", "cents.c")},
+       |                                  cents.cell) AS rn
+       |    FROM e q CROSS JOIN cents WHERE q.vec_id < 5) t WHERE rn <= 16),
+       |coarse AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    round(${dt("q.v", "d.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("d.v", "d.v")})), 4) AS cos_sq8
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN dq d ON d.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id),
+       |cand AS (
+       |  SELECT q_id, neighbor_id, cos_sq8 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sq8 DESC, neighbor_id) AS crank
+       |    FROM coarse) t WHERE crank <= 20),
+       |ref AS (
+       |  SELECT c.q_id, c.neighbor_id, c.cos_sq8,
+       |    round(${dt("q.v", "n.v")} / (sqrt(${dt("q.v", "q.v")}) * sqrt(${dt("n.v", "n.v")})), 4) AS cos_r
+       |  FROM cand c
+       |  JOIN e n ON n.vec_id = c.neighbor_id
+       |  JOIN e q ON q.vec_id = c.q_id)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_r, cos_sq8 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM ref) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_ann_ivf_rerank" -> (q121AnnIvfRerank _),
     "q118_ann_rerank"   -> (q118AnnRerank _),
     "q105_mutual_nn"    -> (q105MutualNn _),
     "q67_ann_sq8"       -> (q67AnnSq8 _),
@@ -709,6 +843,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q121_ann_ivf_rerank" -> q121Sql,
     "q118_ann_rerank"   -> q118Sql,
     "q105_mutual_nn"    -> q105Sql,
     "q67_ann_sq8"       -> q67Sql,

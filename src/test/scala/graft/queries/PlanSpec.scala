@@ -332,6 +332,24 @@ class PlanSpec extends SparkSpec {
         s"$totalParts), got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("q121: corpus joins only broadcast probe/query sides; never all-pairs") {
+    // at-scale shape: auto-broadcast off leaves exactly the three pinned
+    // broadcasts — centroid table (probe stage), (query, cell) probe set
+    // (the cell restriction on the corpus scan), and the refine's query
+    // vectors. The corpus side itself must never broadcast or cartesian.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val initial = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      VectorQueries.q121AnnIvfRerank(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(initial.linesIterator.count(_.contains("BroadcastExchange")) == 3,
+      "exactly three pinned broadcasts: centroids, probes, refine queries\n" + initial)
+    val plan = executed(VectorQueries.q121AnnIvfRerank(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "composed ANN must probe cells, never scan all pairs per query")
+  }
+
   test("q54: only the O(k) query side broadcasts; signature dots stay below the join") {
     // at-scale shape: auto-broadcast off, so the only broadcasts left are
     // the two explicit hints on the query side (bands + rescore vectors)
