@@ -1481,8 +1481,23 @@ object TextQueries {
     * arithmetic; the exported ratio uses integer DIV — no float rounding
     * anywhere, so the oracle replays bit-for-bit. Two empty documents are
     * excluded (max_len 0): byte-identical texts are q23 exact-dedup's
-    * business, not fuzzy matching's. */
+    * business, not fuzzy matching's.
+    *
+    * THE DEFAULT IS THE SCALE-SAFE SETTING: cap=256, certified lossless
+    * on this corpus (recall = precision = 1.00, Q70PrefixCapSpec) — the
+    * uncapped O(len²) verify stays available and gated as
+    * [[q70Uncapped]]/`q70_uncapped`, but a caller who just runs the
+    * operator gets the plan that survives 100×, not the one that is
+    * 15× superlinear at ×10. */
   def q70FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    q70FuzzyMatchWith(s, dir, verifyPrefixChars = Some(256))
+
+  /** q70's UNCAPPED verify under its own gate entry (`q70_uncapped`):
+    * full-text Levenshtein, O(len²) per candidate pair — the exact
+    * semantics when no length cap is acceptable (forensic dedup, short
+    * corpora). Deliberately NOT the default: its ×10 wall ratio tracks
+    * pair count × text-length² by construction. */
+  def q70Uncapped(s: SparkSession, dir: String): DataFrame =
     q70FuzzyMatchWith(s, dir, verifyPrefixChars = None)
 
   /** q70 with the verified-length dial exposed. `verifyPrefixChars = None`
@@ -1540,7 +1555,27 @@ object TextQueries {
       .select($"doc_a", $"doc_b", $"simhash", $"text_a", $"text_b", $"max_len")
   }
 
-  val q70Sql: String =
+  /** The capped-verify oracle at a given prefix cap — q70's default (256)
+    * and q100's dial setting (128) share it. */
+  private def fuzzyCappedSql(cap: Int): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text, CAST($simhashBitsSql AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, text, list_transform($Toks, t -> md5(t)) AS hs
+       |        FROM documents)),
+       |prs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash,
+       |    CAST(levenshtein(substr(a.text, 1, $cap), substr(b.text, 1, $cap)) AS BIGINT) AS lev,
+       |    CAST(least(greatest(len(a.text), len(b.text)), $cap) AS BIGINT) AS eff_len,
+       |    CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, simhash, lev, lev * 1000000 // eff_len AS rel_e6
+       |FROM prs
+       |WHERE max_len > 0 AND lev * 1000000 <= eff_len * 200000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val q70Sql: String = fuzzyCappedSql(256)
+
+  val q70UncappedSql: String =
     s"""WITH s AS (
        |  SELECT doc_id, text, CAST($simhashBitsSql AS BIGINT) AS sh
        |  FROM (SELECT doc_id, text, list_transform($Toks, t -> md5(t)) AS hs
@@ -2478,34 +2513,18 @@ object TextQueries {
   // ---------------------------------------------------------------- q100
 
   /** q100_fuzzy_capped — q70's `verifyPrefixChars` dial UNDER THE GATE at
-    * its documented production setting (256 chars): the capped Levenshtein
-    * verify whose per-pair cost is O(cap²) instead of O(len²) — the cut
-    * that turns q70's by-construction superlinear ×10 ratio into a
-    * data-proportional one (measured in SCALE.md; Q70PrefixCapSpec
-    * measures the recall cost of the cap — 1.00 at every tested setting
-    * on this corpus). The uncapped default stays gated as q70 — this row
-    * certifies that the DIAL's semantics (prefix truncation on both
+    * a SECOND setting (128 chars; 256 is q70's default since round 9):
+    * certifies the dial's PARAMETRICITY — prefix truncation on both
     * sides, `eff_len = least(max_len, cap)` in the gate and the exported
-    * ratio) replay exactly in SQL, so turning the dial at 100 TB cannot
-    * silently change what the operator computes. */
+    * ratio — replays exactly in SQL at an arbitrary setting, so turning
+    * the dial at 100 TB cannot silently change what the operator
+    * computes. Q70PrefixCapSpec measures the recall cost per setting
+    * (1.00 at 128 on this corpus); the uncapped semantics stay gated as
+    * `q70_uncapped`. */
   def q100FuzzyCapped(s: SparkSession, dir: String): DataFrame =
-    q70FuzzyMatchWith(s, dir, verifyPrefixChars = Some(256))
+    q70FuzzyMatchWith(s, dir, verifyPrefixChars = Some(128))
 
-  val q100Sql: String =
-    s"""WITH s AS (
-       |  SELECT doc_id, text, CAST($simhashBitsSql AS BIGINT) AS sh
-       |  FROM (SELECT doc_id, text, list_transform($Toks, t -> md5(t)) AS hs
-       |        FROM documents)),
-       |prs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS simhash,
-       |    CAST(levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS BIGINT) AS lev,
-       |    CAST(least(greatest(len(a.text), len(b.text)), 256) AS BIGINT) AS eff_len,
-       |    CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len
-       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, simhash, lev, lev * 1000000 // eff_len AS rel_e6
-       |FROM prs
-       |WHERE max_len > 0 AND lev * 1000000 <= eff_len * 200000
-       |ORDER BY doc_a, doc_b""".stripMargin
+  val q100Sql: String = fuzzyCappedSql(128)
 
   // ---------------------------------------------------------------- q102
 
@@ -3155,6 +3174,7 @@ object TextQueries {
     "q73_bm25"              -> (q73Bm25 _),
     "q71_token_histogram"   -> (q71TokenHistogram _),
     "q70_fuzzy_match"       -> (q70FuzzyMatch _),
+    "q70_uncapped"          -> (q70Uncapped _),
     "q68_bigram_ppl"        -> (q68BigramPpl _),
     "q66_dsir_weights"      -> (q66DsirWeights _),
     "q65_cdc_chunk"         -> (q65CdcChunk _),
@@ -3204,6 +3224,7 @@ object TextQueries {
     "q73_bm25"              -> q73Sql,
     "q71_token_histogram"   -> q71Sql,
     "q70_fuzzy_match"       -> q70Sql,
+    "q70_uncapped"          -> q70UncappedSql,
     "q68_bigram_ppl"        -> q68Sql,
     "q66_dsir_weights"      -> q66Sql,
     "q65_cdc_chunk"         -> q65Sql,

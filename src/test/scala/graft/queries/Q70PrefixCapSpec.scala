@@ -49,9 +49,13 @@ class Q70PrefixCapSpec extends SparkSpec {
       "recall ordering collapsed entirely")
   }
 
-  test("uncapped dial is byte-identical to the gated q70") {
-    val viaDial = TextQueries.q70FuzzyMatchWith(spark, dir, None).collect().toSeq
+  test("gated defaults: q70 = dial at 256, q70_uncapped = dial at None") {
+    val viaDial256 = TextQueries.q70FuzzyMatchWith(spark, dir, Some(256)).collect().toSeq
     val gated = TextQueries.q70FuzzyMatch(spark, dir).collect().toSeq
-    assert(viaDial == gated)
+    assert(viaDial256 == gated,
+      "the default gate must BE the certified cap=256 setting")
+    val viaDialNone = TextQueries.q70FuzzyMatchWith(spark, dir, None).collect().toSeq
+    val uncapped = TextQueries.q70Uncapped(spark, dir).collect().toSeq
+    assert(viaDialNone == uncapped)
   }
 }
