@@ -57,6 +57,13 @@ object DedupFunctions {
     * [[graft.functions.expressions.SimHash16]] expression. */
   def simhash(toks: Column): Column = call_function("graft_simhash", toks)
 
+  /** Width-parametric SimHash ([[graft.functions.expressions.SimHashWide]],
+    * bits ≤ 32): the blocking-cardinality dial — bucket population is
+    * N/2^bits in expectation, so the width a deployment runs grows with
+    * log N. The 16-bit [[simhash]] is the top 16 bits of the same vote. */
+  def simhashWide(toks: Column, bits: Int): Column =
+    call_function("graft_simhash", toks, lit(bits))
+
   /** Per-token md5 hex hashes — materialize this as its own column before
     * calling [[simhashOfHashes]], which references it 16 times (multi-use
     * aliases survive CollapseProject, so the md5 pass runs once per row). */

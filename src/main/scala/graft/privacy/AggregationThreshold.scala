@@ -440,7 +440,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash16(args(0))))
+        args match {
+          case Seq(toks) => SimHash16(toks)
+          case Seq(toks, Literal(b: Int, _)) =>
+            graft.functions.expressions.SimHashWide(toks, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash(toks[, bits]): bits must be an integer literal, " +
+              s"got ${other.mkString("(", ", ", ")")}")
+        }))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, null, "graft_intersect_size",

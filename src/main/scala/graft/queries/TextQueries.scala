@@ -278,8 +278,13 @@ object TextQueries {
     * of per-token md5 hex strings — shared by the q27 and q70 oracles so
     * the blocking key cannot drift between them. */
   private def simhashBitsSql: String =
-    (1 to DedupFunctions.SimhashBits).map { j =>
-      val w = 1L << (DedupFunctions.SimhashBits - j)
+    simhashBitsSqlOf(DedupFunctions.SimhashBits)
+
+  /** Width-parametric twin ([[graft.functions.DedupFunctions.simhashWide]]'s
+    * oracle): the same vote over the first `bits` md5 nibbles. */
+  private def simhashBitsSqlOf(bits: Int): String =
+    (1 to bits).map { j =>
+      val w = 1L << (bits - j)
       s"(CASE WHEN 2 * len(list_filter(hs, h -> substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(hs) THEN $w ELSE 0 END)"
     }.mkString(" + ")
 
@@ -3089,14 +3094,20 @@ object TextQueries {
     * (per-member rank context: bucket, score, survivor, kept flag).
     *
     * Determinism: (score_e6 DESC, doc_id) is an integer total order.
-    * Scale shape: ONE shuffle on the 2-byte simhash key shared by both
-    * windows; survivor choice is output-sized. At 100 TB the bucket key
-    * widens (q24's band keys, q40's clusters) — the policy and this
-    * oracle shape are unchanged. */
+    * Scale shape: ONE shuffle on the simhash key shared by both windows;
+    * survivor choice is output-sized. The blocking key is the WIDTH-
+    * PARAMETRIC SimHash at 32 bits ([[graft.functions.DedupFunctions
+    * .simhashWide]]) — per-bucket population is N/2^bits in expectation,
+    * and the width grows with log N (the dial is shipped, not promised),
+    * so the per-bucket window sort never inherits q26's pre-fix
+    * fixed-cardinality shape. Widening only SPLITS 16-bit buckets (the
+    * 16-bit key is the top of the same vote), so the policy semantics
+    * are unchanged — groups just get strictly finer. */
   def q119Survivorship(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
-      .select($"doc_id", DedupFunctions.simhash(TextFunctions.tokens($"text")).as("simhash"))
+      .select($"doc_id",
+        DedupFunctions.simhashWide(TextFunctions.tokens($"text"), 32).as("simhash"))
     val scored = qualityScored(s, dir).select($"doc_id", $"score_e6")
     val wAll = Window.partitionBy($"simhash")
     val wRank = Window.partitionBy($"simhash").orderBy($"score_e6".desc, $"doc_id")
@@ -3114,7 +3125,7 @@ object TextQueries {
     * survivorship windows. */
   val q119Sql: String =
     s"""WITH b AS (SELECT doc_id, text, $Toks AS toks FROM documents),
-       |h AS (SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+       |h AS (SELECT doc_id, CAST(${simhashBitsSqlOf(32)} AS BIGINT) AS simhash
        |      FROM (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM b)),
        |f AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

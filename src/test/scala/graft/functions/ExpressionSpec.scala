@@ -107,6 +107,27 @@ class ExpressionSpec extends SparkSpec {
     assert(empty.getLong(0) === empty.getLong(1))
   }
 
+  test("graft_simhash width dial: 16-bit key is the top 16 bits of the 32-bit key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("alpha"),
+      Seq("x", "x", "y"),
+      (1 to 50).map(i => s"tok$i"))
+      .toDF("toks")
+    val rows = df.select(
+      DedupFunctions.simhash($"toks").as("h16"),
+      DedupFunctions.simhashWide($"toks", 16).as("w16"),
+      DedupFunctions.simhashWide($"toks", 32).as("w32"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "width 16 must equal the fixed-16 expression")
+      assert(r.getLong(0) === (r.getLong(2) >> 16),
+        "widening appends LOW bits — wide buckets refine narrow ones, never re-mix them")
+    }
+  }
+
   test("pairExpand produces ordered pairs") {
     val s = spark
     import s.implicits._
