@@ -2988,9 +2988,9 @@ object TextQueries {
     * work is bounded by |types|·|sources|² with a FIXED source count —
     * linear in vocabulary. With open-ended source counts (per-domain at
     * web scale) the same matrix comes from per-source MinHash signatures
-    * (q24's machinery aggregated per source) — the exact form gated here
-    * is the calibration target for that estimate. Jaccard is one double
-    * division under an e6 floor over exact int64 set sizes. */
+    * (q24's machinery aggregated per source) — SHIPPED as q124, which
+    * uses this exact form as its in-row calibration target. Jaccard is
+    * one double division under an e6 floor over exact int64 set sizes. */
   def q112SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
@@ -3030,6 +3030,135 @@ object TextQueries {
        |JOIN sz za ON s.source_a = za.source
        |JOIN sz zb ON s.source_b = zb.source
        |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+
+  /** q124_source_overlap_minhash — q112's cross-source overlap matrix from
+    * PER-SOURCE MINHASH SIGNATURES instead of the exact postings
+    * self-join: the open-source-cardinality form q112's scaladoc promises.
+    * Each source gets one H=64-lane signature (per lane, the min lane-hash
+    * over the source's distinct shingles — q24's machinery aggregated per
+    * source: a doc-level signature is the same minima over a doc's
+    * shingles, and min is associative, so per-source minima fold from
+    * per-doc minima); Ĵ(a,b) = matching lanes / H. Exported per pair:
+    * the EXACT matrix (q112's columns, zero-overlap pairs included), the
+    * estimate (`n_eq`, `est_e6`), and the `within` verdict — the
+    * estimator's statistical contract as integer arithmetic (q45's
+    * sketch-contract pattern): |Ĵ−J| ≤ 2/H (two lanes of granularity)
+    * plus the 3σ binomial envelope 3·√(J(1−J)/H), squared into
+    * `(diff−2g)²·H ≤ 9·J(1−J)` so no float crosses engines. A broken
+    * signature (seed drift, lane mixup, lost shingles) flips verdicts to
+    * 0 and fails the hash gate.
+    *
+    * Lane hashes are md5-derived (15 hex chars = 60-bit ints, the q90
+    * hex→BIGINT recipe) so the WHOLE estimator — signatures, match
+    * counts, estimates — replays bit-exact in the oracle, unlike the
+    * xxhash64 doc-signatures of q24 (whose oracle certifies output, not
+    * sketch). At 100 TB the lane hash swaps for the codegen'd xxhash64
+    * family (one digest pass per shingle); semantics — min per lane,
+    * match fraction — are what this gate certifies.
+    *
+    * Scale shape: the signature pass is ONE groupBy(source) with 64
+    * map-side-combining min aggregates over the distinct (source,
+    * shingle) set — the exchange carries |sources| rows of fixed width,
+    * NOT the |types|·|sources|² postings self-join q112 pays (which is
+    * gone here: the exact side stays only as the calibration target and
+    * is what the estimator replaces at open source cardinality). The
+    * pair stage is |sources|² over fixed-width signatures. */
+  def q124SourceOverlapMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val H = 64
+    val sh = Tables.documents(s, dir)
+      .select($"source", explode(
+        TextFunctions.shingles(TextFunctions.tokens($"text"), 3)).as("g"))
+      .distinct()
+    // exact calibration target (q112's matrix, plus zero-overlap pairs)
+    val sz = sh.groupBy($"source").agg(count(lit(1)).as("n_types"))
+    val shared = sh.select($"source".as("source_a"), $"g")
+      .join(sh.select($"source".as("source_b"), $"g"), "g")
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    // per-source signature: min of each md5 lane over distinct shingles
+    val laneMins = (0 until H).map { j =>
+      min(conv(substring(md5(concat(lit(s"$j:"), $"g")), 1, 15), 16, 10)
+        .cast("long")).as(s"h$j")
+    }
+    val sig = sh.groupBy($"source").agg(laneMins.head, laneMins.tail: _*)
+    val a = sig.select(($"source".as("source_a") +:
+      (0 until H).map(j => col(s"h$j").as(s"a$j"))): _*)
+    val b = sig.select(($"source".as("source_b") +:
+      (0 until H).map(j => col(s"h$j").as(s"b$j"))): _*)
+    val nEq = (0 until H).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    val pairs = a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select($"source_a", $"source_b", nEq.as("n_eq"))
+    val g = 1000000L / H
+    pairs
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(sz.select($"source".as("source_a"), $"n_types".as("na")), "source_a")
+      .join(sz.select($"source".as("source_b"), $"n_types".as("nb")), "source_b")
+      .select($"source_a", $"source_b", $"n_shared", $"na", $"nb",
+        floor(lit(1000000.0) * $"n_shared".cast("double") /
+          ($"na" + $"nb" - $"n_shared")).cast("long").as("jaccard_e6"),
+        $"n_eq",
+        expr(s"(n_eq * 1000000) DIV $H").as("est_e6"))
+      .withColumn("diff", abs($"est_e6" - $"jaccard_e6"))
+      .select($"source_a", $"source_b", $"n_shared", $"na", $"nb",
+        $"jaccard_e6", $"n_eq", $"est_e6",
+        ($"diff" <= lit(2L * g) ||
+          ($"diff" - lit(2L * g)) * ($"diff" - lit(2L * g)) * lit(H.toLong) <=
+            lit(9L) * $"jaccard_e6" * (lit(1000000L) - $"jaccard_e6"))
+          .cast("long").as("within"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q124Sql: String = {
+    val H = 64
+    val laneSql = (0 until H).map { j =>
+      s"min(CAST(('0x' || substr(md5('$j:' || g), 1, 15)) AS BIGINT)) AS h$j"
+    }.mkString(",\n       |    ")
+    val eqSql = (0 until H).map(j =>
+      s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val g = 1000000L / H
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, g.g
+       |  FROM (SELECT source, $Shingles3 AS s
+       |        FROM (SELECT source, $Toks AS toks FROM documents)) t,
+       |       UNNEST(t.s) AS g(g)),
+       |sz AS (SELECT source, count(*) AS n_types FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT source,
+       |    $laneSql
+       |  FROM sh GROUP BY source),
+       |prs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST($eqSql AS BIGINT) AS n_eq
+       |  FROM sig a JOIN sig b ON a.source < b.source),
+       |m AS (
+       |  SELECT p.source_a, p.source_b,
+       |    COALESCE(s.n_shared, 0) AS n_shared, za.n_types AS na, zb.n_types AS nb,
+       |    CAST(floor(1000000.0 * CAST(COALESCE(s.n_shared, 0) AS DOUBLE) /
+       |      (za.n_types + zb.n_types - COALESCE(s.n_shared, 0))) AS BIGINT) AS jaccard_e6,
+       |    p.n_eq, p.n_eq * 1000000 // $H AS est_e6
+       |  FROM prs p
+       |  LEFT JOIN shared s ON p.source_a = s.source_a AND p.source_b = s.source_b
+       |  JOIN sz za ON p.source_a = za.source
+       |  JOIN sz zb ON p.source_b = zb.source)
+       |SELECT source_a, source_b, n_shared, na, nb, jaccard_e6, n_eq, est_e6,
+       |  CAST(CASE WHEN abs(est_e6 - jaccard_e6) <= ${2 * g}
+       |            OR (abs(est_e6 - jaccard_e6) - ${2 * g})
+       |               * (abs(est_e6 - jaccard_e6) - ${2 * g}) * $H
+       |               <= 9 * jaccard_e6 * (1000000 - jaccard_e6)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS within
+       |FROM m
+       |ORDER BY source_a, source_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q115
 
@@ -3163,6 +3292,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_survivorship" -> (q119Survivorship _),
     "q115_stratified_weighted" -> (q115StratifiedWeighted _),
+    "q124_source_overlap_minhash" -> (q124SourceOverlapMinhash _),
     "q112_source_overlap"   -> (q112SourceOverlap _),
     "q111_pmi_collocations" -> (q111PmiCollocations _),
     "q109_containment"      -> (q109Containment _),
@@ -3213,6 +3343,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q119_survivorship" -> q119Sql,
     "q115_stratified_weighted" -> q115Sql,
+    "q124_source_overlap_minhash" -> q124Sql,
     "q112_source_overlap"   -> q112Sql,
     "q111_pmi_collocations" -> q111Sql,
     "q109_containment"      -> q109Sql,
