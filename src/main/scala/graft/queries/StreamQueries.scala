@@ -35,10 +35,29 @@ object StreamQueries {
 
   def q31StreamE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the swap-aware sink read surface (a no-op manifest check when no
+    // compaction is in flight, a consistent snapshot when one is)
+    graft.streaming.SinkMaintenance
+      .read(s, cdcPipelineSink(s, dir, "q31"))
+      .orderBy($"id")
+  }
+
+  /** The full change-log → CdcIngest → Topic → Subscription pipeline,
+    * returning the append sink's directory — q31's body, shared with
+    * q122's compaction gate. `maxFilesPerBatch` caps the subscription's
+    * micro-batch size (topic-log files per batch) and `ingestMaxFiles`
+    * the ingest's (change-log files per batch); with `changelogParts`
+    * they force genuine multi-batch arrival — the many-small-appends
+    * layout compaction exists for. */
+  private[graft] def cdcPipelineSink(s: SparkSession, dir: String, tag: String,
+      maxFilesPerBatch: Option[Int] = None,
+      changelogParts: Option[Int] = None,
+      ingestMaxFiles: Option[Int] = None): String = {
+    import s.implicits._
 
     // under the per-JVM harness root (shutdown-hook deleted): the sink is
     // read lazily after this function returns, so no in-function cleanup
-    val root = graft.util.HarnessDirs.newDir("q31")
+    val root = graft.util.HarnessDirs.newDir(tag)
     val registry = new SchemaRegistry
 
     // the same envelope synthesis as the cdc_* batch twins, restricted to
@@ -47,13 +66,14 @@ object StreamQueries {
     val row = struct($"event_id".as("id"), $"user_id",
       $"event_type".as("etype"), $"value".as("val"))
     val isDel = $"event_type" === "error"
-    ev.select(to_json(struct(
+    val changelog = ev.select(to_json(struct(
         when(isDel, row).as("before"),
         when(!isDel, row).as("after"),
         struct(lit("debezium_test").as("db"), lit("people").as("table")).as("source"),
         when(isDel, lit("d")).when($"event_type" === "signup", lit("c"))
           .otherwise(lit("u")).as("op"),
         unix_millis($"ts").as("ts_ms"))).as("value"))
+    changelogParts.fold(changelog)(n => changelog.repartition(n))
       .write.mode("overwrite").json(s"$root/changelog")
 
     val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -63,18 +83,18 @@ object StreamQueries {
     val sinkSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "id LONG, user_id LONG, etype STRING, age LONG, __deleted STRING")
 
-    val topic = new Topic(s, "q31-topic", s"$root/topic",
-      registry.register("q31-topic", topicSchema))
+    val topic = new Topic(s, s"$tag-topic", s"$root/topic",
+      registry.register(s"$tag-topic", topicSchema))
     CdcIngest.start(s, s"$root/changelog", rowSchema, "debezium_test", "people",
-      Seq("id"), topic, s"$root/ckpt-ingest").awaitTermination()
+      Seq("id"), topic, s"$root/ckpt-ingest",
+      maxFilesPerBatch = ingestMaxFiles).awaitTermination()
 
-    new Subscription("q31-sub", topic, s"$root/ckpt-sub")
-      .deliverTo(s"$root/sink", topicSchema, () => sinkSchema, s"$root/dlq")
+    new Subscription(s"$tag-sub", topic, s"$root/ckpt-sub")
+      .deliverTo(s"$root/sink", topicSchema, () => sinkSchema, s"$root/dlq",
+        maxFilesPerBatch = maxFilesPerBatch)
       .awaitTermination()
 
-    // the swap-aware sink read surface (a no-op manifest check when no
-    // compaction is in flight, a consistent snapshot when one is)
-    graft.streaming.SinkMaintenance.read(s, s"$root/sink").orderBy($"id")
+    s"$root/sink"
   }
 
   /** End-to-end contract over the streamed subset: unwrap + delete-rewrite
@@ -87,6 +107,28 @@ object StreamQueries {
       |FROM events
       |WHERE event_id % 20 = 0
       |ORDER BY id""".stripMargin
+
+  /** q122_sink_compact — small-file COMPACTION under the oracle gate: the
+    * q31 pipeline delivered with genuine multi-batch arrival (8-file
+    * change-log, 2 files per ingest batch, ONE topic file per delivery
+    * batch — the streaming-cadence worst case that produces the classic
+    * small-files layout), then
+    * [[graft.streaming.SinkMaintenance.compact]] rewrites the sink to
+    * target-size files behind its crash-safe manifest swap. The oracle is
+    * q31's end-to-end contract UNCHANGED — compaction is pure layout
+    * reorganization, and the hash gate proves it row-for-row. The
+    * file-count drop itself (≥ 4 micro-batch file sets → 1 file) is
+    * pinned by SinkMaintenanceSpec's gate-shape test; crash recovery and
+    * mid-swap readers were already spec-covered. */
+  def q122SinkCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sink = cdcPipelineSink(s, dir, "q122", maxFilesPerBatch = Some(1),
+      changelogParts = Some(8), ingestMaxFiles = Some(2))
+    graft.streaming.SinkMaintenance.compact(s, sink)
+    graft.streaming.SinkMaintenance.read(s, sink).orderBy($"id")
+  }
+
+  val q122Sql: String = q31Sql
 
   /** q34_merge_upsert — the [[graft.merge.MergeSink]] latest-wins upsert
     * under the oracle gate: events applied in TWO batches (split by id
@@ -588,6 +630,7 @@ object StreamQueries {
     "q107_stream_dedup" -> (q107StreamDedup _),
     "q103_stream_sessions" -> (q103StreamSessions _),
     "q31_stream_e2e"  -> (q31StreamE2e _),
+    "q122_sink_compact" -> (q122SinkCompact _),
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
@@ -600,6 +643,7 @@ object StreamQueries {
     "q107_stream_dedup" -> q107Sql,
     "q103_stream_sessions" -> q103Sql,
     "q31_stream_e2e"  -> q31Sql,
+    "q122_sink_compact" -> q122Sql,
     "q34_merge_upsert" -> q34Sql,
     // the stateful streams must converge to their batch twins — same
     // contract, same SQL (see the q85/q86 scaladocs)

@@ -68,12 +68,17 @@ object CdcIngest {
             topic: Topic,
             checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            deleteRewrite: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream
+            deleteRewrite: Boolean = true,
+            // backpressure knob (the Subscription's twin): caps change-log
+            // files per micro-batch, bounding executor memory per ingest
+            // attempt — and giving AvailableNow real multi-batch drains
+            maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
       .schema(StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
-      .json(changeLogDir)
+    maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.json(changeLogDir)
     topic.publishStream(
       transform(raw, rowSchema, includeDb, includeTable, keyCols, deleteRewrite),
       checkpointDir)

@@ -127,4 +127,23 @@ class SinkMaintenanceSpec extends SparkSpec {
       assert(spark.read.parquet(dir).inputFiles.length === 2)
     }
   }
+
+  test("q122 gate shape: the real subscription sink compacts from >=4 micro-batch file sets") {
+    // the exact flow the q122 oracle entry runs, with the compaction's
+    // file accounting asserted (file counts aren't SQL-expressible, so
+    // the hash gate pins rows and THIS pins the layout claim)
+    val sink = graft.queries.StreamQueries.cdcPipelineSink(
+      spark, "/root/testdata/sf0.001", "q122spec", maxFilesPerBatch = Some(1),
+      changelogParts = Some(8), ingestMaxFiles = Some(2))
+    val before = new java.io.File(sink).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(before >= 4,
+      s"one-topic-file-per-batch delivery must append >=4 file sets, got $before")
+    val rows = spark.read.parquet(sink).count()
+    val stats = SinkMaintenance.compact(spark, sink)
+    assert(stats.filesBefore === before && stats.filesAfter < before,
+      s"compaction must strictly drop file count: $stats")
+    assert(stats.rows === rows && SinkMaintenance.read(spark, sink).count() === rows,
+      "compaction is pure layout - row count unchanged")
+  }
 }
