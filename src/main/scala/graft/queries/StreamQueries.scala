@@ -63,16 +63,7 @@ object StreamQueries {
     // the same envelope synthesis as the cdc_* batch twins, restricted to
     // the 1-in-20 subset
     val ev = graft.Tables.events(s, dir).filter($"event_id" % 20 === 0)
-    val row = struct($"event_id".as("id"), $"user_id",
-      $"event_type".as("etype"), $"value".as("val"))
-    val isDel = $"event_type" === "error"
-    val changelog = ev.select(to_json(struct(
-        when(isDel, row).as("before"),
-        when(!isDel, row).as("after"),
-        struct(lit("debezium_test").as("db"), lit("people").as("table")).as("source"),
-        when(isDel, lit("d")).when($"event_type" === "signup", lit("c"))
-          .otherwise(lit("u")).as("op"),
-        unix_millis($"ts").as("ts_ms"))).as("value"))
+    val changelog = cdcEnvelopes(s, ev)
     changelogParts.fold(changelog)(n => changelog.repartition(n))
       .write.mode("overwrite").json(s"$root/changelog")
 
@@ -95,6 +86,22 @@ object StreamQueries {
       .awaitTermination()
 
     s"$root/sink"
+  }
+
+  /** Debezium-style change envelopes for an events subset — the synthesis
+    * shared by q31/q122's pipeline and q123's wave writes. */
+  private def cdcEnvelopes(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    val row = struct($"event_id".as("id"), $"user_id",
+      $"event_type".as("etype"), $"value".as("val"))
+    val isDel = $"event_type" === "error"
+    ev.select(to_json(struct(
+      when(isDel, row).as("before"),
+      when(!isDel, row).as("after"),
+      struct(lit("debezium_test").as("db"), lit("people").as("table")).as("source"),
+      when(isDel, lit("d")).when($"event_type" === "signup", lit("c"))
+        .otherwise(lit("u")).as("op"),
+      unix_millis($"ts").as("ts_ms"))).as("value"))
   }
 
   /** End-to-end contract over the streamed subset: unwrap + delete-rewrite
@@ -129,6 +136,81 @@ object StreamQueries {
   }
 
   val q122Sql: String = q31Sql
+
+  /** q123_dlq_replay — the retry → dead-letter → replay endgame under the
+    * oracle gate (the G6 golden's batch twin, hash-checked): wave 1 of
+    * the events subset delivers under a healthy sink schema; then the
+    * sink schema LOSES a topic column (`etype` — the G6-negative conform
+    * failure, rule 3), so wave 2 exhausts its delivery attempts with
+    * backoff and dead-letters in full while the query survives; the
+    * schema is repaired and [[Subscription.replayDeadLetters]] drains the
+    * DLQ through one more delivery pass. The final sink must equal q31's
+    * plain end-to-end contract — the failure path is INVISIBLE in the
+    * result (at-least-once delivery + replay = nothing lost, nothing
+    * duplicated), which is exactly what the hash gate proves. Attempt
+    * counts, backoff cadence, DLQ payloads and idempotent re-replay stay
+    * pinned by GoldenPipelineSpec G6.
+    *
+    * Scale shape: the DLQ is wave-sized, not corpus-sized; replay is one
+    * bounded batch through the normal delivery path. Checkpoints carry
+    * across the two delivery runs (same subscription identity), so wave 2
+    * is an incremental drain, not a reprocess. */
+  def q123DlqReplay(s: SparkSession, dir: String): DataFrame =
+    q123DlqReplayCounted(s, dir)._1
+
+  /** q123 with the replayed-message count exposed — DlqReplaySpec asserts
+    * it equals the full wave-2 size, proving the gate's green result
+    * really traveled the retry → DLQ → replay path rather than landing
+    * directly. */
+  private[graft] def q123DlqReplayCounted(s: SparkSession, dir: String): (DataFrame, Long) = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q123")
+    val registry = new SchemaRegistry
+
+    val ev = graft.Tables.events(s, dir).filter($"event_id" % 20 === 0)
+    val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, user_id LONG, etype STRING, val DOUBLE")
+    val topicSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, user_id LONG, etype STRING, __deleted STRING")
+    val sinkOk = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, user_id LONG, etype STRING, age LONG, __deleted STRING")
+    // the G6-negative shape: the sink no longer carries a topic column
+    val sinkBroken = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, user_id LONG, age LONG, __deleted STRING")
+    var sinkSchema = sinkOk
+
+    val topic = new Topic(s, "q123-topic", s"$root/topic",
+      registry.register("q123-topic", topicSchema))
+    val sub = new Subscription("q123-sub", topic, s"$root/ckpt-sub")
+    def ingest(): Unit =
+      CdcIngest.start(s, s"$root/changelog", rowSchema, "debezium_test",
+        "people", Seq("id"), topic, s"$root/ckpt-ingest").awaitTermination()
+    def deliver(): Unit =
+      sub.deliverTo(s"$root/sink", topicSchema, () => sinkSchema,
+        s"$root/dlq", sleep = _ => ()).awaitTermination()
+
+    // wave 1 (healthy): half the subset lands normally
+    cdcEnvelopes(s, ev.filter($"event_id" % 40 === 0))
+      .write.mode("overwrite").json(s"$root/changelog")
+    ingest(); deliver()
+
+    // wave 2 (broken sink): every message retries with backoff, then
+    // dead-letters; the delivery query itself survives
+    sinkSchema = sinkBroken
+    cdcEnvelopes(s, ev.filter($"event_id" % 40 =!= 0))
+      .write.mode("append").json(s"$root/changelog")
+    ingest(); deliver()
+
+    // repair + replay: the DLQ drains through the normal delivery path
+    sinkSchema = sinkOk
+    val replayed = Subscription.replayDeadLetters(s, s"$root/dlq", sub,
+      s"$root/sink", topicSchema, () => sinkSchema, sleep = _ => ())
+
+    (graft.streaming.SinkMaintenance.read(s, s"$root/sink").orderBy($"id"),
+      replayed)
+  }
+
+  val q123Sql: String = q31Sql
 
   /** q34_merge_upsert — the [[graft.merge.MergeSink]] latest-wins upsert
     * under the oracle gate: events applied in TWO batches (split by id
@@ -631,6 +713,7 @@ object StreamQueries {
     "q103_stream_sessions" -> (q103StreamSessions _),
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q122_sink_compact" -> (q122SinkCompact _),
+    "q123_dlq_replay" -> (q123DlqReplay _),
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
@@ -644,6 +727,7 @@ object StreamQueries {
     "q103_stream_sessions" -> q103Sql,
     "q31_stream_e2e"  -> q31Sql,
     "q122_sink_compact" -> q122Sql,
+    "q123_dlq_replay" -> q123Sql,
     "q34_merge_upsert" -> q34Sql,
     // the stateful streams must converge to their batch twins — same
     // contract, same SQL (see the q85/q86 scaladocs)
