@@ -57,7 +57,10 @@ object CleanRoom {
        catch { case _: Exception => false })
 
   private def stampSig(spark: SparkSession, table: String, sig: String): Unit = {
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.load_sig' = '$sig')")
+    // SQL-escape: a sig built from a Column's expression string can carry
+    // single quotes (e.g. date_format's pattern literal)
+    val esc = sig.replace("'", "''")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.load_sig' = '$esc')")
     ()
   }
 
