@@ -29,6 +29,14 @@ object GraftSession {
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     // events.ts is ns-precision parquet; Spark only reads NANOS as long
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts has also shipped as µs-precision WITHOUT the UTC flag, which
+    // Spark 4 would infer as TIMESTAMP_NTZ — a type unix_millis/window/
+    // watermark all reject. Read it as plain TimestampType instead: the
+    // session tz is UTC (above) so the stored micros are interpreted
+    // unchanged, and DuckDB's naive reading of the same file stays
+    // hash-identical. This also covers RAW parquet reads (q120's partition
+    // derivation, spec fixtures) that bypass the Tables.events seam.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),

@@ -25,16 +25,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is NANOS-precision parquet, which Spark's reader only
-    * accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
-    * in [[graft.GraftSession]]). Convert ns→µs with integer division (NOT
-    * float division — int64 ns exceeds double's 2^53 exact range) so `ts` is
-    * a regular TimestampType for every downstream query. */
+  /** `events.ts` has shipped in two encodings across testdata generations
+    * and the loader must normalize BOTH to plain TimestampType:
+    *
+    *  - NANOS-precision parquet, which Spark's reader only accepts as a raw
+    *    long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    *    [[graft.GraftSession]]). Convert ns→µs with integer division (NOT
+    *    float division — int64 ns exceeds double's 2^53 exact range).
+    *  - µs-precision WITHOUT the UTC flag, which Spark 4 infers as
+    *    TIMESTAMP_NTZ (rejected by unix_millis / window / watermark).
+    *    [[GraftSession.tune]] disables that inference session-wide, but a
+    *    caller-supplied session may not have it — cast defensively here.
+    *    Session tz is UTC, so the cast reinterprets the same micros and
+    *    DuckDB's naive reading stays hash-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

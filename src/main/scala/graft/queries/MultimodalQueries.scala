@@ -145,11 +145,17 @@ object MultimodalQueries {
     * DATE convention). */
   def q120PartitionPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the raw read sees ts as NANOS long (nanosAsLong); derive the civil
-    // day exactly as Tables.events' µs conversion + to_date would
+    // the raw read bypasses Tables.events, so the partition derivation must
+    // dispatch on the shipped encoding exactly as that loader does: nanos
+    // land as long (nanosAsLong), µs as timestamp (inferTimestampNTZ off) —
+    // either way the derived civil day matches Tables.events + to_date
+    val tsIsLong = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val dayExpr =
+      if (tsIsLong) expr("to_date(timestamp_micros(ts div 1000))")
+      else expr("to_date(cast(ts as timestamp))")
     graft.sql.CleanRoom.loadPartitioned(
-      s, s"$dir/events.parquet", "q120_events_daypart",
-      expr("to_date(timestamp_micros(ts div 1000))"), "day")
+      s, s"$dir/events.parquet", "q120_events_daypart", dayExpr, "day")
     s.table("q120_events_daypart")
       .filter($"day".between(lit("2024-01-08").cast("date"),
                              lit("2024-01-14").cast("date")))
