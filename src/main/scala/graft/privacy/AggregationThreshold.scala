@@ -512,6 +512,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"got ${other.mkString("(", ", ", ")")}")
         }))
     ext.injectFunction((
+      FunctionIdentifier("graft_avro_encode"),
+      new ExpressionInfo(classOf[graft.functions.expressions.AvroEncode].getName, null,
+        "graft_avro_encode",
+        "graft_avro_encode(struct, schemaJson) - serialize one struct row " +
+          "to a single Avro binary record under the string-literal wire " +
+          "schema (the per-message topic encoding); pass the SAME literal " +
+          "to graft_avro_decode.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(data, Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+            graft.functions.expressions.AvroEncode(data, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_avro_encode(struct, schemaJson): schemaJson must be a " +
+              s"string literal, got ${other.mkString("(", ", ", ")")}")
+        }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avro_decode"),
+      new ExpressionInfo(classOf[graft.functions.expressions.AvroDecode].getName, null,
+        "graft_avro_decode",
+        "graft_avro_decode(bytes, schemaJson) - decode one Avro binary " +
+          "record under the string-literal writer schema back to its " +
+          "struct; malformed bytes throw (FAILFAST).",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(data, Literal(s, org.apache.spark.sql.types.StringType)) if s != null =>
+            graft.functions.expressions.AvroDecode(data, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"graft_avro_decode(bytes, schemaJson): schemaJson must be a " +
+              s"string literal, got ${other.mkString("(", ", ", ")")}")
+        }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

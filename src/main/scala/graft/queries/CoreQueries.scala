@@ -770,7 +770,85 @@ object CoreQueries {
       |  length(text) AS len_rt, md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125_avro_roundtrip — the Avro path under the oracle gate, BOTH ways
+    * the format appears in a pipeline modeled on the reference (its topic
+    * declares an AVRO-typed schema: `google_pubsub_schema … type = "AVRO"`,
+    * `/root/reference/terraform/main.tf:357-364`):
+    *
+    *  1. FILE leg (q116's ORC recipe): events rewritten as Avro container
+    *     files and read back with a pushed type filter and a pruned read
+    *     schema — the lakehouse interchange case.
+    *  2. WIRE leg: every surviving row is serialized to a single Avro
+    *     binary message and deserialized back under the SAME
+    *     converter-derived writer schema
+    *     ([[graft.functions.expressions.AvroEncode]]/[[graft.functions.expressions.AvroDecode]]
+    *     — native codegen'd stand-ins for `to_avro`/`from_avro`, whose
+    *     expression module this build doesn't ship) — the per-message topic
+    *     encoding case, i.e. what a schema-settings publish/subscribe
+    *     round-trip does to each record.
+    *
+    * The final aggregate (count + e6-grid sum + first/last event-time
+    * millis per user) runs on the DOUBLY round-tripped rows while the
+    * oracle computes it from the parquet ORIGINAL, so the hash pins
+    * file-write→file-read→encode→decode fidelity end to end — longs,
+    * strings, and ms-epoch timestamps bit-for-bit. Grid sums travel as
+    * LONGS (the exact-sum convention), immune to any format-level double
+    * representation quirks.
+    *
+    * Scale shape: the wire leg is two codegen-adjacent per-row expressions
+    * (serialize/deserialize, no shuffle, no state); the file leg scans only
+    * the pruned columns of the filtered row groups. PlanSpec pins pushdown
+    * + pruning on the Avro scan exactly as q116 does for ORC. */
+  /** This build ships the Avro format classes inside spark-sql but does NOT
+    * register the `avro` short name in the DataSourceRegister service file —
+    * address the FileFormat by class, which `DataSource.lookupDataSource`
+    * accepts directly. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def q125AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q125")
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"props",
+        graft.functions.Grid.units2($"value").cast("long").as("v2"),
+        unix_millis($"ts").as("ts_ms"))
+      .write.mode("overwrite").format(AvroFormat).save(s"$root/events_avro")
+    val filed = s.read.format(AvroFormat).load(s"$root/events_avro")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_type", $"v2", $"ts_ms")
+    // wire leg: encode/decode under the schema the converter derives from
+    // the record struct itself, so writer and reader schemas agree by
+    // construction (field order + union branches included)
+    val record = struct($"user_id", $"event_type", $"v2", $"ts_ms")
+    val wireSchema = org.apache.spark.sql.avro.SchemaConverters
+      .toAvroType(filed.select(record.as("r")).schema("r").dataType, nullable = false)
+      .toString
+    val decoded = filed
+      .select(call_function("graft_avro_decode",
+        call_function("graft_avro_encode", record, lit(wireSchema)),
+        lit(wireSchema)).as("r"))
+      .select($"r.user_id".as("user_id"), $"r.v2".as("v2"), $"r.ts_ms".as("ts_ms"))
+    decoded.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"v2").as("sum_v2"),
+        min($"ts_ms").as("first_ms"), max($"ts_ms").as("last_ms"))
+      .select($"user_id", $"n", $"sum_v2",
+        ($"sum_v2".cast("double") / 100.0).as("sum_value"),
+        $"first_ms", $"last_ms")
+      .orderBy($"user_id")
+  }
+
+  val q125Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v2,
+      |  (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value,
+      |  min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_avro_roundtrip" -> (q125AvroRoundtrip _),
     "q116_orc_scan" -> (q116OrcScan _),
     "q117_csv_roundtrip" -> (q117CsvRoundtrip _),
     "q95_contract_check" -> (q95ContractCheck _),
@@ -798,6 +876,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_avro_roundtrip" -> q125Sql,
     "q116_orc_scan" -> q116Sql,
     "q117_csv_roundtrip" -> q117Sql,
     "q95_contract_check" -> q95Sql,

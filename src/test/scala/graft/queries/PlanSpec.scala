@@ -620,6 +620,15 @@ class PlanSpec extends SparkSpec {
       "event_id is written but unused — the read schema must prune it:\n" + s)
   }
 
+  test("q125: filter pushdown and column pruning reach the Avro scan like the ORC one") {
+    val s = leaves(CoreQueries.q125AvroRoundtrip(spark, dir))
+    assert(s.toLowerCase.contains("avro"), "the read side must be the Avro source:\n" + s)
+    assert(s.contains("PushedFilters") && s.contains("event_type"),
+      "the type filter must reach the Avro scan:\n" + s)
+    assert(!s.contains("event_id") && !s.contains("props"),
+      "event_id/props are written but unused — the read schema must prune them:\n" + s)
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
