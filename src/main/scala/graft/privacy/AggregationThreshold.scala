@@ -512,6 +512,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"got ${other.mkString("(", ", ", ")")}")
         }))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_lanes"),
+      new ExpressionInfo(classOf[graft.functions.expressions.Md5Lanes].getName, null,
+        "graft_md5_lanes",
+        "graft_md5_lanes(g, H) - all H md5 MinHash lane values of one " +
+          "string in one pass: lane j = first 15 hex digits of " +
+          "md5('<j>:' || g) as a base-16 number (top 60 digest bits).",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        args match {
+          case Seq(g, Literal(h: Int, _)) =>
+            graft.functions.expressions.Md5Lanes(g, h)
+          case other => throw new IllegalArgumentException(
+            s"graft_md5_lanes(g, H): H must be an integer literal, " +
+              s"got ${other.mkString("(", ", ", ")")}")
+        }))
+    ext.injectFunction((
       FunctionIdentifier("graft_avro_encode"),
       new ExpressionInfo(classOf[graft.functions.expressions.AvroEncode].getName, null,
         "graft_avro_encode",

@@ -839,6 +839,48 @@ object CoreQueries {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- q126
+
+  /** q126_jsonl_roundtrip — the JSON-lines path under the oracle gate:
+    * documents written as JSONL (one object per line — the reference
+    * topic's declared MESSAGE encoding, `encoding = "JSON"` at
+    * `/root/reference/terraform/main.tf:370`, and THE interchange format
+    * LLM corpora actually ship as) and read back under an explicit schema,
+    * with identity columns plus a content md5 hash-pinned against the
+    * parquet original (q117's CSV recipe). What JSONL exercises beyond
+    * CSV: full string escaping (quotes/backslashes/control chars survive
+    * by construction rather than by quoting-dialect luck) and field-name
+    * addressing instead of positional columns.
+    *
+    * Explicit schema, never inference: at 100 TB schema inference is a
+    * full extra pass over the data before the real one, and a drifting
+    * inferred type (LONG one day, DOUBLE the next) silently corrupts
+    * downstream arithmetic — the explicit schema is the contract.
+    *
+    * Scale shape: embarrassingly parallel per-file text write/read, no
+    * shuffle before the output sort; JSONL's ~2× size overhead vs
+    * columnar is the documented cost of the interchange (and why the
+    * engine's internal hops stay parquet). */
+  def q126JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q126")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").json(s"$root/docs_jsonl")
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(s"$root/docs_jsonl")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        length($"text").as("len_rt"),
+        md5($"text".cast("binary")).as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val q126Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  length(text) AS len_rt, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val q125Sql: String =
     """SELECT user_id, count(*) AS n,
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v2,
@@ -848,6 +890,7 @@ object CoreQueries {
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_jsonl_roundtrip" -> (q126JsonlRoundtrip _),
     "q125_avro_roundtrip" -> (q125AvroRoundtrip _),
     "q116_orc_scan" -> (q116OrcScan _),
     "q117_csv_roundtrip" -> (q117CsvRoundtrip _),
@@ -876,6 +919,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_jsonl_roundtrip" -> q126Sql,
     "q125_avro_roundtrip" -> q125Sql,
     "q116_orc_scan" -> q116Sql,
     "q117_csv_roundtrip" -> q117Sql,

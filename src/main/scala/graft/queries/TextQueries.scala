@@ -3054,9 +3054,14 @@ object TextQueries {
     * hex→BIGINT recipe) so the WHOLE estimator — signatures, match
     * counts, estimates — replays bit-exact in the oracle, unlike the
     * xxhash64 doc-signatures of q24 (whose oracle certifies output, not
-    * sketch). At 100 TB the lane hash swaps for the codegen'd xxhash64
-    * family (one digest pass per shingle); semantics — min per lane,
-    * match fraction — are what this gate certifies.
+    * sketch). All 64 lanes of a row are computed in ONE native pass
+    * ([[graft.functions.expressions.Md5Lanes]] — bit-identical to the
+    * composable conv∘substring∘md5 trees, which cost ~12 s of the
+    * query's 13.4 s at sf0.1 as 64 separate expression trees; the native
+    * pass reads lane values straight from digest bytes, no hex strings).
+    * At 100 TB the lane hash swaps for the codegen'd xxhash64 family
+    * (one digest pass per shingle); semantics — min per lane, match
+    * fraction — are what this gate certifies.
     *
     * Scale shape: the signature pass is ONE groupBy(source) with 64
     * map-side-combining min aggregates over the distinct (source,
@@ -3079,12 +3084,12 @@ object TextQueries {
       .filter($"source_a" < $"source_b")
       .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_shared"))
-    // per-source signature: min of each md5 lane over distinct shingles
-    val laneMins = (0 until H).map { j =>
-      min(conv(substring(md5(concat(lit(s"$j:"), $"g")), 1, 15), 16, 10)
-        .cast("long")).as(s"h$j")
-    }
-    val sig = sh.groupBy($"source").agg(laneMins.head, laneMins.tail: _*)
+    // per-source signature: min of each md5 lane over distinct shingles —
+    // all H lane hashes of a row from one native digest pass
+    val laneMins = (0 until H).map(j => min(element_at($"ls", j + 1)).as(s"h$j"))
+    val sig = sh.select($"source",
+        call_function("graft_md5_lanes", $"g", lit(H)).as("ls"))
+      .groupBy($"source").agg(laneMins.head, laneMins.tail: _*)
     val a = sig.select(($"source".as("source_a") +:
       (0 until H).map(j => col(s"h$j").as(s"a$j"))): _*)
     val b = sig.select(($"source".as("source_b") +:

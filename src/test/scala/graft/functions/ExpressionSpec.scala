@@ -324,4 +324,24 @@ class ExpressionSpec extends SparkSpec {
       assert(got === ref, s"native vs composable, text='$text'")
     }
   }
+
+  test("graft_md5_lanes equals the composable conv(substring(md5)) formulation") {
+    val s = spark
+    import s.implicits._
+    val H = 64
+    val df = Seq("alpha beta gamma", "", "中文 multibyte ȼ", "x", "0:edge", "a b")
+      .toDF("g")
+    val composable = array((0 until H).map(j =>
+      conv(substring(md5(concat(lit(s"$j:"), $"g")), 1, 15), 16, 10).cast("long")): _*)
+    val rows = df.select(
+      call_function("graft_md5_lanes", $"g", lit(H)).as("native"),
+      composable.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // null propagates, not throws
+    val n = Seq[Option[String]](None).toDF("g")
+      .select(call_function("graft_md5_lanes", $"g", lit(4))).head()
+    assert(n.isNullAt(0))
+  }
 }
