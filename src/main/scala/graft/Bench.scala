@@ -236,6 +236,36 @@ object Bench {
       .mkString("[", ",", "]")
     val cMax = canaries.max
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"sf":"$sfDir"}""")
+
+    // Durable per-query artifact (r10 verdict #2: the driver's log tail
+    // truncates mid-JSON, losing the numbers for whole query families).
+    // Default path names the round after the newest BENCH_r<N>.json already
+    // on disk + 1 — the driver benches once per round AFTER committing, so
+    // at bench time the newest committed artifact is last round's. Local
+    // dev/scale runs should set SPARK_GRAFT_TIMINGS_OUT to keep the
+    // round-numbered file pristine.
+    val timingsOut = sys.env.getOrElse("SPARK_GRAFT_TIMINGS_OUT", {
+      val repo = new java.io.File("/root/repo")
+      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName))
+        .map(_.group(1).toInt)
+      f"/root/repo/BENCH_TIMINGS_r${(prev.maxOption.getOrElse(0) + 1)}%02d.json"
+    })
+    if (timingsOut != "none") {
+      val perQuery = names.map { name =>
+        val ss = byName.getOrElse(name, Nil)
+        val repTimes = ss.map(s => f"${s.t}%.3f").mkString("[", ",", "]")
+        val med = results.find(_._1 == name).map(_._2).getOrElse(-1.0)
+        f""""$name":{"median_s":$med%.3f,"reps":$repTimes,"tainted":${ss.count(s => s.t >= 0 && s.tainted)}}"""
+      }.mkString("{", ",", "}")
+      val json =
+        f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,
+           |"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,
+           |"queries":$perQuery}""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(timingsOut),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] timings artifact -> $timingsOut")
+    }
     spark.stop()
   }
 }

@@ -36,14 +36,20 @@ object Tables {
     *    TIMESTAMP_NTZ (rejected by unix_millis / window / watermark).
     *    [[GraftSession.tune]] disables that inference session-wide, but a
     *    caller-supplied session may not have it — cast defensively here.
-    *    Session tz is UTC, so the cast reinterprets the same micros and
-    *    DuckDB's naive reading stays hash-identical. */
+    *    The cast reinterprets wall-clock micros in the SESSION timezone, so
+    *    it only matches DuckDB's naive/UTC reading when that tz is UTC;
+    *    rather than silently shift values for a non-UTC caller (the exact
+    *    case this branch exists for), require UTC loudly. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ on disk; the reinterpreting cast is only " +
+            s"value-preserving under spark.sql.session.timeZone=UTC, got $tz")
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -101,6 +101,11 @@ case class AvroDecode(child: Expression, schemaJson: String) extends UnaryExpres
     val bytes = input.asInstanceOf[Array[Byte]]
     decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
     record = reader.read(record, decoder)
+    // FAILFAST covers trailing data too: a valid record followed by garbage
+    // (truncation/concatenation corruption leaving a parseable prefix) must
+    // not pass the wire gate silently
+    if (!decoder.isEnd) throw new org.apache.avro.AvroRuntimeException(
+      s"graft_avro_decode: trailing bytes after a complete record (input ${bytes.length} bytes)")
     deserialize(record).getOrElse(null)
   }
 

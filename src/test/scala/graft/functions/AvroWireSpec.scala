@@ -65,6 +65,24 @@ class AvroWireSpec extends SparkSpec {
     assert(bad.count() == 0L, bad.collect().mkString("\n"))
   }
 
+  test("FAILFAST covers trailing bytes: a parseable prefix must not pass") {
+    // corruption that leaves a valid record followed by garbage (truncated
+    // concatenation, double-write) decodes cleanly from Avro's point of
+    // view; the decoder must check the buffer is fully consumed
+    val df = Seq((7L, "stable")).toDF("id", "s")
+    val rec = struct($"id", $"s")
+    val schema = wireSchemaOf(df, rec)
+    val corrupted = df.select(concat(
+      call_function("graft_avro_encode", rec, lit(schema)),
+      lit(Array[Byte](1, 2, 3))).as("bytes"))
+    val e = intercept[Exception] {
+      corrupted.select(call_function("graft_avro_decode", $"bytes", lit(schema))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("trailing bytes")), messages(e).mkString(" | "))
+  }
+
   test("wire bytes are deterministic: same row encodes to the same message") {
     val df = Seq((7L, "stable")).toDF("id", "s")
     val rec = struct($"id", $"s")

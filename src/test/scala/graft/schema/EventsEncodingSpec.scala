@@ -23,9 +23,11 @@ class EventsEncodingSpec extends SparkSpec {
       val df = Tables.events(spark, dir)
       assert(df.schema("ts").dataType == TimestampType,
         s"events.ts must load as TimestampType, got ${df.schema("ts").dataType}")
-      // and the values must be usable by the ms-epoch call sites
-      val n = df.selectExpr("unix_millis(ts)").limit(1).count()
-      assert(n == 1L)
+      // and the values must be usable by the ms-epoch call sites — head()
+      // forces runtime evaluation (limit+count would let column pruning
+      // drop the unevaluated projection, checking only analysis-time typing)
+      val row = df.selectExpr("unix_millis(ts)").head()
+      assert(!row.isNullAt(0), "unix_millis(ts) evaluated to null")
     }
   }
 }
