@@ -561,6 +561,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"string literal, got ${other.mkString("(", ", ", ")")}")
         }))
     ext.injectFunction((
+      FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[graft.functions.expressions.AHash].getName, null,
+        "graft_ahash",
+        "graft_ahash(bytes) - 64-bit perceptual average-hash of opaque " +
+          "media content: integer average-pool into 64 cells, bit i = " +
+          "cell_i > global mean (stub decode; see PerceptualHashExpr).",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.AHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dhash"),
+      new ExpressionInfo(classOf[graft.functions.expressions.DHash].getName, null,
+        "graft_dhash",
+        "graft_dhash(bytes) - 64-bit perceptual difference-hash: same 64 " +
+          "pooled cells as graft_ahash, bit i = cell_i > cell_(i+1 mod 64) " +
+          "(circular gradient sign).",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.DHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_media_rendition"),
+      new ExpressionInfo(classOf[graft.functions.expressions.MediaRendition].getName, null,
+        "graft_media_rendition",
+        "graft_media_rendition(bytes, mode) - deterministic stub re-encode " +
+          "of media content: 0 = identity, 1 = re-exposure (+1 every byte, " +
+          "hash-invariant), 2 = quantization noise (+1 every 16th byte).",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.MediaRendition(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -215,13 +215,128 @@ object MultimodalQueries {
       |WHERE u.i % 4 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127_image_neardup — perceptual-hash image near-dup, completing the
+    * multimodal family (metadata q28, content windowing q84, now content
+    * near-dup): 64-bit aHash/dHash over each media object's stub-decoded
+    * thumbnail ([[graft.functions.expressions.PerceptualHash]] — integer
+    * average-pool into 64 cells; the public aHash/dHash recipe with the
+    * byte stream standing in for decoded pixels), 4×16-bit band blocking
+    * (q119's SimHash discipline — candidates ONLY from equal band buckets,
+    * never all pairs), Hamming verify at τ = 6.
+    *
+    * Fixture: each qualifying document yields THREE media rows via
+    * [[graft.functions.expressions.MediaRendition]] — the original, a
+    * re-exposure (every byte +1; aHash/dHash are EXACTLY invariant: pooled
+    * values and threshold shift together), and a quantization-noise
+    * re-encode (+1 every 16th byte; lands a small nonzero Hamming away).
+    * The gate therefore checks, at every SF: exact hash computation (a
+    * one-bit error splits every rendition pair), the invariance property
+    * (ham_a = 0 for all re-exposure pairs), band-blocking replay, and the
+    * Hamming arithmetic (ham_d exported unfiltered as the dHash witness).
+    *
+    * Scale shape: hashes are one codegen pass over the scan (no decode —
+    * 64 longs of state per row); banding emits 4 int rows per media object;
+    * the band self-join shuffles only (band_idx, band_val, ids, hashes) —
+    * expected bucket population N/2^16 per band, the same corpus-growing
+    * blocking-cardinality story as q119 (widen bands with log N). Pairs
+    * with ham ≤ 3 are GUARANTEED a shared band (pigeonhole over 4 bands);
+    * beyond that recall is the standard LSH trade, replayed identically by
+    * the oracle. Bytes ≥ 0xff would wrap (`& 0xff`) where the oracle's
+    * codepoint arithmetic doesn't — ASCII-corpus precondition, as q84. */
+  def q127ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", explode(array(lit(0), lit(1), lit(2))).as("rend"),
+        $"text".cast("binary").as("content"))
+      .select(($"doc_id" * 10 + $"rend").as("media_id"),
+        call_function("graft_media_rendition", $"content", $"rend").as("content"))
+    val hashed = media.select($"media_id",
+      call_function("graft_ahash", $"content").as("ah"),
+      call_function("graft_dhash", $"content").as("dh"))
+    val bands = hashed.select($"media_id", $"ah", $"dh",
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned($"ah", 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ah").as("ah_a"), col("b.ah").as("ah_b"),
+        col("a.dh").as("dh_a"), col("b.dh").as("dh_b"))
+      .distinct()
+    cand.select($"media_a", $"media_b",
+        bit_count($"ah_a".bitwiseXOR($"ah_b")).cast("long").as("ham_a"),
+        bit_count($"dh_a".bitwiseXOR($"dh_b")).cast("long").as("ham_d"))
+      .filter($"ham_a" <= 6)
+      .orderBy($"media_a", $"media_b")
+  }
+
+  /** The oracle never reconstructs rendition STRINGS: the hash depends only
+    * on per-position byte values, so the rendition transform is applied
+    * directly to the codepoint inside the position CTE. */
+  val q127Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE len(text) >= 64
+      |),
+      |pos AS (
+      |  SELECT doc_id, r.r AS rend,
+      |    CAST(p.p * 64 // len(text) AS INT) AS cell,
+      |    ord(substring(text, CAST(p.p + 1 AS INT), 1))
+      |      + CASE WHEN r.r = 1 OR (r.r = 2 AND p.p % 16 = 0) THEN 1 ELSE 0 END AS b
+      |  FROM base, UNNEST(range(0, len(text))) AS p(p), UNNEST(range(0, 3)) AS r(r)
+      |),
+      |cellavg AS (
+      |  SELECT doc_id, rend, cell, SUM(b) // COUNT(*) AS v
+      |  FROM pos GROUP BY doc_id, rend, cell
+      |),
+      |thresh AS (
+      |  SELECT doc_id, rend, SUM(v) // 64 AS t FROM cellavg GROUP BY doc_id, rend
+      |),
+      |bits AS (
+      |  SELECT c.doc_id, c.rend, c.cell,
+      |    CASE WHEN c.v > t.t THEN 1 ELSE 0 END AS bit_a,
+      |    CASE WHEN c.v > coalesce(lead(c.v) OVER w, first_value(c.v) OVER w)
+      |      THEN 1 ELSE 0 END AS bit_d
+      |  FROM cellavg c JOIN thresh t ON c.doc_id = t.doc_id AND c.rend = t.rend
+      |  WINDOW w AS (PARTITION BY c.doc_id, c.rend ORDER BY c.cell)
+      |),
+      |bands AS (
+      |  SELECT doc_id * 10 + rend AS media_id, cell // 16 AS band_idx,
+      |    SUM(bit_a * (1 << (cell % 16))) AS aband,
+      |    SUM(bit_d * (1 << (cell % 16))) AS dband
+      |  FROM bits GROUP BY doc_id, rend, cell // 16
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.aband = b.aband
+      |      AND a.media_id < b.media_id
+      |),
+      |hams AS (
+      |  SELECT c.media_a, c.media_b,
+      |    CAST(SUM(bit_count(xor(x.aband, y.aband))) AS BIGINT) AS ham_a,
+      |    CAST(SUM(bit_count(xor(x.dband, y.dband))) AS BIGINT) AS ham_d
+      |  FROM cand c
+      |  JOIN bands x ON x.media_id = c.media_a
+      |  JOIN bands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
+      |  GROUP BY c.media_a, c.media_b
+      |)
+      |SELECT media_a, media_b, ham_a, ham_d FROM hams
+      |WHERE ham_a <= 6
+      |ORDER BY media_a, media_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_media_meta"    -> (q28MediaMeta _),
     "q84_frame_sample"  -> (q84FrameSample _),
     "q29_clustered_scan" -> (q29ClusteredScan _),
     "q60_zorder_scan"   -> (q60ZOrderScan _),
     "q69_bucketed_join" -> (q69BucketedJoin _),
-    "q120_partition_prune" -> (q120PartitionPrune _))
+    "q120_partition_prune" -> (q120PartitionPrune _),
+    "q127_image_neardup" -> (q127ImageNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q28_media_meta"    -> q28Sql,
@@ -229,5 +344,6 @@ object MultimodalQueries {
     "q29_clustered_scan" -> q29Sql,
     "q60_zorder_scan"   -> q60Sql,
     "q69_bucketed_join" -> q69Sql,
-    "q120_partition_prune" -> q120Sql)
+    "q120_partition_prune" -> q120Sql,
+    "q127_image_neardup" -> q127Sql)
 }

@@ -629,6 +629,17 @@ class PlanSpec extends SparkSpec {
       "event_id/props are written but unused — the read schema must prune them:\n" + s)
   }
 
+  test("q127: band-blocked pairs never cartesian; the scan prunes to doc_id+text") {
+    val plan = executed(MultimodalQueries.q127ImageNearDup(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "perceptual near-dup must pair within band buckets, never all media pairs")
+    val s = leaves(MultimodalQueries.q127ImageNearDup(spark, dir))
+    assert(s.contains("doc_id") && s.contains("text"),
+      "the media synth needs doc_id+text:\n" + s)
+    assert(!s.contains("lang") && !s.contains("source") && !s.contains("n_chars"),
+      "unused document columns must be pruned from the scan:\n" + s)
+  }
+
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {
     val p = executed(CoreQueries.q95ContractCheck(spark, dir)).toString
     // 9 rules -> 9 branches of a unioned 1-row aggregate, but each branch
