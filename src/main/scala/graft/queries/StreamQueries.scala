@@ -212,6 +212,86 @@ object StreamQueries {
 
   val q123Sql: String = q31Sql
 
+  /** q128_schema_evolution — a topic schema REVISION BUMP mid-stream, end
+    * to end under the hash gate (the reference lab's entire second act:
+    * ALTER the sink table, then update the topic schema, then watch the
+    * new field start flowing — `/root/reference/README.md:299-450`,
+    * `sql/bq_schemav2.json`). One subscription, one checkpoint, three
+    * incremental drains:
+    *
+    *  - wave 1: v1 payloads under topic rev 1 — baseline;
+    *  - wave 2: payloads CARRY the new `val` field, but the topic is still
+    *    rev 1 and the sink has already been widened (the reference's
+    *    negative path): the extra field is PRESERVED in the raw message
+    *    (README.md:290 — the 'phone' column survives in the pulled
+    *    payload) yet lands NULL in the sink, because conformance projects
+    *    topic-schema'd fields only — the sink having the column is not
+    *    enough;
+    *  - wave 3: the topic is re-registered at rev 2 (now including `val`)
+    *    and the SAME subscription drains messages stamped with the new
+    *    revision id; `val` flows.
+    *
+    * Every output row carries the `googclient_schemarevisionid` its
+    * message was stamped with at publish ([[graft.schema.SchemaRegistry]]'s
+    * deterministic id — README.md:295), so the oracle pins conformance PER
+    * REVISION: rev-1 rows must have `val` NULL, rev-2 rows must have the
+    * exact payload value.
+    *
+    * Scale shape: schema revisions are driver-side control-plane metadata
+    * (a few KB); each wave is a normal distributed drain; the final
+    * revision join keys on the unique message id. */
+  def q128SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q128")
+    val registry = new SchemaRegistry
+
+    val topicV1 = org.apache.spark.sql.types.StructType.fromDDL(
+      Q128.TopicV1Ddl)
+    val topicV2 = org.apache.spark.sql.types.StructType.fromDDL(
+      Q128.TopicV2Ddl)
+    val sinkV2 = topicV2 // the widened sink shape (ALTER ... ADD val)
+
+    val rev1 = registry.register("q128-topic", topicV1)
+    val topic = new Topic(s, "q128-topic", s"$root/topic", rev1)
+    val sub = new Subscription("q128-sub", topic, s"$root/ckpt")
+    val ev = graft.Tables.events(s, dir).filter($"event_id" % 20 === 1)
+
+    def keyed(df: DataFrame, withVal: Boolean): DataFrame = {
+      val fields =
+        Seq($"event_id".as("id"), $"user_id", $"event_type".as("etype")) ++
+          (if (withVal) Seq($"value".as("val")) else Nil) :+
+          lit("false").as("__deleted")
+      df.select(to_json(struct($"event_id".as("id"))).as("key"),
+        to_json(struct(fields: _*)).as("value"))
+    }
+    var sinkSchema = topicV1 // pre-ALTER sink
+    def drain(topicSchema: org.apache.spark.sql.types.StructType): Unit =
+      sub.deliverTo(s"$root/sink", topicSchema, () => sinkSchema,
+        s"$root/dlq", sleep = _ => ()).awaitTermination()
+
+    topic.publish(keyed(ev.filter($"event_id" % 60 === 1), withVal = false))
+    drain(topicV1)
+
+    sinkSchema = sinkV2 // ALTER the sink first (reference section 6)
+    topic.publish(keyed(ev.filter($"event_id" % 60 === 21), withVal = true))
+    drain(topicV1)
+
+    val rev2 = registry.register("q128-topic", topicV2)
+    val topicAtV2 = new Topic(s, "q128-topic", s"$root/topic", rev2)
+    topicAtV2.publish(keyed(ev.filter($"event_id" % 60 === 41), withVal = true))
+    drain(topicV2)
+
+    // explicit sink schema: wave-1 files predate the ALTER and carry no
+    // `val` column — the widened read null-fills them, like the real table
+    val sink = s.read.schema(sinkV2).parquet(s"$root/sink")
+    val revs = topicAtV2.read.select(
+      get_json_object($"value", "$.id").cast("long").as("id"),
+      $"attributes"("googclient_schemarevisionid").as("revision"))
+    sink.join(revs, Seq("id"))
+      .select($"id", $"user_id", $"etype", $"val", $"__deleted", $"revision")
+      .orderBy($"id")
+  }
+
   /** q34_merge_upsert — the [[graft.merge.MergeSink]] latest-wins upsert
     * under the oracle gate: events applied in TWO batches (split by id
     * parity, so later batches overwrite earlier state for shared keys);
@@ -706,6 +786,31 @@ object StreamQueries {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin
 
+  /** q128 shared constants: the two topic-schema revisions and their
+    * deterministic registry ids (MD5-prefix of the schema JSON — so the
+    * oracle can state the expected stamp as a literal). */
+  private[queries] object Q128 {
+    val TopicV1Ddl = "id LONG, user_id LONG, etype STRING, __deleted STRING"
+    val TopicV2Ddl = "id LONG, user_id LONG, etype STRING, val DOUBLE, __deleted STRING"
+    private def revId(ddl: String): String = new SchemaRegistry()
+      .revisionIdOf(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    lazy val Rev1: String = revId(TopicV1Ddl)
+    lazy val Rev2: String = revId(TopicV2Ddl)
+  }
+
+  /** Waves by `event_id % 60`: 1 → v1 payload under rev 1; 21 → payload
+    * carries `val` but the topic is still rev 1, so it lands NULL; 41 →
+    * rev 2, `val` flows. */
+  val q128Sql: String =
+    s"""SELECT event_id AS id, user_id, event_type AS etype,
+       |  CASE WHEN event_id % 60 = 41 THEN value END AS val,
+       |  'false' AS __deleted,
+       |  CASE WHEN event_id % 60 = 41 THEN '${Q128.Rev2}'
+       |       ELSE '${Q128.Rev1}' END AS revision
+       |FROM events
+       |WHERE event_id % 20 = 1
+       |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_stream_enrich" -> (q114StreamEnrich _),
     "q110_stream_window" -> (q110StreamWindow _),
@@ -714,6 +819,7 @@ object StreamQueries {
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q122_sink_compact" -> (q122SinkCompact _),
     "q123_dlq_replay" -> (q123DlqReplay _),
+    "q128_schema_evolution" -> (q128SchemaEvolution _),
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
@@ -728,6 +834,7 @@ object StreamQueries {
     "q31_stream_e2e"  -> q31Sql,
     "q122_sink_compact" -> q122Sql,
     "q123_dlq_replay" -> q123Sql,
+    "q128_schema_evolution" -> q128Sql,
     "q34_merge_upsert" -> q34Sql,
     // the stateful streams must converge to their batch twins — same
     // contract, same SQL (see the q85/q86 scaladocs)
