@@ -983,20 +983,27 @@ object EventQueries {
 
   /** q101 with the replication factor R exposed (R=1 degenerates to the
     * plain shuffle join; SkewSpec checks R-invariance of the result). */
-  def q101SaltedJoinWith(s: SparkSession, dir: String, salts: Int): DataFrame = {
-    import s.implicits._
+  def q101SaltedJoinWith(s: SparkSession, dir: String, salts: Int): DataFrame =
+    q101SaltedJoinOn(Tables.events(s, dir), Tables.customer(s, dir), salts)
+
+  /** The salted join over caller-supplied fact/dim relations — the seam
+    * tools.SkewBench uses to measure plain-vs-salted wall on a corpus with
+    * the hot key scaled (fact needs `event_id/user_id/event_type/value`,
+    * dim `c_custkey/c_mktsegment`). */
+  private[graft] def q101SaltedJoinOn(factTable: DataFrame, dimTable: DataFrame,
+      salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val fact = Tables.events(s, dir)
-      .select($"user_id", $"event_type", $"value",
-        pmod(xxhash64($"event_id"), lit(salts.toLong)).as("salt"))
-    val dim = Tables.customer(s, dir)
-      .select($"c_custkey", $"c_mktsegment")
+    val fact = factTable
+      .select(col("user_id"), col("event_type"), col("value"),
+        pmod(xxhash64(col("event_id")), lit(salts.toLong)).as("salt"))
+    val dim = dimTable
+      .select(col("c_custkey"), col("c_mktsegment"))
       .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     fact.join(dim.hint("shuffle_hash"),
         fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
-      .groupBy($"c_mktsegment", $"event_type")
-      .agg(count(lit(1)).as("n"), graft.functions.Grid.sum2($"value").as("sum_value"))
-      .orderBy($"c_mktsegment", $"event_type")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.functions.Grid.sum2(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   /** q101 oracle: the plain join — salting is a physical rewrite and must
