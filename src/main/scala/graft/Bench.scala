@@ -167,6 +167,10 @@ object Bench {
 
     val failedSet = scala.collection.mutable.Set.empty[String]
     def timeOne(name: String, rep: Int): Double = {
+      // progress marker: when a query degenerates at a new scale (a hot
+      // shuffle bucket, a runaway pair join), the log must show WHICH —
+      // the ×10 protocol found exactly such a case with no marker to read
+      System.err.println(s"[bench] $name rep $rep")
       val t0 = System.nanoTime()
       val ok =
         try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

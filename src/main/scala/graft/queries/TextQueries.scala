@@ -2619,20 +2619,32 @@ object TextQueries {
     * (q37's scoring, integerized); tokens in more than 20% of the corpus
     * (df·5 > N — RELATIVE, so the cap means the same thing at every
     * scale) are dropped from the VECTORS (not from the tf denominator or
-    * idf corpus stats) — the standard df-cap that both bounds the
-    * postings join and removes stopword-grade mass. Pairs with cos ≥ 0.3
-    * emit; cos is ONE double
+    * idf corpus stats) — the standard stopword-grade mass cut — AND
+    * tokens with df > 2000 are dropped (absolute postings bound). Pairs
+    * with cos ≥ 0.3 emit; cos is ONE double
     * expression over three exact int64 sums (dot, two norms — products of
     * e6 ints sum exactly in int64), floored onto the e6 grid; sqrt is
     * IEEE-correctly-rounded in both engines (the q68/q93 convention).
     *
     * Scale shape: the only quadratic surface is the token-keyed postings
-    * self-join, bounded by Σ df² ≤ cap·|postings| — LINEAR in corpus size
-    * at fixed cap, never N². Everything else is doc_id- or token-keyed
-    * exchanges of narrow int rows. At 100 TB, q52's AllPairs prefix
-    * filter composes on top (score-ordered postings, prefix pruning) to
-    * shrink candidates further; the df cap alone already kills the
-    * hot-token blowup. */
+    * self-join, and the RELATIVE cap alone does NOT bound it — a token
+    * sitting at a constant sub-cap document frequency r keeps a posting
+    * of r·N rows, so its pair output grows (r·N)²: the round-11 ×10
+    * protocol MEASURED exactly that (q104 1 s at sf0.1 → killed at 6 min
+    * on ×10, one token bucket holding a 27-CPU-minute shuffle task; the
+    * corpus-wide function words the scale salt deliberately preserves sit
+    * at 10–20% df and are precisely such tokens). The ABSOLUTE df bound
+    * is what linearizes it: postings ≤ 2000 ⇒ Σ df² ≤ 2000·|postings| —
+    * linear in corpus size, the df-limit/prune-list discipline of
+    * similarity-join engines (Bayardo et al. 2007's df-ordered pruning
+    * family). At the gated SFs (N ≤ 5000) the relative cap N/5 ≤ 1000
+    * binds first, so the absolute bound changes no gated result; it
+    * engages beyond N = 10000, the regime it exists for. Mid-frequency
+    * tokens it cuts carry idf ≤ ln(N/2000) mass and near-dup cosine is
+    * driven by the rare-token tail, the same trade every prune list
+    * makes. At 100 TB, q52's AllPairs prefix filter composes on top
+    * (score-ordered postings, prefix pruning) to shrink candidates
+    * further. */
   def q104SparseCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tc = Tables.documents(s, dir)
@@ -2644,7 +2656,7 @@ object TextQueries {
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val vec = tc.join(dft, "token")
       .crossJoin(broadcast(nDocs))
-      .filter($"df_docs" * 5 <= $"n_docs")
+      .filter($"df_docs" * 5 <= $"n_docs" && $"df_docs" <= 2000)
       .select($"doc_id", $"token",
         floor(lit(1000000.0) * ($"cnt".cast("double") / $"n_tok") *
           log($"n_docs".cast("double") / $"df_docs")).cast("long").as("w"))
@@ -2680,7 +2692,7 @@ object TextQueries {
        |    CAST(floor(1000000.0 * (CAST(tc.cnt AS DOUBLE) / tc.n_tok) *
        |      ln(CAST(n.n_docs AS DOUBLE) / dft.df_docs)) AS BIGINT) AS w
        |  FROM tc JOIN dft USING (token) CROSS JOIN n
-       |  WHERE dft.df_docs * 5 <= n.n_docs),
+       |  WHERE dft.df_docs * 5 <= n.n_docs AND dft.df_docs <= 2000),
        |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM vec GROUP BY doc_id),
        |dots AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
