@@ -446,7 +446,9 @@ object TextQueries {
        |    FROM edges e JOIN $prev p ON e.doc_b = p.doc_id
        |    GROUP BY e.doc_a) n ON l.doc_id = n.doc_a)""".stripMargin
 
-  val q40Sql: String =
+  /** q40's full WITH chain (mining + 3 propagation rounds), shared with the
+    * q129 split oracle so both gates provably replay the SAME clustering. */
+  private val q40WithChain: String =
     s"""WITH sh AS (
        |  SELECT doc_id, $Shingles3 AS s
        |  FROM (SELECT doc_id, $Toks AS toks FROM documents)
@@ -461,7 +463,10 @@ object TextQueries {
        |l0 AS (SELECT doc_id, doc_id AS label FROM sh),
        |${q40Round("l0", "l1")},
        |${q40Round("l1", "l2")},
-       |${q40Round("l2", "l3")}
+       |${q40Round("l2", "l3")}""".stripMargin
+
+  val q40Sql: String =
+    s"""$q40WithChain
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q41
@@ -3306,7 +3311,95 @@ object TextQueries {
        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+
+  /** q129_leakage_split — near-dup-cluster-aware train/val/test split: the
+    * LEAKAGE GUARD a training pipeline needs before any eval is trustworthy.
+    * Splitting documents independently (q43's per-doc hash) puts near-
+    * duplicate copies of the same page on both sides of the train/test
+    * fence — the eval then scores memorization, not generalization (the
+    * contamination mode Lee et al. 2022 measure). The unit of assignment
+    * must be the near-dup CLUSTER, so every copy lands in the same split.
+    *
+    * Composition: q40's certified cluster labels (LSH pair mining +
+    * 3-round min-label propagation, hash-gated against exact transitive
+    * closure by q99) → q43's md5-bucket discipline applied to the CLUSTER
+    * id, not the doc id: `substr(md5(cluster_id), 1, 2)` against hex fences
+    * 'cc' (204/256 ≈ 80% train) and 'e6' (+26/256 ≈ 10% val, rest test).
+    * Same-cluster ⇒ same bucket ⇒ same split BY CONSTRUCTION — the guard
+    * is an algebraic property of the key choice, not a post-hoc repair
+    * join, so it costs ZERO work beyond q40's labels (one narrow md5
+    * projection; no extra shuffle).
+    *
+    * Scale: rides q40/q99's bounded label propagation (the 100 TB cluster
+    * machinery already measured in SCALE.md); the split itself is
+    * scan-speed column algebra and stays deterministic under
+    * repartitioning, retries, and corpus growth — adding a crawl can add
+    * clusters but never moves an existing cluster across splits. */
+  def q129LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"cluster_id".cast("string").cast("binary")), 1, 2)
+    q40DedupClusters(s, dir)
+      .select($"doc_id", $"cluster_id",
+        when(bucket < "cc", lit("train"))
+          .when(bucket < "e6", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** q129 oracle: q40's WITH chain verbatim + the md5 fence on the label. */
+  val q129Sql: String =
+    s"""$q40WithChain
+       |SELECT doc_id, label AS cluster_id,
+       |  CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |       WHEN substr(md5(CAST(label AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM l3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+
+  /** q130_bpe_merges — BPE tokenizer-training statistics (one merge
+    * iteration of Sennrich et al. 2016): the frequency of every adjacent
+    * CHARACTER pair across the corpus, weighted by word frequency, top-20
+    * merge candidates. This is the table a byte-pair tokenizer trainer
+    * consumes each round — the highest-count pair becomes the next merge.
+    *
+    * Two-level shape is the entire scale story: the corpus-sized pass is
+    * ONE token-keyed count (map-side partial agg collapses each partition
+    * to its distinct tokens before the exchange). Everything after runs on
+    * the VOCABULARY — pair explosion is O(|vocab| · avg word length),
+    * independent of corpus size, exactly why real BPE trainers operate on
+    * (word, count) tables rather than raw text. Top-20 is a TakeOrdered
+    * partial top-k, no global sort. Counts are exact int64; the
+    * (cnt DESC, pair ASC) order is total, so the cut is deterministic. */
+  def q130BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    vocab.filter(length($"tok") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"tok") - 1),
+        i => $"tok".substr(i, lit(2)))).as("pair"), $"n")
+      .groupBy($"pair").agg(sum($"n").as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(20)
+  }
+
+  /** q130 oracle: same vocab fold + per-position 2-char slices (1-based
+    * char semantics in both engines). */
+  val q130Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest($Toks) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+       |prs AS (
+       |  SELECT unnest([tok[i:i+1] for i in range(1, len(tok))]) AS pair, n
+       |  FROM vocab WHERE len(tok) >= 2)
+       |SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+       |FROM prs GROUP BY pair
+       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_leakage_split" -> (q129LeakageSplit _),
+    "q130_bpe_merges"    -> (q130BpeMerges _),
     "q119_survivorship" -> (q119Survivorship _),
     "q115_stratified_weighted" -> (q115StratifiedWeighted _),
     "q124_source_overlap_minhash" -> (q124SourceOverlapMinhash _),
@@ -3358,6 +3451,8 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q129_leakage_split" -> q129Sql,
+    "q130_bpe_merges"    -> q130Sql,
     "q119_survivorship" -> q119Sql,
     "q115_stratified_weighted" -> q115Sql,
     "q124_source_overlap_minhash" -> q124Sql,

@@ -830,7 +830,112 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+
+  /** q131_embedding_drift — embedding-space drift monitor over the FROZEN
+    * IVF quantizer: per-cell occupancy of two corpus snapshots plus each
+    * cell's PSI contribution (population stability index, the standard
+    * model-monitoring drift statistic — Laplace-smoothed
+    * `(p1−p2)·ln(p1/p2)` per cell, summed ≥ 0 overall).
+    *
+    * Why this operator exists: every frozen-model read path in this engine
+    * (q30/q64/q121's centroids, q92's codebooks, q67's scalar ranges)
+    * trades training for a shippable constant — and silently degrades when
+    * the corpus distribution walks away from the training sample (q64's
+    * k ≈ √N re-freeze rule says WHEN to retrain as N grows; this measures
+    * WHETHER the distribution moved at fixed N). Cell-occupancy PSI over
+    * the quantizer's own partition is the natural drift lens for that
+    * decision: cells fill/drain exactly when the index's probe sets stop
+    * matching the data.
+    *
+    * Snapshot v2 is deterministic (the q78/q88 discipline): departures
+    * (`vec_id % 13 = 5` dropped) and re-embeddings (`vec_id % 7 = 3`
+    * cyclically rotated one dimension — norm-preserving, cell-moving).
+    *
+    * Scale shape: two codegen'd assignment passes (NO join — the
+    * `graft_nearest_centroid` scan shape of q30), each folding map-side to
+    * ≤ k cell counts; everything after the two k-row aggregates is
+    * constant-size (k = 45 cells, one broadcast totals row). Cost is two
+    * scans regardless of corpus size —
+    * the monitoring pass is as cheap as the index it guards. */
+  def q131EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
+    val v2 = e.filter($"vec_id" % 13 =!= 5)
+      .select($"vec_id",
+        when($"vec_id" % 7 === 3,
+          concat(slice($"v", lit(2), size($"v") - 1), slice($"v", lit(1), lit(1))))
+          .otherwise($"v").as("v"))
+    q131DriftOn(e, v2)
+  }
+
+  /** The drift statistic on two explicit (vec_id, v) snapshots — the spec
+    * drives identity/rotation cases through the same code the gate runs. */
+  private[graft] def q131DriftOn(e1: DataFrame, e2: DataFrame): DataFrame = {
+    val s = e1.sparkSession
+    import s.implicits._
+    val model = graft.vector.IvfFrozen.model
+    val kD = model.k.toDouble
+    def occ(df: DataFrame, cname: String) =
+      df.select(graft.vector.Ivf.cellOf($"v", model).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as(cname))
+    val totals = e1.agg(count(lit(1)).as("t1"))
+      .crossJoin(e2.agg(count(lit(1)).as("t2")))
+    occ(e1, "n1").join(occ(e2, "n2"), Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n1", "n2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p1", ($"n1" + lit(1.0)) / ($"t1" + lit(kD)))
+      .withColumn("p2", ($"n2" + lit(1.0)) / ($"t2" + lit(kD)))
+      .select($"cell".cast("long").as("cell"), $"n1", $"n2",
+        floor(lit(1000000.0) * ($"p1" - $"p2") * log($"p1" / $"p2"))
+          .cast("long").as("psi_e6"))
+      .orderBy($"cell")
+  }
+
+  /** q131 oracle: assignment replayed from the literal centroid matrix
+    * (q30's sequential-Σ/argmin/lowest-cell fragments), v2 rotation in list
+    * algebra, identical smoothing + PSI formula text (q88's e6-floor ln
+    * convention). */
+  def q131Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    val kD = s"${graft.vector.IvfFrozen.model.k}.0"
+    def assign(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT $src.vec_id, cents.cell,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |                         ORDER BY ${sq(s"$src.v", "cents.c")}, cents.cell) AS rn
+         |    FROM $src CROSS JOIN cents) t WHERE rn = 1)""".stripMargin
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |v2 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 7 = 3 THEN list_concat(v[2:len(v)], [v[1]])
+       |         ELSE v END AS v
+       |  FROM e WHERE vec_id % 13 <> 5),
+       |${assign("e", "a1")},
+       |${assign("v2", "a2")},
+       |c1 AS (SELECT cell, count(*) AS n1 FROM a1 GROUP BY cell),
+       |c2 AS (SELECT cell, count(*) AS n2 FROM a2 GROUP BY cell),
+       |j AS (SELECT coalesce(c1.cell, c2.cell) AS cell,
+       |        coalesce(c1.n1, 0) AS n1, coalesce(c2.n2, 0) AS n2
+       |      FROM c1 FULL OUTER JOIN c2 ON c1.cell = c2.cell),
+       |st AS (SELECT (SELECT count(*) FROM e) AS t1,
+       |              (SELECT count(*) FROM v2) AS t2),
+       |p AS (SELECT cell, n1, n2,
+       |        (n1 + 1.0) / (t1 + $kD) AS p1,
+       |        (n2 + 1.0) / (t2 + $kD) AS p2
+       |      FROM j, st)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  CAST(floor(1000000.0 * (p1 - p2) * ln(p1 / p2)) AS BIGINT) AS psi_e6
+       |FROM p ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_embedding_drift" -> (q131EmbeddingDrift _),
     "q121_ann_ivf_rerank" -> (q121AnnIvfRerank _),
     "q118_ann_rerank"   -> (q118AnnRerank _),
     "q105_mutual_nn"    -> (q105MutualNn _),
@@ -843,6 +948,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q131_embedding_drift" -> q131Sql,
     "q121_ann_ivf_rerank" -> q121Sql,
     "q118_ann_rerank"   -> q118Sql,
     "q105_mutual_nn"    -> q105Sql,

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   * Hot key: 1 in 4 fact rows are remapped onto one existing customer key
   * (deterministic `event_id % 4` — no RNG), so ×10 data ⇒ ×10 hot-key rows.
   *
-  * Usage: `sbt "runMain graft.tools.SkewBench [sfDir] [reps]"`; prints one
-  * JSON line with per-variant median seconds.
+  * Usage: `sbt "runMain graft.tools.SkewBench [sfDir] [reps] [factMult]"`;
+  * prints one JSON line with per-variant median seconds.
+  *
+  * `factMult` (default 1) replicates the fact stream in-flight (event_id
+  * remapped to stay unique) WITHOUT touching the hot-key fraction: the
+  * lever that scales the hot key's ABSOLUTE row count. At the ×10 corpus's
+  * 250k hot rows one task absorbs the funnel in sub-second time and plain
+  * ≡ salted; the skew penalty is a function of rows-per-hot-task vs
+  * rows-per-fair-task, so demonstrating the salted win requires pushing
+  * the hot key to task-dominating size — factMult 30 ⇒ 7.5M hot rows.
   */
 object SkewBench {
 
@@ -34,14 +42,22 @@ object SkewBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf1")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val factMult = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = graft.GraftSession.local(appName = "graft-skewbench")
     import spark.implicits._
 
     val hot = graft.Tables.customer(spark, dir)
       .agg(min($"c_custkey")).head().getLong(0)
-    def fact: DataFrame = graft.Tables.events(spark, dir)
-      .withColumn("user_id",
-        when($"event_id" % 4 === 0, lit(hot)).otherwise($"user_id"))
+    def fact: DataFrame = {
+      val base = graft.Tables.events(spark, dir)
+        .withColumn("user_id",
+          when($"event_id" % 4 === 0, lit(hot)).otherwise($"user_id"))
+      if (factMult == 1) base
+      else base
+        .withColumn("copy", explode(sequence(lit(0), lit(factMult - 1))))
+        .withColumn("event_id", $"event_id" * factMult + $"copy")
+        .drop("copy")
+    }
     def dim: DataFrame = graft.Tables.customer(spark, dir)
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
@@ -66,7 +82,7 @@ object SkewBench {
     }
     val hotRows = fact.filter($"user_id" === hot).count()
     val meds = variants.map { case (n, _) => n -> median(times(n)) }
-    println(f"""{"metric":"skew_join","hot_rows":$hotRows,${meds.map { case (n, m) => s""""$n":${"%.2f".format(m)}""" }.mkString(",")},"reps":$reps,"sf":"$dir"}""")
+    println(f"""{"metric":"skew_join","hot_rows":$hotRows,"fact_mult":$factMult,${meds.map { case (n, m) => s""""$n":${"%.2f".format(m)}""" }.mkString(",")},"reps":$reps,"sf":"$dir"}""")
     spark.stop()
   }
 }
