@@ -496,6 +496,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.expressions.CharCounts(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_byte_energy"),
+      new ExpressionInfo(classOf[graft.functions.expressions.ByteEnergy].getName, null,
+        "graft_byte_energy",
+        "graft_byte_energy(bytes) - sum of unsigned byte values of a binary " +
+          "column (stub frame energy for the VAD segmentation pass), one " +
+          "codegen'd O(bytes) loop.",
+        "", "", "", "", "", "", ""),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.ByteEnergy(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.expressions.TopK].getName, null, "graft_topk",
         "graft_topk(score, id, k) - bounded-state grouped top-K aggregate: " +

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -329,7 +330,83 @@ object MultimodalQueries {
       |WHERE ham_a <= 6
       |ORDER BY media_a, media_b""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+
+  /** q132_audio_segments — energy-threshold voice-activity segmentation
+    * (VAD), the audio-modality op that completes the multimodal family
+    * (metadata q28, frame windowing q84, image near-dup q127, now
+    * content SEGMENTATION): each media object's sampled frames (q84's
+    * every-4th-64-byte grid, the stub for fixed-width PCM blocks) get an
+    * ENERGY = Σ unsigned byte values via the native codegen'd
+    * [[graft.functions.expressions.ByteEnergy]]; frames whose mean byte
+    * value sits under τ = 94.5 (the corpus median — both classes present
+    * at every SF) are "silent"; consecutive same-class frames fuse into
+    * runs (gaps-and-islands, q72's fuse) — the segment inventory an audio
+    * pipeline feeds to transcription (skip silence, batch voiced spans).
+    *
+    * The threshold compare is INTEGER (`energy·10 < n_bytes·945`) — no
+    * float crosses the engine boundary. A real decoder swaps in at the
+    * documented StubCodec seam; energy-over-samples and the islands fuse
+    * are unchanged by that swap.
+    *
+    * Scale shape: energy is one O(bytes) codegen'd loop per frame riding
+    * q84's distributed flatMap (no shuffle before the windows); the two
+    * row_numbers and the run aggregation share ONE media_id-keyed
+    * exchange; runs per media ≤ frames per media — content-proportional,
+    * the q84 class. */
+  def q132AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      s, Tables.documents(s, dir))
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(media, frameBytes = 64, everyK = 4)
+      .select($"media_id", $"frame_idx",
+        length($"frame").cast("long").as("n_bytes"),
+        call_function("graft_byte_energy", $"frame").as("energy"))
+      .withColumn("silent",
+        when($"energy" * 10 < $"n_bytes" * 945, lit(1L)).otherwise(lit(0L)))
+    val wAll = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    val wFlag = Window.partitionBy($"media_id", $"silent").orderBy($"frame_idx")
+    frames
+      .withColumn("run_key",
+        row_number().over(wAll) - row_number().over(wFlag))
+      .groupBy($"media_id", $"silent", $"run_key")
+      .agg(min($"frame_idx").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum($"energy").as("energy_sum"))
+      .select($"media_id", $"start_frame", $"n_frames", $"silent", $"energy_sum")
+      .orderBy($"media_id", $"start_frame")
+  }
+
+  /** q132 oracle: q84's frame windows, per-char codepoint energy (byte ≡
+    * codepoint on this ASCII corpus), the identical integer threshold and
+    * the row_number-difference islands fuse. */
+  val q132Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_idx,
+      |    substring(text, CAST(u.i * 64 + 1 AS INT), 64) AS fr
+      |  FROM documents,
+      |    UNNEST(range(0, (len(text) + 63) // 64)) AS u(i)
+      |  WHERE u.i % 4 = 0),
+      |e AS (
+      |  SELECT media_id, frame_idx, CAST(len(fr) AS BIGINT) AS n_bytes,
+      |    CAST(list_sum([unicode(c) for c in string_split_regex(fr, '')]) AS BIGINT) AS energy
+      |  FROM f),
+      |fl AS (
+      |  SELECT *, CAST(CASE WHEN energy * 10 < n_bytes * 945 THEN 1 ELSE 0 END AS BIGINT) AS silent
+      |  FROM e),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY media_id ORDER BY frame_idx)
+      |    - row_number() OVER (PARTITION BY media_id, silent ORDER BY frame_idx) AS run_key
+      |  FROM fl)
+      |SELECT media_id, min(frame_idx) AS start_frame,
+      |  count(*) AS n_frames, silent, CAST(sum(energy) AS BIGINT) AS energy_sum
+      |FROM rk GROUP BY media_id, silent, run_key
+      |ORDER BY media_id, start_frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_audio_segments" -> (q132AudioSegments _),
     "q28_media_meta"    -> (q28MediaMeta _),
     "q84_frame_sample"  -> (q84FrameSample _),
     "q29_clustered_scan" -> (q29ClusteredScan _),
@@ -339,6 +416,7 @@ object MultimodalQueries {
     "q127_image_neardup" -> (q127ImageNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q132_audio_segments" -> q132Sql,
     "q28_media_meta"    -> q28Sql,
     "q84_frame_sample"  -> q84Sql,
     "q29_clustered_scan" -> q29Sql,
