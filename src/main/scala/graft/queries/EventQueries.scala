@@ -1056,7 +1056,84 @@ object EventQueries {
       |WHERE rank <= 10
       |ORDER BY event_type, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+
+  /** q133_rate_anomaly — event-rate spike detection against a trailing
+    * baseline: hourly counts per event type, each hour z-scored against
+    * its own TRAILING 24-hour window (current hour excluded), flagged at
+    * z ≥ 3. This is the operational health signal for the CDC/streaming
+    * core (O1–O14): a publisher outage, a replay storm, or an upstream
+    * backfill all announce themselves as rate anomalies long before any
+    * correctness gate trips — the monitoring query a pipeline operator
+    * alerts on.
+    *
+    * Engine-exact formulation: with c = baseline hours, s1 = Σn,
+    * s2 = Σn², the population z rearranges to
+    * `(c·n − s1) / sqrt(c·s2 − s1²)` — numerator and radicand are EXACT
+    * int64, so the only float is one sqrt + divide with identical formula
+    * text both engines, floored onto the e6 grid (q88's convention). The
+    * flag compares the e6 integer. The radicand is FLOORED at c² (= a
+    * variance floor of one event², integer-exact): a perfectly steady
+    * baseline would otherwise zero the denominator and turn the most
+    * blatant spike into NULL — with the floor, a 10× jump over a constant
+    * baseline z-scores as the jump itself (RateAnomalySpec plants one)
+    * while ±1-event jitter scores z ≈ 1. Hours with under 12 baseline
+    * hours export NULL z (flag 0) — the cold-start rule stated in the
+    * oracle, not hidden in the engine.
+    *
+    * Scale shape: ONE (type, hour) partial-agg shuffle collapses the
+    * corpus map-side (the q94 class — |types|·|hours| rows after); the
+    * RANGE window runs per type over its own hour series. At 100 TB the
+    * pre-aggregation IS the design: the window sees thousands of rows no
+    * matter how many billions of events fed them. */
+  def q133RateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables.events(s, dir)
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr").rangeBetween(-24, -1)
+    hours
+      .withColumn("c", count($"n").over(w))
+      .withColumn("s1", sum($"n").over(w))
+      .withColumn("s2", sum($"n" * $"n").over(w))
+      .withColumn("z_e6",
+        when($"c" >= 12,
+          floor(lit(1000000.0) * ($"c" * $"n" - $"s1") /
+            sqrt(greatest($"c" * $"s2" - $"s1" * $"s1", $"c" * $"c")
+              .cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select($"event_type", $"hr", $"n",
+        $"z_e6",
+        when($"z_e6" >= 3000000L, lit(1L)).otherwise(lit(0L)).as("anomaly"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  /** q133 oracle: identical hour grid, identical integer rearrangement,
+    * identical cold-start rule. */
+  val q133Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hr, n,
+      |    count(n) OVER tw AS c, sum(n) OVER tw AS s1,
+      |    sum(n * n) OVER tw AS s2
+      |  FROM h
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+      |                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, hr, n,
+      |    CASE WHEN c >= 12
+      |         THEN CAST(floor(1000000.0 * (c * n - s1)
+      |                / sqrt(CAST(greatest(c * s2 - s1 * s1, c * c) AS DOUBLE))) AS BIGINT)
+      |         ELSE NULL END AS z_e6
+      |  FROM w)
+      |SELECT event_type, hr, CAST(n AS BIGINT) AS n, z_e6,
+      |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM z ORDER BY event_type, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_rate_anomaly" -> (q133RateAnomaly _),
     "q113_grouped_topk" -> (q113GroupedTopK _),
     "q101_salted_join" -> (q101SaltedJoin _),
     "q97_range_bin_join" -> (q97RangeBinJoin _),
@@ -1084,6 +1161,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_rate_anomaly" -> q133Sql,
     "q113_grouped_topk" -> q113Sql,
     "q101_salted_join" -> q101Sql,
     "q97_range_bin_join" -> q97Sql,

@@ -50,7 +50,12 @@ object DumpPlans {
     "q94_ewma_trend"    -> "one (type,day) agg; all 8 lags on one event_type window partitioning",
     "q95_contract_check" -> "ONE lineitem scan; 9 conditional-sum rules folding to a single row",
     "q97_range_bin_join" -> "keyless range join binned: broadcast equi join on the hour bin + residual",
-    "q98_equidepth_hist" -> "octile boundaries as 1-row broadcasts; integer bucket membership")
+    "q98_equidepth_hist" -> "octile boundaries as 1-row broadcasts; integer bucket membership",
+    "q121_ann_ivf_rerank" -> "composed serving path: probe/ADC/refine — three broadcasts, corpus scanned once",
+    "q129_leakage_split" -> "cluster-keyed split: md5 fence is a narrow projection over q40's labels",
+    "q130_bpe_merges"   -> "corpus folds to (token, n) once; pair work is vocab-sized; TakeOrdered top-20",
+    "q131_embedding_drift" -> "two in-scan assignment passes fold to k cells; totals broadcast",
+    "q132_audio_segments" -> "native byte-energy in-scan; windows + run agg on ONE media_id exchange")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage

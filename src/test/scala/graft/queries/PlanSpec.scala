@@ -648,4 +648,44 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
       "a contract rule induced a keyed shuffle:\n" + p)
   }
+
+  test("q129: the split assignment adds ZERO exchanges over q40's clustering") {
+    def hashEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    val q40 = executed(TextQueries.q40DedupClusters(spark, dir)).toString
+    val q129 = executed(TextQueries.q129LeakageSplit(spark, dir)).toString
+    assert(hashEx(q129) == hashEx(q40),
+      s"the md5 fence must be a narrow projection over q40's labels: " +
+        s"q40=${hashEx(q40)} vs q129=${hashEx(q129)} exchanges")
+  }
+
+  test("q130: corpus-sized work is one token-keyed shuffle; top-20 is TakeOrdered") {
+    val p = executed(TextQueries.q130BpeMerges(spark, dir)).toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "exactly the token-count and pair-count exchanges:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a partial top-k, not a global sort:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global sort anywhere:\n" + p)
+  }
+
+  test("q131: assignment is the codegen'd argmin; only k-row/1-row sides broadcast") {
+    val p = executed(VectorQueries.q131EmbeddingDrift(spark, dir)).toString
+    assert(p.contains("graft_nearest_centroid"),
+      "cell assignment must be the native per-row argmin, not a centroid join:\n" + p)
+    // two snapshots -> two cell-keyed partial-agg exchanges; totals are
+    // 1-row SinglePartition aggs that then broadcast into the k-row join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "exactly the two cell-count exchanges:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both occupancy counts must fold map-side before their exchange:\n" + p)
+  }
+
+  test("q132: both windows and the run aggregation share ONE media-keyed exchange") {
+    val p = executed(MultimodalQueries.q132AudioSegments(spark, dir)).toString
+    assert(p.contains("graft_byte_energy"),
+      "frame energy must be the native codegen'd loop:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the media_id partitioning must serve the (media_id, silent) window " +
+        "and the run groupBy without re-shuffling:\n" + p)
+  }
 }
