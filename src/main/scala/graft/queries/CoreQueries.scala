@@ -889,7 +889,72 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+
+  /** q134_exists_chain — TPC-H Q21's correlated-subquery shape on this
+    * schema: suppliers who were the SOLE supplier with a returned item
+    * (`l_returnflag = 'R'`) in a finished multi-supplier order. The shape
+    * is the point: one EXISTS (another supplier participated) and one NOT
+    * EXISTS (no other supplier's item was returned) correlated on the same
+    * fact table — the hardest classic decorrelation pattern, completing
+    * the subquery family (q33 scalar-correlated, q17/q18 semi/anti).
+    *
+    * Spark-first decorrelation: both EXISTS become JOINS on the order key
+    * with the supplier inequality as a residual — LEFT SEMI for the
+    * existential, LEFT ANTI for the negation. All three lineitem branches
+    * shuffle on `l_orderkey` (one key for every exchange, the q76 rule),
+    * so at 100 TB this is three co-partitioned passes over the fact table
+    * and zero row multiplication: semi/anti joins emit each probe row at
+    * most once by construction — the EXISTS can never explode even when
+    * an order has thousands of lines. Supplier joins after the
+    * aggregation-sized residue; no SF-scaling broadcast is forced
+    * (Catalyst/AQE picks; the q5 discipline). */
+  def q134ExistsChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val l1 = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+    val fOrders = Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val others = li.select($"l_orderkey".as("o2_orderkey"),
+      $"l_suppkey".as("o2_suppkey"))
+    val othersR = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o3_orderkey"), $"l_suppkey".as("o3_suppkey"))
+    l1.join(fOrders, $"l_orderkey" === $"o_orderkey")
+      .join(others,
+        $"l_orderkey" === $"o2_orderkey" && $"l_suppkey" =!= $"o2_suppkey",
+        "left_semi")
+      .join(othersR,
+        $"l_orderkey" === $"o3_orderkey" && $"l_suppkey" =!= $"o3_suppkey",
+        "left_anti")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name").limit(20)
+  }
+
+  /** q134 oracle: the textbook EXISTS / NOT EXISTS formulation — the
+    * decorrelated join plan must match the declarative subquery answer. */
+  val q134Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_exists_chain" -> (q134ExistsChain _),
     "q126_jsonl_roundtrip" -> (q126JsonlRoundtrip _),
     "q125_avro_roundtrip" -> (q125AvroRoundtrip _),
     "q116_orc_scan" -> (q116OrcScan _),
@@ -919,6 +984,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_exists_chain" -> q134Sql,
     "q126_jsonl_roundtrip" -> q126Sql,
     "q125_avro_roundtrip" -> q125Sql,
     "q116_orc_scan" -> q116Sql,

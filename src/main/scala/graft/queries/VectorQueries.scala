@@ -934,7 +934,94 @@ object VectorQueries {
        |FROM p ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q135
+
+  /** q135_ivf_delta_insert — incremental maintenance of the frozen-IVF
+    * postings: per-cell postings counts after a crawl delta, computed at
+    * CHANGE-VOLUME cost. q102 established the discipline for the dedup
+    * index (O(|Δ|) admission, never O(N) re-index); this is the same
+    * contract for the ANN index, and together with q131 (occupancy-drift
+    * monitor) it closes the index lifecycle: serve (q30/q121) → maintain
+    * (here) → monitor (q131) → re-freeze when drifted (q64's k ≈ √N rule).
+    *
+    * Deterministic delta (the q78/q88/q131 discipline): arrivals — every
+    * `vec_id % 9 = 2` re-embedded (rotation by two dims, norm-preserving,
+    * cell-moving) and admitted under a NEW id (+100000); departures —
+    * `vec_id % 13 = 5` removed.
+    *
+    * The maintenance asymmetry is the point: only ARRIVALS are scored
+    * against the quantizer (the in-scan `graft_nearest_centroid` argmin,
+    * O(|Δ|·k)); departures resolve by ID against the stored assignment —
+    * no scoring, because a production index already holds (vec_id → cell)
+    * in its postings. The base-assignment pass in this self-contained gate
+    * stands in for reading that stored index (exactly q102's v1-index
+    * convention). Everything after the three counts is k-row algebra. */
+  def q135IvfDeltaInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = graft.vector.IvfFrozen.model
+    val e = Tables.embeddings(s, dir).select($"vec_id", dvec($"embedding").as("v"))
+    // stands in for the stored postings: (vec_id -> cell) is index state
+    val baseCells = e.select($"vec_id",
+      graft.vector.Ivf.cellOf($"v", model).as("cell"))
+    val arrivals = e.filter($"vec_id" % 9 === 2)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        concat(slice($"v", lit(3), size($"v") - 2), slice($"v", lit(1), lit(2))).as("v"))
+    val nBase = baseCells.groupBy($"cell").agg(count(lit(1)).as("n_base"))
+    val nAdd = arrivals
+      .select(graft.vector.Ivf.cellOf($"v", model).as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("n_added"))
+    val nRem = baseCells.filter($"vec_id" % 13 === 5)
+      .groupBy($"cell").agg(count(lit(1)).as("n_removed"))
+    nBase.join(nAdd, Seq("cell"), "full_outer")
+      .join(nRem, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_added", "n_removed"))
+      .select($"cell".cast("long").as("cell"), $"n_base", $"n_added", $"n_removed",
+        ($"n_base" + $"n_added" - $"n_removed").as("n_after"))
+      .orderBy($"cell")
+  }
+
+  /** q135 oracle: base + arrival assignment replayed from the literal
+    * centroid matrix (q30's fragments), the rotation in list algebra, and
+    * the same count algebra. */
+  def q135Sql: String = {
+    def sq(v: String, c: String) =
+      s"list_sum([($v[i]-$c[i])*($v[i]-$c[i]) for i in range(1, len($v)+1)])"
+    def assign(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT $src.vec_id, cents.cell,
+         |      row_number() OVER (PARTITION BY $src.vec_id
+         |                         ORDER BY ${sq(s"$src.v", "cents.c")}, cents.cell) AS rn
+         |    FROM $src CROSS JOIN cents) t WHERE rn = 1)""".stripMargin
+    s"""WITH cents(cell, c) AS (VALUES
+       |    $centroidValues),
+       |e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+       |arr AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |    list_concat(v[3:len(v)], v[1:2]) AS v
+       |  FROM e WHERE vec_id % 9 = 2),
+       |${assign("e", "base")},
+       |${assign("arr", "added")},
+       |nb AS (SELECT cell, count(*) AS n_base FROM base GROUP BY cell),
+       |na AS (SELECT cell, count(*) AS n_added FROM added GROUP BY cell),
+       |nr AS (SELECT cell, count(*) AS n_removed FROM base
+       |       WHERE vec_id % 13 = 5 GROUP BY cell),
+       |j AS (
+       |  SELECT coalesce(nb.cell, na.cell, nr.cell) AS cell,
+       |    coalesce(nb.n_base, 0) AS n_base,
+       |    coalesce(na.n_added, 0) AS n_added,
+       |    coalesce(nr.n_removed, 0) AS n_removed
+       |  FROM nb FULL OUTER JOIN na ON nb.cell = na.cell
+       |          FULL OUTER JOIN nr ON coalesce(nb.cell, na.cell) = nr.cell)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |  CAST(n_base AS BIGINT) AS n_base, CAST(n_added AS BIGINT) AS n_added,
+       |  CAST(n_removed AS BIGINT) AS n_removed,
+       |  CAST(n_base + n_added - n_removed AS BIGINT) AS n_after
+       |FROM j ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_ivf_delta_insert" -> (q135IvfDeltaInsert _),
     "q131_embedding_drift" -> (q131EmbeddingDrift _),
     "q121_ann_ivf_rerank" -> (q121AnnIvfRerank _),
     "q118_ann_rerank"   -> (q118AnnRerank _),
@@ -948,6 +1035,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q135_ivf_delta_insert" -> q135Sql,
     "q131_embedding_drift" -> q131Sql,
     "q121_ann_ivf_rerank" -> q121Sql,
     "q118_ann_rerank"   -> q118Sql,
