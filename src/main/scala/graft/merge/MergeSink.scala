@@ -56,14 +56,8 @@ final class MergeSink(
     // column order fixed by name so the hash is layout-independent; map-typed
     // columns are excluded (unhashable — their iteration order is undefined,
     // which is also why they could never break ties deterministically)
-    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-      case _ => false
-    }
     val hashable = all.schema.fields.toIndexedSeq
-      .filter(f => !hasMap(f.dataType))
+      .filter(f => !MergeSink.hasMap(f.dataType))
       .map(_.name).sorted.map(c => col(c))
     val contentHash =
       if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
@@ -104,5 +98,16 @@ final class MergeSink(
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) => merge(batch); () }
       .start()
+  }
+}
+
+object MergeSink {
+  /** Map-typed columns are unhashable (undefined iteration order) — shared
+    * by MergeSink and [[VersionedSink]]'s content-hash tie-break. */
+  private[merge] def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
   }
 }

@@ -319,6 +319,59 @@ object StreamQueries {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+
+  /** q136_time_travel — point-in-time reads on the
+    * [[graft.merge.VersionedSink]]: three change waves merge as versions
+    * 1→2→3, then the gate exports the table AS OF version 2 alongside the
+    * current state. Rows that version 3 later overwrote must RESURFACE
+    * exactly in the v2 read — the warehouse time-travel contract
+    * (`SELECT … FOR SYSTEM_TIME AS OF` semantics) on the manifest-pinned
+    * immutable-file layout.
+    *
+    * The oracle states the contract declaratively: as-of-v is latest-wins
+    * over the PREFIX of change waves ≤ v — history is just the merge law
+    * applied to a prefix, so the manifest machinery (fresh version dirs,
+    * bucket→writer maps, atomic manifest commit) is invisible in the
+    * result and fully replayable in SQL. VersionedSinkSpec covers what
+    * SQL can't see: vacuum retention, orphan-dir crash recovery, and
+    * per-version equivalence to a from-scratch MergeSink. */
+  def q136TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q136")
+    val changes = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_millis($"ts").as("ms"))
+    val sink = new graft.merge.VersionedSink(s, s"$root/t", "user_id",
+      Seq("ms", "event_id"), numBuckets = 32)
+    sink.merge(changes.filter($"event_id" % 3 === 0)) // version 1
+    sink.merge(changes.filter($"event_id" % 3 === 1)) // version 2
+    sink.merge(changes.filter($"event_id" % 3 === 2)) // version 3
+    val asOf2 = sink.read(2)
+      .select(lit(2L).as("version"), $"user_id", $"event_id",
+        $"event_type", $"value")
+    val current = sink.read()
+      .select(lit(3L).as("version"), $"user_id", $"event_id",
+        $"event_type", $"value")
+    asOf2.unionByName(current).orderBy($"version", $"user_id")
+  }
+
+  /** q136 oracle: as-of-v ≡ latest-wins over the wave prefix ≤ v. */
+  val q136Sql: String = {
+    def latest(version: Int, where: String) =
+      s"""SELECT $version AS version, user_id, event_id, event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |  FROM events $where) t WHERE rn = 1""".stripMargin
+    s"""SELECT CAST(version AS BIGINT) AS version, user_id, event_id,
+       |  event_type, value
+       |FROM (${latest(2, "WHERE event_id % 3 IN (0, 1)")}
+       |      UNION ALL
+       |      ${latest(3, "")})
+       |ORDER BY version, user_id""".stripMargin
+  }
+
   /** q85_stream_funnel — [[graft.streaming.EventStream.funnelProgress]]
     * (the stateful flatMapGroupsWithState operator) under the DRIVER gate,
     * the q31 pattern applied to cross-batch user state: the events table
@@ -823,6 +876,7 @@ object StreamQueries {
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
+    "q136_time_travel" -> (q136TimeTravel _),
     "q85_stream_funnel" -> (q85StreamFunnel _),
     "q86_stream_prep" -> (q86StreamPrep _))
 
@@ -836,6 +890,7 @@ object StreamQueries {
     "q123_dlq_replay" -> q123Sql,
     "q128_schema_evolution" -> q128Sql,
     "q34_merge_upsert" -> q34Sql,
+    "q136_time_travel" -> q136Sql,
     // the stateful streams must converge to their batch twins — same
     // contract, same SQL (see the q85/q86 scaladocs)
     "q85_stream_funnel" -> graft.queries.EventQueries.q76Sql,
