@@ -3397,7 +3397,75 @@ object TextQueries {
        |FROM prs GROUP BY pair
        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+
+  /** q137_shard_export — the training-data delivery last mile: q55's
+    * packed shards EXPORTED to files with a checksummed manifest, the
+    * artifact a training job actually consumes (and the only thing that
+    * lets a consumer verify, shard by shard, that what it downloaded is
+    * what the pipeline packed — the q125/q126 round-trip discipline
+    * applied to the delivery format).
+    *
+    * Each (lang, shard) becomes one JSON record whose `content` is the
+    * shard's doc inventory in doc_id order (`id:tokens|id:tokens|…` —
+    * deterministic under any partitioning: the order comes from an
+    * array_sort over collected structs, not from partition layout). The
+    * records are WRITTEN to disk and READ BACK, and the manifest —
+    * (lang, shard_id, n_docs, tot_tokens, content_md5) — is computed from
+    * the read-back rows, so the gate hashes the full write→read round
+    * trip, not just the in-engine plan. The oracle rebuilds the same
+    * inventory with an ordered string_agg and the same md5.
+    *
+    * Scale shape: one (lang, shard) aggregation (shard content is bounded
+    * by the 2048-token pack cap, so collect_list state is capped by
+    * construction); the export is one file write per shard — at 100 TB
+    * the manifest is the natural unit of retry/verification for a
+    * delivery of millions of shards. */
+  def q137ShardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q137")
+    val entries = q55PackShards(s, dir)
+      .select($"lang", $"shard_id", $"n_tokens",
+        struct($"doc_id",
+          concat($"doc_id".cast("string"), lit(":"), $"n_tokens".cast("string"))
+            .as("entry")).as("e"))
+    entries
+      .groupBy($"lang", $"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tot_tokens"),
+        concat_ws("|", transform(array_sort(collect_list($"e")),
+          x => x.getField("entry"))).as("content"))
+      .write.mode("overwrite").json(s"$root/shards")
+    s.read
+      .schema("lang STRING, shard_id LONG, n_docs LONG, tot_tokens LONG, content STRING")
+      .json(s"$root/shards")
+      .select($"lang", $"shard_id", $"n_docs", $"tot_tokens",
+        md5($"content".cast("binary")).as("content_md5"))
+      .orderBy($"lang", $"shard_id")
+  }
+
+  /** q137 oracle: q55's packing + an ordered string_agg inventory + md5 —
+    * the export round trip must be invisible in the manifest. */
+  val q137Sql: String =
+    s"""WITH counted AS (
+       |  SELECT doc_id, lang, CAST(len($Toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM counted),
+       |sh AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(floor(tokens_before / 2048) AS BIGINT) AS shard_id
+       |  FROM cum)
+       |SELECT lang, shard_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |  md5(string_agg(doc_id || ':' || n_tokens, '|' ORDER BY doc_id)) AS content_md5
+       |FROM sh GROUP BY lang, shard_id
+       |ORDER BY lang, shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_shard_export"  -> (q137ShardExport _),
     "q129_leakage_split" -> (q129LeakageSplit _),
     "q130_bpe_merges"    -> (q130BpeMerges _),
     "q119_survivorship" -> (q119Survivorship _),
@@ -3451,6 +3519,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q137_shard_export"  -> q137Sql,
     "q129_leakage_split" -> q129Sql,
     "q130_bpe_merges"    -> q130Sql,
     "q119_survivorship" -> q119Sql,
