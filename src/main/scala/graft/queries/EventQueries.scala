@@ -1132,7 +1132,75 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+
+  /** q138_scd2_join — slowly-changing-dimension (Type 2) enrichment: every
+    * event joins the dimension VERSION that was valid at its event time.
+    * q44 is the event-to-event as-of join; this is its dimension flavor —
+    * the "which segment was this customer in WHEN the event happened"
+    * question that naive `fact ⋈ current_dim` answers wrongly for any
+    * backfill or late event.
+    *
+    * Dimension versions are deterministic: three per customer (v = 0,1,2),
+    * valid from Jan 1 / 11 / 21 (the events table's own 30-day span, so
+    * every version is exercised), attribute `seg_ver = mktsegment#v`.
+    *
+    * Spark-first shape is q44's single-shuffle carry-forward, NOT a
+    * range join: dim-version rows and event rows union into ONE stream,
+    * partition by the customer key, order by (ms, kind) — dim sorts
+    * before events at equal ms, making the validity bound inclusive —
+    * and a last-non-null window carries each customer's newest
+    * at-or-before version onto every event row. One exchange total;
+    * per-key window state is O(1); no row multiplication ever (contrast
+    * the valid_ms ≤ ms join, which multiplies every event by its
+    * candidate versions before pruning — the oracle states THAT form
+    * declaratively, the plan never builds it). */
+  def q138Scd2Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC, the corpus epoch
+    val step = 864000000L     // 10 days
+    val dimv = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment",
+        explode(array(lit(0L), lit(1L), lit(2L))).as("v"))
+      .select($"c_custkey".as("k"), (lit(base) + $"v" * step).as("ms"),
+        lit(0).as("kind"), $"v",
+        concat($"c_mktsegment", lit("#"), $"v").as("seg_ver"),
+        lit(null).cast("long").as("event_id"))
+    val ev = Tables.events(s, dir)
+      .select($"user_id".as("k"), unix_millis($"ts").as("ms"),
+        lit(1).as("kind"), lit(null).cast("long").as("v"),
+        lit(null).cast("string").as("seg_ver"), $"event_id")
+    val w = Window.partitionBy($"k").orderBy($"ms", $"kind", $"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dimv.unionByName(ev)
+      .withColumn("cur_v", last($"v", ignoreNulls = true).over(w))
+      .withColumn("cur_seg", last($"seg_ver", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"cur_seg".isNotNull)
+      .select($"event_id", $"k".as("user_id"), $"cur_v".as("version"),
+        $"cur_seg".as("seg_ver"))
+      .orderBy($"event_id")
+  }
+
+  /** q138 oracle: the declarative SCD-2 form — newest version with
+    * valid_ms ≤ event ms per event. */
+  val q138Sql: String =
+    """WITH dimv AS (
+      |  SELECT c_custkey, CAST(u.v AS BIGINT) AS v,
+      |    c_mktsegment || '#' || u.v AS seg_ver,
+      |    1704067200000 + u.v * 864000000 AS valid_ms
+      |  FROM customer, UNNEST([0, 1, 2]) AS u(v)),
+      |ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+      |j AS (
+      |  SELECT e.event_id, e.user_id, d.v, d.seg_ver,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY d.valid_ms DESC) AS rn
+      |  FROM ev e JOIN dimv d
+      |    ON d.c_custkey = e.user_id AND d.valid_ms <= e.ms)
+      |SELECT event_id, user_id, v AS version, seg_ver
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_scd2_join" -> (q138Scd2Join _),
     "q133_rate_anomaly" -> (q133RateAnomaly _),
     "q113_grouped_topk" -> (q113GroupedTopK _),
     "q101_salted_join" -> (q101SaltedJoin _),
@@ -1161,6 +1229,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_scd2_join" -> q138Sql,
     "q133_rate_anomaly" -> q133Sql,
     "q113_grouped_topk" -> q113Sql,
     "q101_salted_join" -> q101Sql,
