@@ -889,6 +889,283 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+
+  /** q144_triangles — exact triangle census of the part co-purchase graph
+    * (parts sharing an order), via DEGREE-ORDERED orientation: each
+    * undirected edge points from its (degree, id)-smaller endpoint, wedges
+    * enumerate only at their lowest-degree vertex, and a wedge closes iff
+    * the oriented closing edge exists. The classic distributed-join
+    * triangle algorithm (Suri & Vassilvitskii's MR-friendly orientation,
+    * WWW'11; Cohen's MapReduce graph-twiddling): orientation caps
+    * per-vertex out-degree at ~O(√E), so wedge work is Σ outdeg² bounded
+    * — the hub that would generate deg² wedges under naive enumeration
+    * generates almost none, because high-degree vertices point INTO it.
+    * Completes the graph family: q99 components, q139 rank flow, q144
+    * motif counting.
+    *
+    * Scale shape: the pair generation is a CO-PARTITIONED self-join on
+    * l_orderkey (basket-bounded: C(lines-per-order, 2) pairs per order —
+    * at unbounded basket sizes, cap per-basket items first, the q104
+    * discipline); the edge and oriented-adjacency relations are built
+    * once and localCheckpoint-pinned for their reuses (q139's rule);
+    * wedge join co-partitions on the center vertex; the closing probe is
+    * one (x, y)-keyed join. Everything integer, everything exact. */
+  def q144Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val e = li.join(li.toDF("o2", "p2"),
+        $"l_orderkey" === $"o2" && $"l_partkey" < $"p2")
+      .select($"l_partkey".as("u"), $"p2".as("v"))
+      .distinct().localCheckpoint()
+    val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val uFirst = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    val o = e.join(deg.toDF("nu", "du"), $"u" === $"nu")
+      .join(deg.toDF("nv", "dv"), $"v" === $"nv")
+      .select(when(uFirst, $"u").otherwise($"v").as("src"),
+        when(uFirst, $"v").otherwise($"u").as("dst"))
+    val od = o.join(deg.toDF("nd", "dd"), $"dst" === $"nd")
+      .select($"src", $"dst", $"dd").localCheckpoint()
+    val w = od.toDF("s1", "x", "dx").join(od.toDF("s2", "y", "dy"),
+        $"s1" === $"s2" && ($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y")))
+      .select($"x", $"y")
+    // one wedge pass answers both counts: LEFT-join the closing edge
+    // (unique per (src, dst) by construction) and fold count + hit-sum in
+    // a single aggregation — the semi-join formulation would run the
+    // wedge join twice, once per count
+    val wt = w.join(o.select($"src".as("cx"), $"dst".as("cy"),
+        lit(1L).as("hit")),
+        $"x" === $"cx" && $"y" === $"cy", "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum($"hit"), lit(0L)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wt)
+  }
+
+  /** q144 oracle: the same orientation spelled declaratively — the count
+    * must equal the unordered three-way self-join's. */
+  val q144Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      |              THEN e.u ELSE e.v END AS src,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      |              THEN e.v ELSE e.u END AS dst
+      |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      |od AS (SELECT o.src, o.dst, d.d AS dd FROM o JOIN deg d ON o.dst = d.node),
+      |w AS (
+      |  SELECT o1.dst AS x, o2.dst AS y FROM od o1 JOIN od o2
+      |    ON o1.src = o2.src
+      |   AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst)))
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM w
+      |        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.x AND o.dst = w.y))
+      |         AS n_triangles""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+
+  /** q143_table_checksum — order-independent replica-consistency
+    * fingerprints: every row hashes to a 60-bit integer (md5 of a
+    * canonical field encoding), and each table exports 16 bucket-level
+    * (count, Σ hash) pairs. Two replicas of a 100 TB table compare in one
+    * scan each with NO sort, NO shuffle of data rows, and no row
+    * transfer — equal checksums ⇒ equal multisets of rows (60-bit
+    * collision odds), and a mismatch localizes to a bucket holding 1/16th
+    * of the keyspace. This is the cross-site verification step after any
+    * migration/backfill/CDC catch-up (the reference's MySQL→BigQuery
+    * pipeline ends exactly here: "did every row arrive?"), done the only
+    * way that scales — commutative aggregation.
+    *
+    * Engine-exact: the canonical string fixes column order, '|'
+    * separators, e2 integer-grid renderings for doubles, epoch-ms for
+    * timestamps, and md5(text) for unbounded content; the 60-bit lane is
+    * the q124 hex-parse; bucket sums are exact DECIMAL(38,0) (HUGEINT in
+    * the oracle), exported as strings. Commutative+exact ⇒ any partition
+    * order, any cluster width, same fingerprint. */
+  def q143TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def fp(name: String, df: DataFrame, canon: Column): DataFrame =
+      df.select(conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .select(lit(name).as("tbl"), ($"h" % 16).as("bucket"), $"h")
+        .groupBy($"tbl", $"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum($"h".cast(DecimalType(38, 0))).cast("string").as("checksum"))
+    val li = fp("lineitem", Tables.lineitem(s, dir), concat_ws("|",
+      $"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+      floor($"l_quantity" * 100 + 0.5).cast("long"),
+      floor($"l_extendedprice" * 100 + 0.5).cast("long"),
+      floor($"l_discount" * 100 + 0.5).cast("long"),
+      $"l_returnflag", $"l_linestatus", unix_millis($"l_shipdate")))
+    val ord = fp("orders", Tables.orders(s, dir), concat_ws("|",
+      $"o_orderkey", $"o_custkey", $"o_orderstatus",
+      floor($"o_totalprice" * 100 + 0.5).cast("long"),
+      unix_millis($"o_orderdate"), $"o_orderpriority"))
+    val doc = fp("documents", Tables.documents(s, dir), concat_ws("|",
+      $"doc_id", $"lang", $"source", $"n_chars",
+      md5($"text".cast("binary"))))
+    li.unionByName(ord).unionByName(doc).orderBy($"tbl", $"bucket")
+  }
+
+  /** q143 oracle: identical canonical encoding, lane parse, and bucket
+    * sums (HUGEINT exact), stringified. */
+  val q143Sql: String = {
+    def fp(name: String, from: String, canon: String) =
+      s"""SELECT '$name' AS tbl, h % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(h) AS VARCHAR) AS checksum
+         |FROM (SELECT CAST(('0x' || substr(md5($canon), 1, 15)) AS BIGINT) AS h
+         |      FROM $from)
+         |GROUP BY 1, 2""".stripMargin
+    val liCanon = """concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+      | l_linenumber, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT),
+      | CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+      | CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+      | l_returnflag, l_linestatus, epoch_ms(l_shipdate))""".stripMargin
+      .replaceAll("\n", "")
+    val ordCanon = """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      | CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+      | epoch_ms(o_orderdate), o_orderpriority)""".stripMargin
+      .replaceAll("\n", "")
+    val docCanon = "concat_ws('|', doc_id, lang, source, n_chars, md5(text))"
+    s"""${fp("lineitem", "lineitem", liCanon)}
+       |UNION ALL
+       |${fp("orders", "orders", ordCanon)}
+       |UNION ALL
+       |${fp("documents", "documents", docCanon)}
+       |ORDER BY tbl, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q141
+
+  /** q141_xml_roundtrip — the XML path under the oracle gate, completing
+    * the format family (parquet q29/q120, ORC q116, CSV q117, Avro q125,
+    * JSONL q126): documents written with Spark 4's built-in XML source
+    * (one `<doc>` element per row) and read back under an explicit schema,
+    * identity columns plus a content md5 hash-pinned against the parquet
+    * original. What XML exercises beyond JSONL: entity escaping
+    * (`&amp;`/`&lt;` survive by construction) and markup-embedded field
+    * addressing — the legacy-feed interchange (sitemaps, RSS/Atom, SOAP
+    * exports) a crawl-ingestion pipeline still meets.
+    *
+    * Explicit schema, never inference (q126's rule: inference is an extra
+    * full pass and a drifting type is silent corruption). Data contract:
+    * XML 1.0 cannot carry control characters and the default reader trims
+    * element-edge whitespace — both vacuous on this corpus (profiled: no
+    * control chars, no edge whitespace) and stated here as the format's
+    * documented limitation vs JSONL, not a silent behavior.
+    *
+    * Scale shape: embarrassingly parallel per-file text write/read, no
+    * shuffle before the output sort; XML's ~3× size overhead is the cost
+    * of the interchange — internal hops stay parquet. */
+  def q141XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q141")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(s"$root/docs_xml")
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("rowTag", "doc")
+      .format("xml").load(s"$root/docs_xml")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        length($"text").as("len_rt"),
+        md5($"text".cast("binary")).as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** q141 oracle: the round trip must be invisible — identical to q126's
+    * identity gate over the parquet original. */
+  val q141Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  length(text) AS len_rt, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+
+  /** q139_pagerank — fixed-iteration PageRank over the customer↔supplier
+    * trade graph (distinct (o_custkey, l_suppkey) pairs via
+    * orders⋈lineitem, symmetrized so every node has out-degree ≥ 1 and no
+    * dangling mass exists). The iterative-graph-algorithm capability the
+    * surface lacked next to q99's connected components: rank flows along
+    * co-partitioned edge joins, the canonical "many rounds over one big
+    * edge relation" workload (GraphX/Pregel's shape, here in plain
+    * DataFrame algebra).
+    *
+    * Engine-exact formulation: ranks live on the e6 integer grid
+    * (rank_0 = 1e6 per node). One step is
+    * `pr'(v) = 150000 + (85 · Σ_{u→v} (pr(u) div outdeg(u))) div 100` —
+    * damping 0.85 in integer arithmetic, every contribution an exact
+    * int64 floor-division, every sum exact int64 — so a 1000-executor
+    * shuffle order and DuckDB's single-threaded fold agree bit-for-bit,
+    * and T=5 unrolled steps stay exact end-to-end.
+    *
+    * Scale shape: the edge relation is built ONCE and localCheckpoint-ed
+    * (the GraphX pattern — iterative algorithms pin their edges; ~O(E)
+    * executor storage, never driver memory), pre-partitioned on `src` so
+    * all five rank joins reuse one partitioning. Each step is one O(E)
+    * co-partitioned join + one (dst)-keyed partial agg; rank state is
+    * O(V). No collects, no broadcasts that grow with SF. */
+  def q139PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
+      .distinct()
+    val edges = pairs.select($"cu".as("src"), $"su".as("dst"))
+      .unionByName(pairs.select($"su".as("src"), $"cu".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // Edge relation with out-degrees, pinned once for the 5 reuses below —
+    // bounded by |E| on executors (the iterative-graph contract, q52's
+    // localCheckpoint discipline).
+    val eo = edges.join(deg, "src").repartition($"src").localCheckpoint()
+    var pr = deg.select($"src".as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 5) {
+      pr = eo.join(pr, eo("src") === pr("node"))
+        .select($"dst", expr("pr div outdeg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("m"))
+        .select($"dst".as("node"), expr("150000 + (85 * m) div 100").as("pr"))
+    }
+    pr.select($"node", $"pr".as("pr_e6")).orderBy($"node")
+  }
+
+  /** q139 oracle: the five steps unrolled as chained CTEs — identical
+    * integer floor-division formula text in both engines. */
+  val q139Sql: String = {
+    val step = (i: Int, prev: String) =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN $prev r ON e.src = r.node GROUP BY e.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cu AS src, su AS dst FROM pairs
+       |  UNION ALL SELECT su AS src, cu AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |${step(1, "r0")},
+       |${step(2, "r1")},
+       |${step(3, "r2")},
+       |${step(4, "r3")},
+       |${step(5, "r4")}
+       |SELECT node, pr AS pr_e6 FROM r5 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q134
 
   /** q134_exists_chain — TPC-H Q21's correlated-subquery shape on this
@@ -954,6 +1231,10 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_triangles" -> (q144Triangles _),
+    "q143_table_checksum" -> (q143TableChecksum _),
+    "q141_xml_roundtrip" -> (q141XmlRoundtrip _),
+    "q139_pagerank" -> (q139PageRank _),
     "q134_exists_chain" -> (q134ExistsChain _),
     "q126_jsonl_roundtrip" -> (q126JsonlRoundtrip _),
     "q125_avro_roundtrip" -> (q125AvroRoundtrip _),
@@ -984,6 +1265,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_triangles" -> q144Sql,
+    "q143_table_checksum" -> q143Sql,
+    "q141_xml_roundtrip" -> q141Sql,
+    "q139_pagerank" -> q139Sql,
     "q134_exists_chain" -> q134Sql,
     "q126_jsonl_roundtrip" -> q126Sql,
     "q125_avro_roundtrip" -> q125Sql,

@@ -1132,6 +1132,71 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+
+  /** q140_gap_fill — time-series resample onto the dense hour grid with
+    * forward-fill: per event type, every hour in the corpus's global
+    * [min, max] hour range becomes a row (observed or not), missing hours
+    * carry the most recent OBSERVED hour's value sum plus their staleness
+    * age. This is the metrics/sensor-resampling op every monitoring and
+    * feature-engineering pipeline needs (q133 z-scores the observed
+    * series; this one makes the series dense so downstream windows and
+    * joins can assume a complete calendar).
+    *
+    * Spark-first shape: the corpus collapses map-side in ONE (type, hour)
+    * partial-agg shuffle (the q94/q133 class); the dense grid is generated
+    * from a 1-row global-bounds aggregate BROADCAST onto the distinct
+    * types and `sequence()`-exploded — grid cardinality is
+    * |types|·|hours|, a property of the time span and not of the corpus
+    * volume, so at 100 TB the grid is still a few thousand rows and the
+    * gap-fill window runs per type over its own dense series. Value sums
+    * ride the e2 integer grid (exact under any shuffle order); the
+    * forward-fill is `last(_, ignoreNulls)` over the running frame —
+    * single pass, O(1) state per type. */
+  def q140GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.events(s, dir)
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("hr"), $"value")
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * 100 + 0.5).cast("long")).as("v2"))
+    val bounds = h.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+    val grid = Tables.events(s, dir).select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("hr"))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(h, Seq("event_type", "hr"), "left")
+      .select($"event_type", $"hr",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"v2", ignoreNulls = true).over(w).as("filled_v2"),
+        ($"hr" - last(when($"v2".isNotNull, $"hr"), ignoreNulls = true).over(w))
+          .as("gap_age"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  /** q140 oracle: identical grid bounds, fill rule, and staleness age. */
+  val q140Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v2
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+      |g AS (
+      |  SELECT t.event_type, UNNEST(generate_series(b.lo, b.hi)) AS hr
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b),
+      |j AS (
+      |  SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n, h.v2
+      |  FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hr = h.hr)
+      |SELECT event_type, hr, CAST(n AS BIGINT) AS n,
+      |  last_value(v2 IGNORE NULLS) OVER w AS filled_v2,
+      |  hr - last_value(CASE WHEN v2 IS NOT NULL THEN hr END IGNORE NULLS)
+      |         OVER w AS gap_age
+      |FROM j
+      |WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, hr""".stripMargin
+
   // ---------------------------------------------------------------- q138
 
   /** q138_scd2_join — slowly-changing-dimension (Type 2) enrichment: every
@@ -1200,6 +1265,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_gap_fill" -> (q140GapFill _),
     "q138_scd2_join" -> (q138Scd2Join _),
     "q133_rate_anomaly" -> (q133RateAnomaly _),
     "q113_grouped_topk" -> (q113GroupedTopK _),
@@ -1229,6 +1295,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_gap_fill" -> q140Sql,
     "q138_scd2_join" -> q138Sql,
     "q133_rate_anomaly" -> q133Sql,
     "q113_grouped_topk" -> q113Sql,

@@ -372,6 +372,73 @@ object StreamQueries {
        |ORDER BY version, user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q142
+
+  /** q142_version_diff — the change-data-feed read on the
+    * [[graft.merge.VersionedSink]]: "what changed between version a and
+    * version b" as a first-class query, completing the lakehouse triad
+    * (q136 reads a version, q138 joins versions onto facts, this one
+    * DIFFS versions — the contract an incremental consumer reads instead
+    * of re-scanning the full table). q136's three change waves build
+    * versions 1→2→3; the gate exports the v1→v3 diff: `insert` rows
+    * (key absent at v1) and `update` rows (key present, payload moved),
+    * each with old/new payloads side by side. A latest-wins upsert sink
+    * never deletes, so the delete class is impossible BY CONSTRUCTION
+    * here — stated, not silently absent (the delete path lives in the CDC
+    * `__deleted` rewrite, O4).
+    *
+    * Scale shape: both version reads are manifest-pinned partition-pruned
+    * unions (the q136 machinery); the diff is ONE full-outer join on the
+    * bucket key both sides are already bucketed by, then a row-level
+    * payload comparison — no window, no second shuffle. Diff cardinality
+    * is change volume between the versions, not table size. */
+  def q142VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q142")
+    val changes = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_millis($"ts").as("ms"))
+    val sink = new graft.merge.VersionedSink(s, s"$root/t", "user_id",
+      Seq("ms", "event_id"), numBuckets = 32)
+    sink.merge(changes.filter($"event_id" % 3 === 0)) // version 1
+    sink.merge(changes.filter($"event_id" % 3 === 1)) // version 2
+    sink.merge(changes.filter($"event_id" % 3 === 2)) // version 3
+    val old = sink.read(1)
+      .select($"user_id", $"event_id".as("old_event_id"),
+        $"value".as("old_value"))
+    val cur = sink.read(3)
+      .select($"user_id", $"event_id".as("new_event_id"),
+        $"value".as("new_value"))
+    cur.join(old, Seq("user_id"), "left")
+      .filter($"old_event_id".isNull || $"old_event_id" =!= $"new_event_id")
+      .select($"user_id",
+        when($"old_event_id".isNull, lit("insert")).otherwise(lit("update"))
+          .as("change_type"),
+        $"old_event_id", $"old_value", $"new_event_id", $"new_value")
+      .orderBy($"user_id")
+  }
+
+  /** q142 oracle: latest-wins over wave prefixes ≤1 and ≤3, left-joined
+    * and classified — the manifest machinery must be invisible. */
+  val q142Sql: String = {
+    def latest(where: String) =
+      s"""SELECT user_id, event_id, value FROM (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+         |  FROM events $where) t WHERE rn = 1""".stripMargin
+    s"""WITH v1 AS (${latest("WHERE event_id % 3 = 0")}),
+       |v3 AS (${latest("")})
+       |SELECT v3.user_id,
+       |  CASE WHEN v1.event_id IS NULL THEN 'insert' ELSE 'update' END
+       |    AS change_type,
+       |  v1.event_id AS old_event_id, v1.value AS old_value,
+       |  v3.event_id AS new_event_id, v3.value AS new_value
+       |FROM v3 LEFT JOIN v1 ON v3.user_id = v1.user_id
+       |WHERE v1.event_id IS NULL OR v1.event_id <> v3.event_id
+       |ORDER BY v3.user_id""".stripMargin
+  }
+
   /** q85_stream_funnel — [[graft.streaming.EventStream.funnelProgress]]
     * (the stateful flatMapGroupsWithState operator) under the DRIVER gate,
     * the q31 pattern applied to cross-batch user state: the events table
@@ -865,6 +932,7 @@ object StreamQueries {
        |ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_version_diff" -> (q142VersionDiff _),
     "q114_stream_enrich" -> (q114StreamEnrich _),
     "q110_stream_window" -> (q110StreamWindow _),
     "q107_stream_dedup" -> (q107StreamDedup _),
@@ -881,6 +949,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q142_version_diff" -> q142Sql,
     "q114_stream_enrich" -> q114Sql,
     "q110_stream_window" -> q110Sql,
     "q107_stream_dedup" -> q107Sql,
