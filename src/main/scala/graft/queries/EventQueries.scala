@@ -1132,6 +1132,72 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+
+  /** q146_group_trend — per-group ordinary-least-squares trend: for each
+    * event type, the OLS slope/intercept of its hourly event count over
+    * the hour index. The grouped-regression capability (is traffic for
+    * this type growing, and how fast?) that turns q133's point anomalies
+    * and q140's dense series into a direction — the statistical-modeling
+    * primitive warehouses express as REGR_SLOPE/REGR_INTERCEPT.
+    *
+    * Engine-exact closed form: with c, Σx, Σy, Σxy, Σx² as exact int64
+    * sums over the per-type series (x = hour − the type's first hour, so
+    * magnitudes stay small), slope = (c·Σxy − Σx·Σy)/(c·Σx² − (Σx)²) and
+    * intercept = (Σy·Σx² − Σx·Σxy)/(same denominator) — integer
+    * numerators and denominator, ONE IEEE division each floored onto the
+    * e6 grid with identical formula text both engines (q133's rule;
+    * `div` is avoided because the numerator can be negative and
+    * truncation ≠ floor there). Types with fewer than 2 observed hours
+    * export NULL — stated in the oracle.
+    *
+    * Scale shape: the corpus collapses map-side in ONE (type, hour)
+    * partial-agg shuffle; the regression folds |hours| rows per type to
+    * five sums — at 100 TB the window never sees raw events, only the
+    * pre-aggregated series (the q133/q140 class). */
+  def q146GroupTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.events(s, dir)
+      .select($"event_type", expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("y"))
+    val x = $"hr" - min($"hr").over(Window.partitionBy($"event_type"))
+    h.withColumn("x", x)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("c"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"c",
+        when($"c" >= 2, floor(lit(1000000.0) * ($"c" * $"sxy" - $"sx" * $"sy") /
+          ($"c" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("slope_e6"),
+        when($"c" >= 2, floor(lit(1000000.0) * ($"sy" * $"sxx" - $"sx" * $"sxy") /
+          ($"c" * $"sxx" - $"sx" * $"sx").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("intercept_e6"))
+      .orderBy($"event_type")
+  }
+
+  /** q146 oracle: identical hour grid, per-type x re-basing, integer
+    * sums, and single-division e6 floors. */
+  val q146Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT event_type, hr - min(hr) OVER (PARTITION BY event_type) AS x, y
+      |  FROM h),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT event_type, c,
+      |  CASE WHEN c >= 2 THEN CAST(floor(1000000.0 * (c * sxy - sx * sy)
+      |    / CAST(c * sxx - sx * sx AS DOUBLE)) AS BIGINT) ELSE NULL END
+      |    AS slope_e6,
+      |  CASE WHEN c >= 2 THEN CAST(floor(1000000.0 * (sy * sxx - sx * sxy)
+      |    / CAST(c * sxx - sx * sx AS DOUBLE)) AS BIGINT) ELSE NULL END
+      |    AS intercept_e6
+      |FROM sums ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q140
 
   /** q140_gap_fill — time-series resample onto the dense hour grid with
@@ -1265,6 +1331,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_group_trend" -> (q146GroupTrend _),
     "q140_gap_fill" -> (q140GapFill _),
     "q138_scd2_join" -> (q138Scd2Join _),
     "q133_rate_anomaly" -> (q133RateAnomaly _),
@@ -1295,6 +1362,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_group_trend" -> q146Sql,
     "q140_gap_fill" -> q140Sql,
     "q138_scd2_join" -> q138Sql,
     "q133_rate_anomaly" -> q133Sql,

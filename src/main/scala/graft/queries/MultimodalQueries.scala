@@ -405,7 +405,73 @@ object MultimodalQueries {
       |FROM rk GROUP BY media_id, silent, run_key
       |ORDER BY media_id, start_frame""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+
+  /** q145_scene_cuts — shot-boundary detection on the visual modality:
+    * a cut is a frame whose MEAN byte energy jumps ≥ 5.0/byte against the
+    * previous sampled frame. q132 segments by absolute level (silence
+    * islands); this is its temporal-DELTA dual — the standard first pass
+    * of video understanding (shot boundaries feed scene-level sampling,
+    * dedup, and captioning budgets), here over the same deterministic
+    * byte-frame stand-in as q84/q132 (the real pixel decode is the
+    * documented container limitation; the Spark-side plumbing is real).
+    *
+    * Engine-exact: the mean-delta comparison is CROSS-MULTIPLIED —
+    * `|e·pn − pe·n| · 10 ≥ 50 · n · pn` — so the flag never divides;
+    * the exported magnitude divides once onto the e6 grid with identical
+    * formula text both engines (floor of an exact-int64 ratio, q133's
+    * convention). Threshold 5.0/byte sits at the corpus's p90 transition
+    * delta (profiled), so cuts are sparse but present at every SF.
+    *
+    * Scale shape: ONE media-keyed exchange for the lag window; the
+    * energy pass is the native codegen'd `graft_byte_energy` scan
+    * (content-proportional, no shuffle); only cut rows export. */
+  def q145SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      s, Tables.documents(s, dir))
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    graft.multimodal.Multimodal
+      .sampleFrames(media, frameBytes = 64, everyK = 4)
+      .select($"media_id", $"frame_idx",
+        length($"frame").cast("long").as("n"),
+        call_function("graft_byte_energy", $"frame").as("en"))
+      .withColumn("pn", lag($"n", 1).over(w))
+      .withColumn("pen", lag($"en", 1).over(w))
+      .filter($"pn".isNotNull &&
+        abs($"en" * $"pn" - $"pen" * $"n") * 10 >= lit(50L) * $"n" * $"pn")
+      .select($"media_id", $"frame_idx",
+        floor(lit(1000000.0) * abs($"en" * $"pn" - $"pen" * $"n") /
+          ($"n" * $"pn").cast("double")).cast("long").as("delta_e6"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** q145 oracle: q132's frame/energy replay, the lag pair, the
+    * cross-multiplied flag, and the single e6 division. */
+  val q145Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_idx,
+      |    substring(text, CAST(u.i * 64 + 1 AS INT), 64) AS fr
+      |  FROM documents,
+      |    UNNEST(range(0, (len(text) + 63) // 64)) AS u(i)
+      |  WHERE u.i % 4 = 0),
+      |e AS (
+      |  SELECT media_id, frame_idx, CAST(len(fr) AS BIGINT) AS n,
+      |    CAST(list_sum([unicode(c) for c in string_split_regex(fr, '')]) AS BIGINT) AS en
+      |  FROM f),
+      |d AS (
+      |  SELECT media_id, frame_idx, n, en,
+      |    lag(n) OVER w AS pn, lag(en) OVER w AS pen
+      |  FROM e WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+      |SELECT media_id, frame_idx,
+      |  CAST(floor(1000000.0 * abs(en * pn - pen * n)
+      |       / CAST(n * pn AS DOUBLE)) AS BIGINT) AS delta_e6
+      |FROM d
+      |WHERE pn IS NOT NULL AND abs(en * pn - pen * n) * 10 >= 50 * n * pn
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_scene_cuts" -> (q145SceneCuts _),
     "q132_audio_segments" -> (q132AudioSegments _),
     "q28_media_meta"    -> (q28MediaMeta _),
     "q84_frame_sample"  -> (q84FrameSample _),
@@ -416,6 +482,7 @@ object MultimodalQueries {
     "q127_image_neardup" -> (q127ImageNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q145_scene_cuts" -> q145Sql,
     "q132_audio_segments" -> q132Sql,
     "q28_media_meta"    -> q28Sql,
     "q84_frame_sample"  -> q84Sql,
