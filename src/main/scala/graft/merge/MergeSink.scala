@@ -24,7 +24,8 @@ final class MergeSink(
     tableDir: String,
     keyCol: String,
     orderCols: Seq[String],
-    numBuckets: Int = 64) {
+    numBuckets: Int = 64,
+    tombstoneCol: Option[String] = None) {
 
   private val partCol = "__part"
 
@@ -80,9 +81,29 @@ final class MergeSink(
       .parquet(tableDir)
   }
 
-  /** Current table state (without the internal partition column). */
-  def read(): DataFrame =
-    spark.read.parquet(tableDir).drop(partCol)
+  /** Current table state (without the internal partition column). When a
+    * `tombstoneCol` is configured (the O4 CDC `__deleted` STRING contract),
+    * keys whose LATEST change is a delete are excluded — but the tombstone
+    * row itself stays STORED, which is what keeps the merge idempotent
+    * under replay: an upstream re-delivery of a pre-delete upsert loses to
+    * the retained tombstone instead of resurrecting the key (the Kafka
+    * log-compaction / Cassandra tombstone recipe). */
+  def read(): DataFrame = {
+    val t = spark.read.parquet(tableDir).drop(partCol)
+    tombstoneCol.map(c => t.filter(col(c) =!= "true")).getOrElse(t)
+  }
+
+  /** Physically drop tombstone rows — the compaction horizon decision.
+    * Full-table rewrite (run rarely, like any compaction): after a purge,
+    * a replay of a PRE-delete change would resurrect its key, so purge
+    * only once the upstream replay window has passed. No-op without a
+    * configured `tombstoneCol`. */
+  def purgeTombstones(): Unit = tombstoneCol.foreach { c =>
+    val live = spark.read.parquet(tableDir)
+      .filter(col(c) =!= "true").localCheckpoint(true)
+    live.write.partitionBy(partCol)
+      .mode(SaveMode.Overwrite).parquet(tableDir)
+  }
 
   /** O25: backfill-then-stream. The batch snapshot is merged first (the
     * `--backfill-all` initial load), then the change stream is applied per

@@ -372,6 +372,70 @@ object StreamQueries {
        |ORDER BY version, user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q147
+
+  /** q147_cdc_delete_merge — the CDC DELETE path landing in the merge
+    * sink: O4 rewrites source deletes as rows with `__deleted = 'true'`
+    * (STRING, the Debezium-transform contract), and the sink must make
+    * the key disappear — while staying idempotent under upstream replay.
+    * The recipe is tombstone retention (Kafka log-compaction /
+    * Cassandra): the delete row WINS latest-wins and is STORED, `read()`
+    * filters it, and a replayed pre-delete upsert loses to the retained
+    * tombstone instead of resurrecting the key. `purgeTombstones()` is
+    * the separate compaction-horizon decision (MergeSinkSpec covers
+    * replay/revival/purge laws; this gate covers the end state).
+    *
+    * The gate: every user's events flow as upserts in two waves; users
+    * with `user_id % 7 = 3` get a delete envelope stamped AFTER their
+    * last event. Exported state = latest event per surviving user — the
+    * deleted seventh is gone, everyone else unaffected.
+    *
+    * Scale shape: identical to q34 (touched-bucket dynamic overwrite,
+    * change-volume cost); the tombstone filter is a partition-local
+    * predicate on read. */
+  def q147CdcDeleteMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q147")
+    val changes = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_millis($"ts").as("ms"), lit("false").as("__deleted"))
+    val deletes = changes.filter($"user_id" % 7 === 3)
+      .groupBy($"user_id")
+      .agg((max($"ms") + 1).as("ms"))
+      .select($"user_id", lit(-1L).as("event_id"),
+        lit("__del").as("event_type"), lit(0.0).as("value"), $"ms",
+        lit("true").as("__deleted"))
+    val sink = new graft.merge.MergeSink(s, s"$root/t", "user_id",
+      Seq("ms", "event_id"), numBuckets = 32,
+      tombstoneCol = Some("__deleted"))
+    sink.merge(changes.filter($"event_id" % 2 === 0))
+    sink.merge(changes.filter($"event_id" % 2 === 1).unionByName(deletes))
+    sink.read()
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** q147 oracle: latest-wins over upserts ∪ synthesized per-user delete
+    * envelopes, winners that are deletes excluded. */
+  val q147Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, CAST(-1 AS BIGINT) AS event_id,
+      |    '__del' AS event_type, 0.0 AS value,
+      |    max(epoch_ms(ts)) + 1 AS ms, 'true' AS del
+      |  FROM events WHERE user_id % 7 = 3 GROUP BY user_id),
+      |c AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms,
+      |    'false' AS del
+      |  FROM events
+      |  UNION ALL SELECT * FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ms DESC, event_id DESC) AS rn
+      |  FROM c)
+      |SELECT user_id, event_id, event_type, value
+      |FROM r WHERE rn = 1 AND del = 'false'
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q142
 
   /** q142_version_diff — the change-data-feed read on the
@@ -932,6 +996,7 @@ object StreamQueries {
        |ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_cdc_delete_merge" -> (q147CdcDeleteMerge _),
     "q142_version_diff" -> (q142VersionDiff _),
     "q114_stream_enrich" -> (q114StreamEnrich _),
     "q110_stream_window" -> (q110StreamWindow _),
@@ -949,6 +1014,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q147_cdc_delete_merge" -> q147Sql,
     "q142_version_diff" -> q142Sql,
     "q114_stream_enrich" -> q114Sql,
     "q110_stream_window" -> q110Sql,

@@ -98,4 +98,41 @@ class MergeSinkSpec extends SparkSpec {
     val out = sink.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((1L, "a-upd"), (2L, "b-base"), (3L, "c-new")))
   }
+
+  private def delChanges(rows: (Long, String, Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "name", "ts", "__deleted")
+  }
+
+  test("tombstones delete keys, survive replay without resurrection, and revive on newer upserts") {
+    val dir = tmpDir("merge-del") + "/t"
+    val sink = new MergeSink(spark, dir, "id", Seq("ts"), numBuckets = 8,
+      tombstoneCol = Some("__deleted"))
+    val wave1 = delChanges((1L, "a1", 10L, "false"), (2L, "b1", 10L, "false"))
+    sink.merge(wave1)
+    sink.merge(delChanges((1L, "-", 20L, "true"))) // delete key 1
+    def state() = sink.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() === Seq((2L, "b1")))
+
+    // at-least-once replay of the PRE-delete wave: the retained tombstone
+    // must still win — no resurrection
+    sink.merge(wave1)
+    assert(state() === Seq((2L, "b1")))
+
+    // a NEWER upsert revives the key (delete is not forever)
+    sink.merge(delChanges((1L, "a2", 30L, "false")))
+    assert(state() === Seq((1L, "a2"), (2L, "b1")))
+
+    // delete again, then purge: reads unchanged, storage loses the
+    // tombstone row (and with it replay protection — the documented
+    // compaction-horizon contract)
+    sink.merge(delChanges((1L, "-", 40L, "true")))
+    sink.purgeTombstones()
+    assert(state() === Seq((2L, "b1")))
+    val stored = spark.read.parquet(dir)
+    assert(stored.filter("__deleted = 'true'").count() === 0L)
+    assert(state() === Seq((2L, "b1")))
+  }
 }
