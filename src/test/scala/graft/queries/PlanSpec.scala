@@ -688,4 +688,55 @@ class PlanSpec extends SparkSpec {
       "the media_id partitioning must serve the (media_id, silent) window " +
         "and the run groupBy without re-shuffling:\n" + p)
   }
+
+  test("q139: every rank join is a hash join probing the pinned edges — never a per-iteration sort") {
+    val p = executed(CoreQueries.q139PageRank(spark, dir)).toString
+    assert(p.contains("ShuffledHashJoin"),
+      "the O(V) rank table must be the hash-join build side:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge rank join re-sorts the O(E) edge relation every " +
+        "iteration (measured 4x slower at x10):\n" + p)
+    assert(executed(CoreQueries.q139PageRank(spark, dir))
+      .collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q140: the dense grid rides a 1-row broadcast; the corpus shuffles once") {
+    val df = EventQueries.q140GapFill(spark, dir)
+    val p = executed(df).toString
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      "global bounds must broadcast (1 row), never shuffle the grid:\n" + p)
+    assert(p.contains("explode") || p.contains("Generate"),
+      "grid hours come from sequence+explode, not a data scan:\n" + p)
+  }
+
+  test("q143: checksums are scan+aggregate only — no joins, no row-data shuffle") {
+    val plan = executed(CoreQueries.q143TableChecksum(spark, dir))
+    val p = plan.toString
+    assert(!p.contains("Join"), "a replica fingerprint must not join:\n" + p)
+    // only the 48-group aggregate exchanges; every input row stays local
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "one partial->final agg exchange per table at most:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      "map-side partial sums must fold rows before any exchange:\n" + p)
+  }
+
+  test("q144: the census joins are all keyed — never cartesian") {
+    val plan = executed(CoreQueries.q144Triangles(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "wedge and closing joins must ride (src)/(x,y) keys")
+  }
+
+  test("q145: cuts ride the native energy scan and one media-keyed window exchange") {
+    val p = executed(MultimodalQueries.q145SceneCuts(spark, dir)).toString
+    assert(p.contains("graft_byte_energy"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "one media_id exchange serves the lag window:\n" + p)
+  }
+
+  test("q146: the regression collapses map-side before its single hour shuffle") {
+    val p = executed(EventQueries.q146GroupTrend(spark, dir)).toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial (type, hour) aggregation must precede the exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
