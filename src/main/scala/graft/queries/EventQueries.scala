@@ -1132,6 +1132,104 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+
+  /** q148_cuped — variance-reduced A/B experiment readout (CUPED, Deng
+    * et al. WSDM'13): per-variant post-period means adjusted by the
+    * pooled pre-period covariate, `adj = ȳ_v − θ·(x̄_v − x̄)` with
+    * `θ = cov(x, y)/var(x)`. The experimentation-analytics capability on
+    * top of the q43/q129 deterministic-assignment discipline — variant =
+    * md5(user) mod 2, so assignment is reproducible from data alone; the
+    * covariate is each user's PRE-period activity (first 15 days), the
+    * metric their POST-period value sum (last 15) — users carry their own
+    * baseline out of the naive variant means.
+    *
+    * Engine-exact: the per-user fold and all five regression sums are
+    * exact int64 (counts + e2-grid value units); θ and the adjustment are
+    * then a FIXED tree of SQL-level float ops on int64-exact inputs —
+    * each SQL operator is one IEEE-rounded double op in both engines
+    * (neither fuses across operators), so the doubles agree bitwise and
+    * the single trailing e6 floor is safe. Zero pre-period variance
+    * exports NULL (stated in the oracle).
+    *
+    * Scale shape: ONE user-keyed partial-agg pass folds the corpus to a
+    * per-user row; everything after is |users|-row sums reused for the
+    * 1-row pooled aggregate (broadcast) and the 2-row variant aggregate
+    * — the q133/q146 pre-aggregation class. */
+  def q148Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = 1705363200000L // 2024-01-16 00:00 UTC: day 16 of the span
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", unix_millis($"ts").as("ms"),
+        floor($"value" * 100 + 0.5).cast("long").as("v2"))
+      .groupBy($"user_id")
+      .agg(sum(when($"ms" < split, 1L).otherwise(0L)).as("x"),
+        sum(when($"ms" >= split, $"v2").otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+    val pooled = perUser.agg(count(lit(1)).as("c"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"x").as("vx"), sum($"y").as("vy"))
+      .crossJoin(broadcast(pooled))
+      .select($"variant", $"n",
+        floor(lit(1000000.0) * $"vy" / $"n".cast("double")).cast("long")
+          .as("raw_mean_e6"),
+        when($"c" * $"sxx" - $"sx" * $"sx" > 0,
+          floor(lit(1000000.0) *
+            (($"c" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"c" * $"sxx" - $"sx" * $"sx").cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("theta_e6"),
+        when($"c" * $"sxx" - $"sx" * $"sx" > 0,
+          floor(lit(1000000.0) *
+            ($"vy".cast("double") / $"n".cast("double") -
+              (($"c" * $"sxy" - $"sx" * $"sy").cast("double") /
+                ($"c" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                ($"vx".cast("double") / $"n".cast("double") -
+                  $"sx".cast("double") / $"c".cast("double")))).cast("long"))
+          .otherwise(lit(null).cast("long")).as("adj_mean_e6"))
+      .orderBy($"variant")
+  }
+
+  /** q148 oracle: identical per-user fold, md5 assignment, and float
+    * operator tree (each SQL op = one IEEE op in both engines). */
+  val q148Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN epoch_ms(ts) < 1705363200000 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_ms(ts) >= 1705363200000
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT *, CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |            THEN 'A' ELSE 'B' END AS variant
+      |  FROM u),
+      |p AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM v),
+      |g AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+      |  FROM v GROUP BY 1)
+      |SELECT variant, n,
+      |  CAST(floor(1000000.0 * vy / CAST(n AS DOUBLE)) AS BIGINT) AS raw_mean_e6,
+      |  CASE WHEN c * sxx - sx * sx > 0 THEN
+      |    CAST(floor(1000000.0 *
+      |      (CAST(c * sxy - sx * sy AS DOUBLE) / CAST(c * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+      |  ELSE NULL END AS theta_e6,
+      |  CASE WHEN c * sxx - sx * sx > 0 THEN
+      |    CAST(floor(1000000.0 *
+      |      (CAST(vy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(c * sxy - sx * sy AS DOUBLE) / CAST(c * sxx - sx * sx AS DOUBLE)) *
+      |        (CAST(vx AS DOUBLE) / CAST(n AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) / CAST(c AS DOUBLE)))) AS BIGINT)
+      |  ELSE NULL END AS adj_mean_e6
+      |FROM g, p ORDER BY variant""".stripMargin
+
   // ---------------------------------------------------------------- q146
 
   /** q146_group_trend — per-group ordinary-least-squares trend: for each
@@ -1331,6 +1429,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_cuped" -> (q148Cuped _),
     "q146_group_trend" -> (q146GroupTrend _),
     "q140_gap_fill" -> (q140GapFill _),
     "q138_scd2_join" -> (q138Scd2Join _),
@@ -1362,6 +1461,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_cuped" -> q148Sql,
     "q146_group_trend" -> q146Sql,
     "q140_gap_fill" -> q140Sql,
     "q138_scd2_join" -> q138Sql,
