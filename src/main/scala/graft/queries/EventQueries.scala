@@ -1132,6 +1132,66 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+
+  /** q149_time_to_convert — conversion-latency distribution: for each
+    * converting user, the time from their FIRST view to their first
+    * at-or-after purchase, summarized as exact p50/p90/p99 per weekday of
+    * that first view. The duration-distribution readout that completes
+    * the funnel family (q76/q85 count who converts, q82 mines paths —
+    * this measures HOW LONG conversion takes, the number an on-call
+    * growth team actually watches).
+    *
+    * Engine-exact: durations are integer milliseconds (exact doubles),
+    * and linear percentile interpolation `(1−θ)a + θb` is the same
+    * two-operand IEEE tree in Spark's `percentile` and DuckDB's
+    * `quantile_cont` (the q39-established pairing), rounded at 6. The
+    * weekday is pure integer arithmetic on the epoch-day grid
+    * (`(days + 4) % 7`, Thursday anchor — identical text both sides).
+    *
+    * Scale shape: two user-keyed min-aggregations sharing one
+    * partitioning (the q76 rule) + one join on the same key; the
+    * percentile state is per-weekday over |converting users| durations —
+    * pre-aggregated, never raw events (at extreme cardinality the q45 GK
+    * sketch is the documented escape hatch). */
+  def q149TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+    val firstView = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ms").as("v_ms"))
+    val firstConv = e.filter($"event_type" === "purchase")
+      .join(firstView, "user_id")
+      .filter($"ms" >= $"v_ms")
+      .groupBy($"user_id", $"v_ms").agg(min($"ms").as("p_ms"))
+    firstConv
+      .select(expr("(v_ms div 86400000 + 4) % 7").as("dow"),
+        ($"p_ms" - $"v_ms").cast("double").as("dur_ms"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(dur_ms, 0.5)"), 6).as("p50_ms"),
+        round(expr("percentile(dur_ms, 0.9)"), 6).as("p90_ms"),
+        round(expr("percentile(dur_ms, 0.99)"), 6).as("p99_ms"))
+      .orderBy($"dow")
+  }
+
+  /** q149 oracle: identical funnel fold, weekday arithmetic, and
+    * quantile_cont pairing. */
+  val q149Sql: String =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS v_ms
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |fc AS (
+      |  SELECT e.user_id, fv.v_ms, min(epoch_ms(e.ts)) AS p_ms
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= fv.v_ms
+      |  GROUP BY 1, 2)
+      |SELECT (v_ms // 86400000 + 4) % 7 AS dow, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(CAST(p_ms - v_ms AS DOUBLE), 0.5), 6) AS p50_ms,
+      |  round(quantile_cont(CAST(p_ms - v_ms AS DOUBLE), 0.9), 6) AS p90_ms,
+      |  round(quantile_cont(CAST(p_ms - v_ms AS DOUBLE), 0.99), 6) AS p99_ms
+      |FROM fc GROUP BY 1 ORDER BY dow""".stripMargin
+
   // ---------------------------------------------------------------- q148
 
   /** q148_cuped — variance-reduced A/B experiment readout (CUPED, Deng
@@ -1429,6 +1489,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_time_to_convert" -> (q149TimeToConvert _),
     "q148_cuped" -> (q148Cuped _),
     "q146_group_trend" -> (q146GroupTrend _),
     "q140_gap_fill" -> (q140GapFill _),
@@ -1461,6 +1522,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_time_to_convert" -> q149Sql,
     "q148_cuped" -> q148Sql,
     "q146_group_trend" -> q146Sql,
     "q140_gap_fill" -> q140Sql,

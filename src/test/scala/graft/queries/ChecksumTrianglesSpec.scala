@@ -80,4 +80,28 @@ class ChecksumTrianglesSpec extends SparkSpec {
     assert(row.getLong(3) == refTri)
     assert(refTri == 5)
   }
+
+  test("degree orientation suppresses hub wedges: a star yields ZERO wedge work") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("tri-star")
+    // a 40-leaf star via 40 two-item baskets {hub, leaf}: naive wedge
+    // enumeration at the hub would generate C(40,2) = 780 pairs; under
+    // (deg, id) orientation every leaf (deg 1) points INTO the hub, the
+    // hub has out-degree 0, and the wedge join emits nothing at all
+    val hub = 1000L
+    (1L to 40L).flatMap(leaf => Seq((leaf, hub), (leaf, leaf)))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(1L)).withColumn("l_linenumber", lit(1))
+      .withColumn("l_quantity", lit(1.0)).withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val row = CoreQueries.q144Triangles(spark, dir).collect().head
+    assert(row.getLong(0) == 41L && row.getLong(1) == 40L)
+    assert(row.getLong(2) == 0L, "oriented wedge count must be zero on a star")
+    assert(row.getLong(3) == 0L)
+  }
 }
