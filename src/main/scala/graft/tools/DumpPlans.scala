@@ -55,7 +55,15 @@ object DumpPlans {
     "q129_leakage_split" -> "cluster-keyed split: md5 fence is a narrow projection over q40's labels",
     "q130_bpe_merges"   -> "corpus folds to (token, n) once; pair work is vocab-sized; TakeOrdered top-20",
     "q131_embedding_drift" -> "two in-scan assignment passes fold to k cells; totals broadcast",
-    "q132_audio_segments" -> "native byte-energy in-scan; windows + run agg on ONE media_id exchange")
+    "q132_audio_segments" -> "native byte-energy in-scan; windows + run agg on ONE media_id exchange",
+    "q139_pagerank"     -> "5 rank rounds: SHUFFLE_HASH probes the pinned src-partitioned edges — no per-iteration sort",
+    "q140_gap_fill"     -> "1-row bounds broadcast generates the grid; corpus shuffles once on (type, hr)",
+    "q143_table_checksum" -> "join-free: three scans with map-side partial lane sums, 48-row output",
+    "q144_triangles"    -> "degree-oriented wedges: co-partitioned (src) self-join + one (x,y) closing probe",
+    "q145_scene_cuts"   -> "native energy in-scan; one media_id exchange serves the lag window",
+    "q146_group_trend"  -> "map-side (type, hr) collapse; regression is 5 int64 sums per type",
+    "q148_cuped"        -> "one user-keyed fold; pooled 1-row aggregate broadcasts into the 2-row variant agg",
+    "q149_time_to_convert" -> "two user-keyed min-aggs + same-key join; percentiles over per-user durations")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage
