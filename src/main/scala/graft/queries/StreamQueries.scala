@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.SchemaRegistry
@@ -371,6 +372,101 @@ object StreamQueries {
        |      ${latest(3, "")})
        |ORDER BY version, user_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q150
+
+  /** q150_stream_anomaly — q133's rate-anomaly monitor maintained AS A
+    * STREAM: the hourly counts fold incrementally in a watermarked
+    * streaming aggregation (q110's machinery — state O(open windows ×
+    * types), append-mode emission on window close), and the trailing-24h
+    * z-score runs over the EMITTED hour series. This is how the monitor
+    * actually deploys: the corpus-sized work happens once per hour per
+    * type inside the stream; the alert query touches only the tiny
+    * emitted table. Watermark eviction is the one semantic difference
+    * from batch q133 and it is stated in the oracle, not hidden: hours
+    * whose window hasn't closed under the 2 h delay never emit (the q110
+    * `end_ms < max_ts − delay` pin).
+    *
+    * Scale shape: the stream shuffles once per micro-batch on
+    * (window, type) with map-side partial counts; the z-window sees
+    * |types|·|hours| rows no matter how many billions of events fed them
+    * (the q133 pre-aggregation class, now maintained at change-volume
+    * cost). */
+  def q150StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q150")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(timestamp_millis(unix_millis($"ts")).as("ts"), $"event_type")
+    ev.orderBy($"ts", $"event_type")
+      .select(to_json(struct($"ts", $"event_type")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.event_type")
+    withStreamPartitions(s) {
+      src.withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("start_ms"), $"event_type", $"n")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    val hours = s.read
+      .schema("start_ms LONG, event_type STRING, n LONG")
+      .parquet(s"$root/out")
+      .select($"event_type", expr("start_ms div 3600000").as("hr"), $"n")
+    val w = Window.partitionBy($"event_type").orderBy($"hr").rangeBetween(-24, -1)
+    hours
+      .withColumn("c", count($"n").over(w))
+      .withColumn("s1", sum($"n").over(w))
+      .withColumn("s2", sum($"n" * $"n").over(w))
+      .withColumn("z_e6",
+        when($"c" >= 12,
+          floor(lit(1000000.0) * ($"c" * $"n" - $"s1") /
+            sqrt(greatest($"c" * $"s2" - $"s1" * $"s1", $"c" * $"c")
+              .cast("double"))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select($"event_type", $"hr", $"n", $"z_e6",
+        when($"z_e6" >= 3000000L, lit(1L)).otherwise(lit(0L)).as("anomaly"))
+      .orderBy($"event_type", $"hr")
+  }
+
+  /** q150 oracle: q133's z-formula over q110's emitted hour set — the
+    * watermark eviction pin stated verbatim. */
+  val q150Sql: String =
+    """WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+      |hw AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT hw.event_type, hw.hr, hw.n FROM hw CROSS JOIN m
+      |  WHERE (hw.hr + 1) * 3600000 < m.mx - 7200000),
+      |w AS (
+      |  SELECT event_type, hr, n,
+      |    count(n) OVER tw AS c, sum(n) OVER tw AS s1,
+      |    sum(n * n) OVER tw AS s2
+      |  FROM h
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+      |                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, hr, n,
+      |    CASE WHEN c >= 12
+      |         THEN CAST(floor(1000000.0 * (c * n - s1)
+      |                / sqrt(CAST(greatest(c * s2 - s1 * s1, c * c) AS DOUBLE))) AS BIGINT)
+      |         ELSE NULL END AS z_e6
+      |  FROM w)
+      |SELECT event_type, hr, CAST(n AS BIGINT) AS n, z_e6,
+      |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM z ORDER BY event_type, hr""".stripMargin
 
   // ---------------------------------------------------------------- q147
 
@@ -996,6 +1092,7 @@ object StreamQueries {
        |ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_stream_anomaly" -> (q150StreamAnomaly _),
     "q147_cdc_delete_merge" -> (q147CdcDeleteMerge _),
     "q142_version_diff" -> (q142VersionDiff _),
     "q114_stream_enrich" -> (q114StreamEnrich _),
@@ -1014,6 +1111,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q150_stream_anomaly" -> q150Sql,
     "q147_cdc_delete_merge" -> q147Sql,
     "q142_version_diff" -> q142Sql,
     "q114_stream_enrich" -> q114Sql,
