@@ -1020,7 +1020,72 @@ object VectorQueries {
        |FROM j ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+
+  /** q151_label_centroid_cosine — class-separability matrix in embedding
+    * space: the pairwise cosine between per-label CENTROIDS, the
+    * confusion-risk readout for any labeled embedding corpus (two labels
+    * whose centroids sit at cos ≈ 1 will be confused by every downstream
+    * classifier and quantizer; q131 watches OCCUPANCY drift over the
+    * frozen quantizer — this watches the classes themselves).
+    *
+    * Engine-exact: elements land on the e3 integer grid
+    * (`floor(x·1000 + 0.5)` — sized so per-dim label sums × 64-dim dot
+    * products stay well inside int64); the centroid DIVISION is skipped
+    * entirely because cosine is scale-invariant — cos(Σa, Σb) =
+    * cos(ā, b̄) — so the dot and both norms are EXACT int64 and the only
+    * floats are two sqrts, one multiply, one divide with identical
+    * formula text (the q133 discipline).
+    *
+    * Scale shape: one posexplode pass collapses map-side to
+    * |labels|·64 per-dim sums (the corpus is touched once, the pair
+    * matrix is O(|labels|²·dims) label-table algebra — constant-size at
+    * any corpus scale). */
+  def q151LabelCentroidCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sums = Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"dim",
+        floor($"x".cast("double") * 1000 + 0.5).cast("long").as("v"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"v").as("sv"))
+    val a = sums.select($"label".as("label_a"), $"dim", $"sv".as("va"))
+    val b = sums.select($"label".as("label_b"), $"dim".as("dim_b"), $"sv".as("vb"))
+    a.join(b, $"dim" === $"dim_b" && $"label_a" < $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum($"va" * $"vb").as("dot"),
+        sum($"va" * $"va").as("nrm_a"), sum($"vb" * $"vb").as("nrm_b"))
+      .select($"label_a", $"label_b",
+        floor(lit(1000000.0) * $"dot" /
+          (sqrt($"nrm_a".cast("double")) * sqrt($"nrm_b".cast("double"))))
+          .cast("long").as("cos_e6"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** q151 oracle: identical e3 grid, per-dim label sums, and the
+    * sqrt·sqrt denominator tree. */
+  val q151Sql: String =
+    """WITH s AS (
+      |  SELECT label, g.i AS dim,
+      |    CAST(sum(CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000 + 0.5)
+      |         AS BIGINT)) AS BIGINT) AS sv
+      |  FROM embeddings, UNNEST(range(0, len(embedding))) AS g(i)
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot,
+      |    CAST(sum(a.sv * a.sv) AS BIGINT) AS nrm_a,
+      |    CAST(sum(b.sv * b.sv) AS BIGINT) AS nrm_b
+      |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  CAST(floor(1000000.0 * dot /
+      |       (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))))
+      |    AS BIGINT) AS cos_e6
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_label_centroid_cosine" -> (q151LabelCentroidCosine _),
     "q135_ivf_delta_insert" -> (q135IvfDeltaInsert _),
     "q131_embedding_drift" -> (q131EmbeddingDrift _),
     "q121_ann_ivf_rerank" -> (q121AnnIvfRerank _),
@@ -1035,6 +1100,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q151_label_centroid_cosine" -> q151Sql,
     "q135_ivf_delta_insert" -> q135Sql,
     "q131_embedding_drift" -> q131Sql,
     "q121_ann_ivf_rerank" -> q121Sql,
