@@ -1132,6 +1132,84 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+
+  /** q153_attribution — last-touch marketing attribution: each purchase's
+    * revenue credits the user's most recent click's CHANNEL (campaign id
+    * = props.k mod 4) within a 7-day lookback, else 'direct'. The revenue
+    * side of the funnel family (q149 measures latency, this answers
+    * "which channel earned the money" — the report every growth team
+    * reconciles spend against), and the JSON props column finally
+    * feeding an attribution dimension (q14 parses it; this joins on it).
+    *
+    * Spark-first shape is q44/q138's single-shuffle carry-forward:
+    * clicks (deduped to one row per (user, ms) with the MIN channel — the
+    * stated tie rule, so engines can't disagree on simultaneous clicks)
+    * and purchases union into one user-keyed stream; clicks sort before
+    * purchases at equal ms (inclusive attribution); a last-non-null
+    * window carries (click ms, channel) onto every purchase. ONE
+    * exchange, no row multiplication; the lookback is a row-local age
+    * check after the carry. The oracle states the declarative form with
+    * DuckDB's ASOF JOIN — nearest click at-or-before, which is exactly
+    * what the carry computes.
+    *
+    * Scale shape: one user-keyed shuffle + one |channels|-row aggregate;
+    * revenue sums exact on the e2 grid. */
+  def q153Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_millis($"ts").as("ms"),
+        $"value", $"props")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ms",
+        concat(lit("ch"),
+          get_json_object($"props", "$.k").cast("long") % 4).as("channel"))
+      .groupBy($"user_id", $"ms").agg(min($"channel").as("channel"))
+      .select($"user_id", $"ms", lit(0).as("kind"), $"channel",
+        lit(null).cast("long").as("v2"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms", lit(1).as("kind"),
+        lit(null).cast("string").as("channel"),
+        floor($"value" * 100 + 0.5).cast("long").as("v2"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("c_ms", last(when($"kind" === 0, $"ms"), ignoreNulls = true).over(w))
+      .withColumn("c_ch", last($"channel", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select(
+        when($"c_ms".isNotNull && $"c_ms" >= $"ms" - 604800000L, $"c_ch")
+          .otherwise(lit("direct")).as("channel"),
+        $"v2")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"), sum($"v2").as("rev2"))
+      .select($"channel", $"n", $"rev2",
+        ($"rev2".cast("double") / 100.0).as("revenue"))
+      .orderBy($"channel")
+  }
+
+  /** q153 oracle: the declarative nearest-click-at-or-before form via
+    * ASOF JOIN, same min-channel tie rule, same 7-day fence. */
+  val q153Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_ms(ts) AS cms,
+      |    min('ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+      |        AS VARCHAR)) AS channel
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT user_id, epoch_ms(ts) AS pms,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.pms, p.v2, c.cms, c.channel
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND c.cms <= p.pms)
+      |SELECT CASE WHEN cms IS NOT NULL AND cms >= pms - 604800000
+      |            THEN channel ELSE 'direct' END AS channel,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v2) AS BIGINT) AS rev2,
+      |  (CAST(sum(v2) AS DOUBLE) / 100.0) AS revenue
+      |FROM j GROUP BY 1 ORDER BY channel""".stripMargin
+
   // ---------------------------------------------------------------- q149
 
   /** q149_time_to_convert — conversion-latency distribution: for each
@@ -1489,6 +1567,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_attribution" -> (q153Attribution _),
     "q149_time_to_convert" -> (q149TimeToConvert _),
     "q148_cuped" -> (q148Cuped _),
     "q146_group_trend" -> (q146GroupTrend _),
@@ -1522,6 +1601,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_attribution" -> q153Sql,
     "q149_time_to_convert" -> q149Sql,
     "q148_cuped" -> q148Sql,
     "q146_group_trend" -> q146Sql,

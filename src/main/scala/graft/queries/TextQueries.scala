@@ -2776,6 +2776,79 @@ object TextQueries {
        |WHERE rank <= 50
        |ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+
+  /** q152_token_budget — token-budget-constrained corpus selection: take
+    * the best-scoring documents (q75's certified frozen-weights model) in
+    * (score DESC, doc_id) order until a fixed token budget is exhausted —
+    * THE data-selection shape of every "train on the best N tokens" run
+    * (quality-ranked greedy selection; q79 buckets by quartile, q57/q77
+    * mix by source — this cuts by global rank under a budget).
+    *
+    * The scale problem is the GLOBAL running sum: declaratively it is one
+    * `ORDER BY score` window — a single-partition sort of the corpus, the
+    * exact thing that dies at 100 TB. The plan decomposes it exactly
+    * (the distributed prefix-sum / terasort-offset pattern): docs bucket
+    * by `score_e6 div 10⁴` (integer, order-compatible with the score
+    * order by construction), per-bucket token totals fold map-side to a
+    * ≤101-row table whose running offsets ARE allowed a global window
+    * (tiny); each doc's global cumulative = its bucket's offset
+    * (broadcast back) + its within-bucket running sum under a
+    * bucket-PARTITIONED window. Bit-identical to the declarative form —
+    * the oracle states that form, the plan never builds it.
+    *
+    * Budget 10⁴ tokens binds at every SF (corpus totals are ≥2.5× it). */
+  def q152TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 10000L
+    val bucketed = qualityScored(s, dir)
+      .select($"doc_id", $"n_tokens", $"score_e6",
+        expr("score_e6 div 10000").as("bkt"))
+    val offs = bucketed.groupBy($"bkt").agg(sum($"n_tokens").as("t"))
+      .withColumn("off", coalesce(sum($"t").over(
+        Window.orderBy($"bkt".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt".as("obkt"), $"off")
+    val wIn = Window.partitionBy($"bkt")
+      .orderBy($"score_e6".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offs), $"bkt" === $"obkt")
+      .withColumn("cum", $"off" + sum($"n_tokens").over(wIn))
+      .filter($"cum" <= budget)
+      .select($"doc_id", $"n_tokens", $"score_e6", $"cum")
+      .orderBy($"doc_id")
+  }
+
+  /** q152 oracle: the single declarative global-order running sum the
+    * bucket decomposition must equal bit-for-bit. */
+  val q152Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    $StopRatioSql AS stop_e6,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |    CAST(len(text) AS DOUBLE) AS nc
+       |  FROM (SELECT doc_id, text, $Toks AS toks FROM documents)
+       |  WHERE len(toks) >= 1),
+       |z AS (
+       |  SELECT doc_id, n_tokens,
+       |    -3.0 +
+       |    2.0 * (CAST(least(n_tokens, 400) AS DOUBLE) / 400.0) +
+       |    4.0 * (CAST(stop_e6 AS DOUBLE) / 1000000.0) +
+       |    2.0 * (nd / n_tokens) +
+       |    1.0 * (nc / n_tokens / 10.0) AS z
+       |  FROM f),
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-z))) AS BIGINT) AS score_e6
+       |  FROM z),
+       |sel AS (
+       |  SELECT doc_id, n_tokens, score_e6,
+       |    CAST(sum(n_tokens) OVER (ORDER BY score_e6 DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM sc)
+       |SELECT doc_id, n_tokens, score_e6, cum
+       |FROM sel WHERE cum <= 10000 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q108
 
   /** q108_char_entropy — per-document character-distribution entropy, the
@@ -3475,6 +3548,7 @@ object TextQueries {
     "q111_pmi_collocations" -> (q111PmiCollocations _),
     "q109_containment"      -> (q109Containment _),
     "q108_char_entropy"     -> (q108CharEntropy _),
+    "q152_token_budget"     -> (q152TokenBudget _),
     "q106_domain_cap"       -> (q106DomainCap _),
     "q104_sparse_cosine"    -> (q104SparseCosine _),
     "q102_incr_dedup"       -> (q102IncrDedup _),
@@ -3529,6 +3603,7 @@ object TextQueries {
     "q111_pmi_collocations" -> q111Sql,
     "q109_containment"      -> q109Sql,
     "q108_char_entropy"     -> q108Sql,
+    "q152_token_budget"     -> q152Sql,
     "q106_domain_cap"       -> q106Sql,
     "q104_sparse_cosine"    -> q104Sql,
     "q102_incr_dedup"       -> q102Sql,
