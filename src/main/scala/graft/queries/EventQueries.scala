@@ -1132,6 +1132,58 @@ object EventQueries {
       |  CAST(CASE WHEN z_e6 >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM z ORDER BY event_type, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+
+  /** q154_clamped_balance — overdraft-free running balance: per user,
+    * purchases credit value and errors debit it, clamped below at zero
+    * (the Lindley recursion `b_t = max(0, b_{t-1} + δ_t)` — token
+    * buckets, rate limiters, inventory floors, credit ledgers all share
+    * this shape). A NONLINEAR per-row recurrence looks like it forces
+    * per-group iteration (mapGroups, the thing that abandons codegen and
+    * vectorization) — but the reflected walk has a closed form,
+    * `b_n = P_n − min(0, min_{j≤n} P_j)` over the plain prefix sums, so
+    * the plan is ONE user-keyed window + the same-key aggregate: fully
+    * declarative, whole-stage-codegen, one exchange.
+    *
+    * The oracle is genuinely independent here: it executes the LITERAL
+    * recurrence (DuckDB `list_reduce` folding `greatest(acc + δ, 0)` over
+    * the ordered deltas) — the closed form must reproduce the iterated
+    * fold exactly, on every user, at every SF. All arithmetic exact e2
+    * int64. */
+  def q154ClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "error"))
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id",
+        when($"event_type" === "purchase",
+          floor($"value" * 100 + 0.5).cast("long"))
+          .otherwise(-floor($"value" * 100 + 0.5).cast("long")).as("delta"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("p", sum($"delta").over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"delta").as("sum_delta_e2"),
+        min($"p").as("minp"))
+      .select($"user_id", $"n", $"sum_delta_e2",
+        ($"sum_delta_e2" - least(lit(0L), $"minp")).as("balance_e2"))
+      .orderBy($"user_id")
+  }
+
+  /** q154 oracle: the literal clamp recurrence, iterated. */
+  val q154Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |         ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END AS delta
+      |  FROM events WHERE event_type IN ('purchase', 'error'))
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(delta) AS BIGINT) AS sum_delta_e2,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list(delta ORDER BY ms, event_id)),
+      |       (acc, d) -> greatest(acc + d, 0)) AS BIGINT) AS balance_e2
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q153
 
   /** q153_attribution — last-touch marketing attribution: each purchase's
@@ -1567,6 +1619,7 @@ object EventQueries {
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_clamped_balance" -> (q154ClampedBalance _),
     "q153_attribution" -> (q153Attribution _),
     "q149_time_to_convert" -> (q149TimeToConvert _),
     "q148_cuped" -> (q148Cuped _),
@@ -1601,6 +1654,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_clamped_balance" -> q154Sql,
     "q153_attribution" -> q153Sql,
     "q149_time_to_convert" -> q149Sql,
     "q148_cuped" -> q148Sql,
