@@ -889,6 +889,111 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+
+  /** q156_share_rollup — hierarchical percent-of-parent report: revenue
+    * by region → nation with each nation's share of its region and of
+    * the world, the drill-down shape every BI layer renders (q19/q32
+    * produce the rollup/cube TOTALS; this produces the RATIOS between
+    * levels, which is where float drift usually creeps into reports).
+    *
+    * Engine-exact: revenue folds to e2 int64 per nation (one
+    * fact-side partial-agg shuffle; O(1) dims broadcast, the q5 rule);
+    * region and world totals are window sums over the 25-row aggregate
+    * (constant-size at any SF — the hierarchy is the dimension's, not
+    * the data's); each share is ONE floor(1e6·part/total) division. */
+  def q156ShareRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("rev2"))
+    val wr = Window.partitionBy($"r_name")
+    val wg = Window.partitionBy()
+    rev
+      .withColumn("region_rev2", sum($"rev2").over(wr))
+      .withColumn("world_rev2", sum($"rev2").over(wg))
+      .select($"r_name", $"n_name",
+        ($"rev2".cast("double") / 100.0).as("revenue"),
+        floor(lit(1000000.0) * $"rev2" / $"region_rev2".cast("double"))
+          .cast("long").as("share_of_region_e6"),
+        floor(lit(1000000.0) * $"rev2" / $"world_rev2".cast("double"))
+          .cast("long").as("share_of_world_e6"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** q156 oracle: identical fold, window totals, and single-division
+    * share floors. */
+  val q156Sql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev2
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name,
+      |  (CAST(rev2 AS DOUBLE) / 100.0) AS revenue,
+      |  CAST(floor(1000000.0 * rev2 /
+      |    CAST(sum(rev2) OVER (PARTITION BY r_name) AS DOUBLE)) AS BIGINT)
+      |    AS share_of_region_e6,
+      |  CAST(floor(1000000.0 * rev2 /
+      |    CAST(sum(rev2) OVER () AS DOUBLE)) AS BIGINT) AS share_of_world_e6
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+
+  /** q155_schema_merge — schema evolution on the FILE layer: generation 1
+    * files carry (doc_id, lang, source), generation 2 adds n_chars, and a
+    * `mergeSchema` read unifies them — old rows null-fill the new column,
+    * the generation stays addressable as a partition column. This is the
+    * third leg of the schema-drift story: q95 validates a contract on a
+    * snapshot, q128 replays a revision bump on the WIRE, this one reads a
+    * table whose files were written across the bump (what a year-old
+    * 100 TB table actually looks like — nobody rewrites history when a
+    * column lands).
+    *
+    * Scale note: `mergeSchema` reconciles footers at planning time — the
+    * cost is per-FILE, not per-row, and the per-generation directories
+    * keep pruning intact (a filter on gen prunes whole directories, the
+    * q120 machinery). */
+  def q155SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q155")
+    val docs = Tables.documents(s, dir)
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang", $"source")
+      .write.mode("overwrite").parquet(s"$root/t/gen=1")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$root/t/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/t")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        $"gen".cast("long").as("gen"))
+      .orderBy($"doc_id")
+  }
+
+  /** q155 oracle: the unified read equals the explicit null-filled union
+    * of the two generations. */
+  val q155Sql: String =
+    """SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars,
+      |  CAST(1 AS BIGINT) AS gen
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, source, n_chars, CAST(2 AS BIGINT) AS gen
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q144
 
   /** q144_triangles — exact triangle census of the part co-purchase graph
@@ -1235,6 +1340,8 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_share_rollup" -> (q156ShareRollup _),
+    "q155_schema_merge" -> (q155SchemaMerge _),
     "q144_triangles" -> (q144Triangles _),
     "q143_table_checksum" -> (q143TableChecksum _),
     "q141_xml_roundtrip" -> (q141XmlRoundtrip _),
@@ -1269,6 +1376,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_share_rollup" -> q156Sql,
+    "q155_schema_merge" -> q155Sql,
     "q144_triangles" -> q144Sql,
     "q143_table_checksum" -> q143Sql,
     "q141_xml_roundtrip" -> q141Sql,
