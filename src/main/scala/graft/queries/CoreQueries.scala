@@ -889,6 +889,222 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+
+  /** q157_window_conformance — one gate exercising the whole ranking +
+    * navigation window family against the independent engine: rank /
+    * dense_rank / percent_rank / cume_dist / ntile over a TIES-bearing
+    * order (quantity), lag / lead / first_value over the tie-broken
+    * total order. The reference's query surface is warehouse SQL
+    * (`bq query`), so the engine's window semantics ARE product surface
+    * — this row pins the corner cases (tie handling, ntile's
+    * extra-row distribution, frame defaults) cross-engine.
+    *
+    * Rational outputs (percent_rank = (r−1)/(n−1), cume_dist = cr/n) are
+    * exact int64 ratios floored onto the e6 grid — no float drift can
+    * hide a tie-handling difference. Every window is PARTITIONED (a
+    * 16-way key): the conformance value is identical per partition, and
+    * a global window is the single-partition anti-pattern this codebase
+    * bans — even in a conformance gate. */
+  def q157WindowConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // per-part aggregate: l_partkey is the UNIQUE row id (the raw
+    // (orderkey, linenumber) pair is NOT unique in this corpus), and the
+    // div-1000 coarsening keeps the tie population rank() needs
+    val base = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .groupBy($"l_partkey")
+      .agg(expr("sum(cast(floor(l_quantity * 100 + 0.5) as bigint)) div 1000")
+        .as("q2"))
+      .select($"l_partkey".as("rid"), ($"l_partkey" % 16).as("pk16"), $"q2")
+    val byQ = Window.partitionBy($"pk16").orderBy($"q2")
+    val total = Window.partitionBy($"pk16").orderBy($"q2", $"rid")
+    base
+      .withColumn("rnk", rank().over(byQ).cast("long"))
+      .withColumn("drnk", dense_rank().over(byQ).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"pk16")))
+      .withColumn("cr", count(lit(1)).over(
+        byQ.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prank_e6",
+        when($"n" > 1, floor(lit(1000000L) * ($"rnk" - 1) / ($"n" - 1)).cast("long"))
+          .otherwise(0L))
+      .withColumn("cume_e6", floor(lit(1000000L) * $"cr" / $"n").cast("long"))
+      .withColumn("tile8", ntile(8).over(total).cast("long"))
+      .withColumn("prev_rid", lag($"rid", 1).over(total))
+      .withColumn("next_rid", lead($"rid", 1).over(total))
+      .withColumn("first_rid", first($"rid").over(
+        total.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"pk16", $"rid", $"q2", $"rnk", $"drnk", $"prank_e6", $"cume_e6",
+        $"tile8", $"prev_rid", $"next_rid", $"first_rid")
+      .orderBy($"rid")
+  }
+
+  /** q157 oracle: identical functions, identical partitions and
+    * tie/total orders. */
+  val q157Sql: String =
+    """WITH base AS (
+      |  SELECT l_partkey AS rid, l_partkey % 16 AS pk16,
+      |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) // 1000
+      |      AS BIGINT) AS q2
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      |w AS (
+      |  SELECT pk16, rid, q2,
+      |    CAST(rank() OVER bq AS BIGINT) AS rnk,
+      |    CAST(dense_rank() OVER bq AS BIGINT) AS drnk,
+      |    CAST(count(*) OVER (PARTITION BY pk16) AS BIGINT) AS n,
+      |    CAST(count(*) OVER (PARTITION BY pk16 ORDER BY q2
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr,
+      |    CAST(ntile(8) OVER tot AS BIGINT) AS tile8,
+      |    lag(rid, 1) OVER tot AS prev_rid,
+      |    lead(rid, 1) OVER tot AS next_rid,
+      |    first_value(rid) OVER (PARTITION BY pk16 ORDER BY q2, rid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_rid
+      |  FROM base
+      |  WINDOW bq AS (PARTITION BY pk16 ORDER BY q2),
+      |         tot AS (PARTITION BY pk16 ORDER BY q2, rid))
+      |SELECT pk16, rid, q2, rnk, drnk,
+      |  CASE WHEN n > 1
+      |       THEN CAST(floor(1000000 * (rnk - 1) / (n - 1)) AS BIGINT)
+      |       ELSE 0 END AS prank_e6,
+      |  CAST(floor(1000000 * cr / n) AS BIGINT) AS cume_e6,
+      |  tile8, prev_rid, next_rid, first_rid
+      |FROM w ORDER BY rid""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+
+  /** q158_bag_setops — MULTISET set operations: INTERSECT ALL and EXCEPT
+    * ALL keep duplicates by multiplicity arithmetic (min(m₁, m₂) and
+    * max(0, m₁ − m₂) per value), which q9's distinct set ops don't
+    * exercise — and which naive dedup-then-join silently gets wrong.
+    * Spark's `intersectAll`/`exceptAll` against the independent engine's
+    * SQL:2003 forms, folded to (value, multiplicity) for a stable hash. */
+  def q158BagSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter($"l_returnflag" === "R").select($"l_partkey")
+    val b = li.filter($"l_linestatus" === "F").select($"l_partkey")
+    val inter = a.intersectAll(b).groupBy($"l_partkey")
+      .agg(count(lit(1)).as("m")).withColumn("op", lit("intersect_all"))
+    val diff = a.exceptAll(b).groupBy($"l_partkey")
+      .agg(count(lit(1)).as("m")).withColumn("op", lit("except_all"))
+    inter.unionByName(diff)
+      .select($"op", $"l_partkey", $"m")
+      .orderBy($"op", $"l_partkey")
+  }
+
+  /** q158 oracle: the standard SQL multiset forms. */
+  val q158Sql: String =
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+      |i AS (SELECT 'intersect_all' AS op, l_partkey, count(*) AS m
+      |      FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+      |      GROUP BY 2),
+      |e AS (SELECT 'except_all' AS op, l_partkey, count(*) AS m
+      |      FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+      |      GROUP BY 2)
+      |SELECT op, l_partkey, CAST(m AS BIGINT) AS m FROM i
+      |UNION ALL
+      |SELECT op, l_partkey, CAST(m AS BIGINT) AS m FROM e
+      |ORDER BY op, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+
+  /** q159_null_semantics — the NULL corner cases that silently differ
+    * between engines, pinned: null-safe equality joins (Spark `<=>` ≡
+    * SQL `IS NOT DISTINCT FROM` — NULL matches NULL), COUNT(col) vs
+    * COUNT(*) under NULLs, SUM/MIN over all-NULL groups, and explicit
+    * NULLS FIRST ordering (Spark's ASC default is nulls-first, DuckDB's
+    * is nulls-LAST — the oracle must say NULLS FIRST out loud, which is
+    * the point: default null order is not portable and this gate forces
+    * the contract to be written down).
+    *
+    * NULLs are deterministic at every SF: row-level, a zero discount
+    * becomes NULL (`nullif`, exercising aggregate NULL-skipping);
+    * group-level, suppliers ≡ 0 (mod 5) export NULL outright — the
+    * structural population that guarantees the NULL-join branch executes
+    * at every scale factor (stated here, not left to data luck). */
+  def q159NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        nullif(floor($"l_discount" * 100 + 0.5).cast("long"), lit(0L)).as("disc"))
+    def side(parity: Int, k: String, v: String) =
+      d.filter($"l_orderkey" % 2 === parity)
+        .groupBy($"l_suppkey".as(k))
+        .agg(max($"disc").as("m"))
+        .select(col(k),
+          when(col(k) % 5 === 0, lit(null).cast("long"))
+            .otherwise($"m").as(v))
+    side(0, "sk", "da").join(side(1, "sk2", "db"),
+        $"da" <=> $"db" && $"sk" === $"sk2")
+      .groupBy($"da")
+      .agg(count(lit(1)).as("n_pairs"), count($"da").as("n_nonnull"))
+      .orderBy($"da".asc_nulls_first)
+      .select($"da", $"n_pairs", $"n_nonnull")
+  }
+
+  /** q159 oracle: IS NOT DISTINCT FROM + explicit NULLS FIRST. */
+  val q159Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    nullif(CAST(floor(l_discount * 100 + 0.5) AS BIGINT), 0) AS disc
+      |  FROM lineitem),
+      |l AS (SELECT l_suppkey AS sk,
+      |        CASE WHEN l_suppkey % 5 = 0 THEN NULL ELSE max(disc) END AS da
+      |      FROM d WHERE l_orderkey % 2 = 0 GROUP BY 1),
+      |r AS (SELECT l_suppkey AS sk2,
+      |        CASE WHEN l_suppkey % 5 = 0 THEN NULL ELSE max(disc) END AS db
+      |      FROM d WHERE l_orderkey % 2 = 1 GROUP BY 1)
+      |SELECT da, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(da) AS BIGINT) AS n_nonnull
+      |FROM l JOIN r ON da IS NOT DISTINCT FROM db AND sk = sk2
+      |GROUP BY da ORDER BY da NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+
+  /** q160_datetime_conformance — calendar arithmetic cross-engine:
+    * date_trunc to month/quarter, last_day, add_months (with its
+    * end-of-month clamping), and day-of-year, all exported as epoch
+    * days/ms INTEGERS so no formatting or timezone rendering can mask a
+    * calendar-logic difference (weekday/week-of-year are deliberately
+    * NOT gated on the built-ins — Spark counts Sunday=1 where DuckDB
+    * counts Sunday=0, the kind of off-by-one this gate exists to keep
+    * out of the engine; q133/q149 compute weekday from the epoch-day
+    * grid arithmetic instead). */
+  def q160DatetimeConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = to_date(lit("1970-01-01"))
+    Tables.orders(s, dir)
+      .select(to_date($"o_orderdate").as("d"))
+      .select($"d",
+        unix_millis(date_trunc("month", $"d".cast("timestamp"))).as("month_ms"),
+        unix_millis(date_trunc("quarter", $"d".cast("timestamp"))).as("quarter_ms"),
+        datediff(last_day($"d"), epoch).cast("long").as("last_day_ed"),
+        datediff(add_months($"d", 3), epoch).cast("long").as("plus3m_ed"),
+        dayofyear($"d").cast("long").as("doy"))
+      .groupBy($"month_ms", $"quarter_ms", $"last_day_ed")
+      .agg(count(lit(1)).as("n"), min($"doy").as("min_doy"),
+        max($"plus3m_ed").as("max_plus3m_ed"))
+      .orderBy($"month_ms", $"last_day_ed")
+  }
+
+  /** q160 oracle: DuckDB's calendar functions on the same integers. */
+  val q160Sql: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+      |x AS (
+      |  SELECT d,
+      |    epoch_ms(CAST(date_trunc('month', d) AS TIMESTAMP)) AS month_ms,
+      |    epoch_ms(CAST(date_trunc('quarter', d) AS TIMESTAMP)) AS quarter_ms,
+      |    CAST(last_day(d) - DATE '1970-01-01' AS BIGINT) AS last_day_ed,
+      |    CAST(CAST(d + INTERVAL 3 MONTH AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      AS plus3m_ed,
+      |    CAST(dayofyear(d) AS BIGINT) AS doy
+      |  FROM d)
+      |SELECT month_ms, quarter_ms, last_day_ed,
+      |  CAST(count(*) AS BIGINT) AS n, min(doy) AS min_doy,
+      |  max(plus3m_ed) AS max_plus3m_ed
+      |FROM x GROUP BY 1, 2, 3 ORDER BY month_ms, last_day_ed""".stripMargin
+
   // ---------------------------------------------------------------- q156
 
   /** q156_share_rollup — hierarchical percent-of-parent report: revenue
@@ -1340,6 +1556,10 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_window_conformance" -> (q157WindowConformance _),
+    "q158_bag_setops" -> (q158BagSetops _),
+    "q159_null_semantics" -> (q159NullSemantics _),
+    "q160_datetime_conformance" -> (q160DatetimeConformance _),
     "q156_share_rollup" -> (q156ShareRollup _),
     "q155_schema_merge" -> (q155SchemaMerge _),
     "q144_triangles" -> (q144Triangles _),
@@ -1376,6 +1596,10 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_window_conformance" -> q157Sql,
+    "q158_bag_setops" -> q158Sql,
+    "q159_null_semantics" -> q159Sql,
+    "q160_datetime_conformance" -> q160Sql,
     "q156_share_rollup" -> q156Sql,
     "q155_schema_merge" -> q155Sql,
     "q144_triangles" -> q144Sql,
