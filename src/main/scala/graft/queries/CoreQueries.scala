@@ -889,6 +889,48 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+
+  /** q161_grouping_sets — arbitrary GROUPING SETS with `grouping_id`,
+    * completing the multi-level aggregation family (q19 ROLLUP is the
+    * prefix lattice, q32 CUBE the full lattice; this is a HAND-PICKED
+    * set list — (flag, status), (flag), (status), () — which neither can
+    * express, plus the grouping-id disambiguator that tells a report
+    * renderer WHICH set a NULL-keyed row belongs to, the thing the NULLs
+    * alone cannot). Expressed through `spark.sql` — the engine's SQL
+    * surface, the reference's actual interface (`bq query`).
+    *
+    * grouping_id bit order is pinned by listing the same column order in
+    * both engines; one shuffle computes all four sets (Spark's Expand +
+    * partial agg, exactly like rollup/cube). */
+  def q161GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q161_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0) AS sum_qty
+        |FROM q161_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** q161 oracle: the identical set list and grouping-id column order. */
+  val q161Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+      |    AS gid,
+      |  count(*) AS n,
+      |  (CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q157
 
   /** q157_window_conformance — one gate exercising the whole ranking +
@@ -1556,6 +1598,7 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_grouping_sets" -> (q161GroupingSets _),
     "q157_window_conformance" -> (q157WindowConformance _),
     "q158_bag_setops" -> (q158BagSetops _),
     "q159_null_semantics" -> (q159NullSemantics _),
@@ -1596,6 +1639,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_grouping_sets" -> q161Sql,
     "q157_window_conformance" -> q157Sql,
     "q158_bag_setops" -> q158Sql,
     "q159_null_semantics" -> q159Sql,

@@ -739,4 +739,33 @@ class PlanSpec extends SparkSpec {
       "partial (type, hour) aggregation must precede the exchange:\n" + p)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q152: the corpus-level window is bucket-partitioned — the global window sees only the bucket table") {
+    val p = executed(TextQueries.q152TokenBudget(spark, dir)).toString
+    assert(p.contains("windowspecdefinition(bkt#") ||
+      p.contains("Window [sum") && p.contains("[bkt#"),
+      "the per-doc running sum must partition by the score bucket:\n" + p)
+    // the only SinglePartition work is the <=101-row offsets window (and
+    // nothing doc-sized): every doc-level operator rides hashpartitioning
+    assert(p.contains("hashpartitioning(bkt#") || p.contains("hashpartitioning(bkt"),
+      "doc rows must exchange on the bucket key, never into one partition:\n" + p)
+  }
+
+  test("q153/q154: the carry-forward and balance plans are ONE user-keyed exchange each") {
+    for (df <- Seq(EventQueries.q153Attribution(spark, dir),
+                   EventQueries.q154ClampedBalance(spark, dir))) {
+      val p = executed(df).toString
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+        "window and aggregate must share the user partitioning:\n" + p)
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q161: all four grouping sets ride one Expand + partial aggregation") {
+    val p = executed(CoreQueries.q161GroupingSets(spark, dir)).toString
+    assert(p.contains("Expand"),
+      "grouping sets must expand once, not scan four times:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial agg must precede the exchange:\n" + p)
+  }
 }
