@@ -889,6 +889,47 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+
+  /** q162_unpivot — wide→long reshape, the inverse of q49's pivot and
+    * the one relational reshape the surface lacked: per-order measure
+    * columns (quantity, price, discount sums on their e2 grids) melt
+    * into (order, measure, value) rows via Spark's native `unpivot`
+    * (SQL UNPIVOT/melt). Long form is what every plotting, regression,
+    * and metric-store layer wants; doing it relationally (one Expand,
+    * no per-measure re-scan) instead of N self-unions is the point.
+    *
+    * Scale shape: one order-keyed partial-agg shuffle builds the wide
+    * row; unpivot is a row-local Expand (×|measures|) — no extra
+    * exchange, output 3× the aggregate's rows, never 3 scans. */
+  def q162Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(floor($"l_quantity" * 100 + 0.5).cast("long")).as("qty2"),
+        sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("price2"),
+        sum(floor($"l_discount" * 100 + 0.5).cast("long")).as("disc2"))
+    wide.unpivot(
+      ids = Array($"l_orderkey"),
+      values = Array($"qty2", $"price2", $"disc2"),
+      variableColumnName = "measure",
+      valueColumnName = "v2")
+      .orderBy($"l_orderkey", $"measure")
+  }
+
+  /** q162 oracle: the explicit three-way union the Expand replaces. */
+  val q162Sql: String =
+    """WITH wide AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty2,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price2,
+      |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS disc2
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, 'qty2' AS measure, qty2 AS v2 FROM wide
+      |UNION ALL SELECT l_orderkey, 'price2', price2 FROM wide
+      |UNION ALL SELECT l_orderkey, 'disc2', disc2 FROM wide
+      |ORDER BY l_orderkey, measure""".stripMargin
+
   // ---------------------------------------------------------------- q161
 
   /** q161_grouping_sets — arbitrary GROUPING SETS with `grouping_id`,
@@ -1598,6 +1639,7 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_unpivot" -> (q162Unpivot _),
     "q161_grouping_sets" -> (q161GroupingSets _),
     "q157_window_conformance" -> (q157WindowConformance _),
     "q158_bag_setops" -> (q158BagSetops _),
@@ -1639,6 +1681,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_unpivot" -> q162Sql,
     "q161_grouping_sets" -> q161Sql,
     "q157_window_conformance" -> q157Sql,
     "q158_bag_setops" -> q158Sql,

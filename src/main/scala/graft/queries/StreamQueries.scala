@@ -373,6 +373,65 @@ object StreamQueries {
        |ORDER BY version, user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+
+  /** q163_stream_dedup_ttl — BOUNDED-STATE streaming deduplication:
+    * `dropDuplicatesWithinWatermark`, the operator that fixes q107's
+    * scale flaw. Plain `dropDuplicates` keeps every key seen FOREVER —
+    * O(distinct keys) state, which on a 100 TB stream is the store that
+    * eventually dies. The within-watermark variant evicts a key's state
+    * once the watermark passes its event time + delay, bounding state by
+    * the key arrival rate × delay — the trade being that a duplicate
+    * arriving after eviction re-emits (at-least-once dedup, the contract
+    * real pipelines actually run with; exact-once dedup of arbitrarily
+    * late duplicates is unbounded state BY DEFINITION).
+    *
+    * Gate determinism: the delay (40 days) exceeds the corpus's 30-day
+    * span, so no state evicts before the drain completes and the result
+    * is EXACTLY q107's global distinct — the operator wiring, watermark
+    * plumbing, and state lifecycle run for real while the oracle stays
+    * declarative. The eviction/re-emission behavior that the long delay
+    * suppresses here is demonstrated deterministically in
+    * StreamDedupTtlSpec (three hand-ordered micro-batches: in-delay
+    * duplicate dropped, post-eviction duplicate re-emitted). */
+  def q163StreamDedupTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q163")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(timestamp_millis(unix_millis($"ts")).as("ts"),
+        $"user_id", $"event_type")
+    ev.orderBy($"ts", $"user_id", $"event_type")
+      .select(to_json(struct($"ts", $"user_id", $"event_type")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.user_id", $"e.event_type")
+    withStreamPartitions(s) {
+      src.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read.schema("user_id LONG, event_type STRING").parquet(s"$root/out")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** q163 oracle: with delay ≥ span, bounded-state dedup ≡ exact
+    * distinct (q107's oracle — the equivalence is the stated contract). */
+  val q163Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q150
 
   /** q150_stream_anomaly — q133's rate-anomaly monitor maintained AS A
@@ -1092,6 +1151,7 @@ object StreamQueries {
        |ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_stream_dedup_ttl" -> (q163StreamDedupTtl _),
     "q150_stream_anomaly" -> (q150StreamAnomaly _),
     "q147_cdc_delete_merge" -> (q147CdcDeleteMerge _),
     "q142_version_diff" -> (q142VersionDiff _),
@@ -1111,6 +1171,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q163_stream_dedup_ttl" -> q163Sql,
     "q150_stream_anomaly" -> q150Sql,
     "q147_cdc_delete_merge" -> q147Sql,
     "q142_version_diff" -> q142Sql,
