@@ -889,6 +889,100 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+
+  /** q164_record_linkage — probabilistic entity resolution, the
+    * Fellegi–Sunter method (JASA 1969; Splink/dedupe's foundation):
+    * candidate pairs from a BLOCKING key, an agreement VECTOR per pair,
+    * frozen log-odds WEIGHTS summed to a match score, thresholds
+    * classifying match / possible / non-match. The record-linkage family
+    * q70's fuzzy dedup only brushes — this is linkage BETWEEN registries
+    * with field-level evidence weights, the method behind every
+    * master-data/identity-resolution pipeline.
+    *
+    * Registry B derives from the customer registry with DETERMINISTIC
+    * corruption (the q138 synthesized-dimension discipline): every 4th
+    * name typo'd (`Customer` → `Custmer`), every 5th nation drifted,
+    * every 3rd balance shifted, every 7th record dropped entirely. The
+    * agreement features are designed so evidence degrades gracefully:
+    * the digit-suffix feature survives the prefix typo, nation/balance
+    * carry a doubly-corrupted pair into the `possible` band instead of
+    * losing it — exactly the robustness the weighted-evidence method
+    * exists for, visible in the export's score spectrum.
+    *
+    * Scale shape: pairs come ONLY from the 1000-value digit-tail block
+    * join — never A×B. A fixed block count is the q26 anti-pattern at
+    * extreme scale; production grows the key with the registries (more
+    * digits, +phonetic bands — the q119/q64 parametric-key discipline),
+    * and the weights/thresholds ship as literals (frozen-model rule).
+    * All evidence integer-exact (e6 log-odds, e2 balances). */
+  def q164RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal2"))
+    val a = c.select($"c_custkey".as("id_a"), $"c_name".as("name_a"),
+      $"c_nationkey".as("nat_a"), $"bal2".as("bal_a"))
+    val b = c.filter($"c_custkey" % 7 =!= 0)
+      .select(($"c_custkey" + 1000000L).as("id_b"),
+        when($"c_custkey" % 4 === 0,
+          concat(lit("Custmer"), substring($"c_name", 9, 100000)))
+          .otherwise($"c_name").as("name_b"),
+        when($"c_custkey" % 5 === 0, ($"c_nationkey" + 1) % 25)
+          .otherwise($"c_nationkey").as("nat_b"),
+        when($"c_custkey" % 3 === 0, $"bal2" + 10000L)
+          .otherwise($"bal2").as("bal_b"))
+    val pairs = a.withColumn("blk", expr("right(name_a, 3)"))
+      .join(b.withColumn("blk2", expr("right(name_b, 3)")),
+        $"blk" === $"blk2")
+    val score =
+      when(substring_index($"name_a", "#", -1) ===
+        substring_index($"name_b", "#", -1), 3000000L).otherwise(-2000000L) +
+      when($"name_a" === $"name_b", 2000000L).otherwise(-500000L) +
+      when($"nat_a" === $"nat_b", 1000000L).otherwise(-1000000L) +
+      when(abs($"bal_a" - $"bal_b") <= 5000L, 1000000L).otherwise(-500000L)
+    pairs
+      .withColumn("score_e6", score)
+      .withColumn("cls",
+        when($"score_e6" >= 3000000L, lit("match"))
+          .when($"score_e6" >= 500000L, lit("possible"))
+          .otherwise(lit("non_match")))
+      .filter($"cls" =!= "non_match")
+      .select($"id_a", $"id_b", $"score_e6", $"cls")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q164 oracle: identical corruption, blocking, weights, thresholds. */
+  val q164Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal2
+      |  FROM customer),
+      |a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+      |        c_nationkey AS nat_a, bal2 AS bal_a FROM c),
+      |b AS (
+      |  SELECT c_custkey + 1000000 AS id_b,
+      |    CASE WHEN c_custkey % 4 = 0
+      |         THEN 'Custmer' || substr(c_name, 9) ELSE c_name END AS name_b,
+      |    CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+      |         ELSE c_nationkey END AS nat_b,
+      |    CASE WHEN c_custkey % 3 = 0 THEN bal2 + 10000 ELSE bal2 END AS bal_b
+      |  FROM c WHERE c_custkey % 7 <> 0),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    (CASE WHEN split_part(name_a, '#', 2) = split_part(name_b, '#', 2)
+      |          THEN 3000000 ELSE -2000000 END
+      |     + CASE WHEN name_a = name_b THEN 2000000 ELSE -500000 END
+      |     + CASE WHEN nat_a = nat_b THEN 1000000 ELSE -1000000 END
+      |     + CASE WHEN abs(bal_a - bal_b) <= 5000 THEN 1000000 ELSE -500000 END)
+      |      AS score_e6
+      |  FROM a JOIN b ON right(name_a, 3) = right(name_b, 3))
+      |SELECT id_a, id_b, CAST(score_e6 AS BIGINT) AS score_e6,
+      |  CASE WHEN score_e6 >= 3000000 THEN 'match'
+      |       WHEN score_e6 >= 500000 THEN 'possible' END AS cls
+      |FROM p WHERE score_e6 >= 500000
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q162
 
   /** q162_unpivot — wide→long reshape, the inverse of q49's pivot and
@@ -1639,6 +1733,7 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_record_linkage" -> (q164RecordLinkage _),
     "q162_unpivot" -> (q162Unpivot _),
     "q161_grouping_sets" -> (q161GroupingSets _),
     "q157_window_conformance" -> (q157WindowConformance _),
@@ -1681,6 +1776,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_record_linkage" -> q164Sql,
     "q162_unpivot" -> q162Sql,
     "q161_grouping_sets" -> q161Sql,
     "q157_window_conformance" -> q157Sql,
