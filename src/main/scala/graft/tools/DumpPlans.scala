@@ -63,7 +63,13 @@ object DumpPlans {
     "q145_scene_cuts"   -> "native energy in-scan; one media_id exchange serves the lag window",
     "q146_group_trend"  -> "map-side (type, hr) collapse; regression is 5 int64 sums per type",
     "q148_cuped"        -> "one user-keyed fold; pooled 1-row aggregate broadcasts into the 2-row variant agg",
-    "q149_time_to_convert" -> "two user-keyed min-aggs + same-key join; percentiles over per-user durations")
+    "q149_time_to_convert" -> "two user-keyed min-aggs + same-key join; percentiles over per-user durations",
+    "q152_token_budget" -> "global prefix sum decomposed: bucket-partitioned doc windows, global window on the tiny bucket table only",
+    "q153_attribution" -> "one user-keyed carry-forward; the ASOF semantics never build a range join",
+    "q156_share_rollup" -> "fact-side e2 fold behind broadcast dims; ratio windows on the 25-row aggregate",
+    "q161_grouping_sets" -> "one Expand (x4 sets) + map-side partial agg, single exchange",
+    "q162_unpivot" -> "melt is a row-local Expand after the order-keyed fold — no extra exchange",
+    "q164_record_linkage" -> "digit-tail block join only — never A x B; weights in the instruction stream")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage
