@@ -889,6 +889,104 @@ object CoreQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+
+  /** q165_quarantine — data-quality EXPECTATIONS with quarantine routing,
+    * the write-path half q95 lacks: q95 reports contract verdicts; this
+    * one ROUTES — rows violating any rule land in a quarantine sink
+    * carrying a violation BITMASK (a row can break several rules at
+    * once), clean rows continue to the pass sink, and the gate hashes
+    * the read-back quarantine census plus the pass count — so the export
+    * proves conservation (pass + Σ quarantine = input) through the real
+    * file round trip, not just a computed report. The Deequ/DLT
+    * "expectations + quarantine table" pattern.
+    *
+    * Violations are planted deterministically (clean synthetic data never
+    * fires q95's rules): every 11th order's discount breaks range, every
+    * 13th's returnflag leaves the domain, every 17th's partkey nulls —
+    * with compound violations at the lcm intersections, which is what
+    * the bitmask exists to record.
+    *
+    * Scale shape: one scan computes the mask (conditional sums in
+    * codegen); the split is two filtered writes of the same stage; the
+    * census is a |masks|-row aggregate over the quarantine read-back. */
+  def q165Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q165")
+    val feed = Tables.lineitem(s, dir).select(
+      $"l_orderkey",
+      when($"l_orderkey" % 11 === 0, 0.77).otherwise($"l_discount").as("disc"),
+      when($"l_orderkey" % 13 === 0, lit("X")).otherwise($"l_returnflag").as("flag"),
+      when($"l_orderkey" % 17 === 0, lit(null).cast("long"))
+        .otherwise($"l_partkey").as("pk"))
+    val masked = feed.withColumn("mask",
+      when(!$"disc".between(0.0, 0.1), 1L).otherwise(0L) +
+      when(!$"flag".isin("A", "N", "R"), 2L).otherwise(0L) +
+      when($"pk".isNull, 4L).otherwise(0L))
+    masked.filter($"mask" === 0).drop("mask")
+      .write.mode("overwrite").parquet(s"$root/pass")
+    masked.filter($"mask" > 0)
+      .write.mode("overwrite").parquet(s"$root/quarantine")
+    val quar = s.read.parquet(s"$root/quarantine")
+      .groupBy($"mask").agg(count(lit(1)).as("n"))
+    val pass = s.read.parquet(s"$root/pass")
+      .agg(count(lit(1)).as("n")).select(lit(0L).as("mask"), $"n")
+    pass.unionByName(quar).orderBy($"mask")
+  }
+
+  /** q165 oracle: the planted corruption + bitmask census — the routing
+    * round trip must be invisible and conservative. */
+  val q165Sql: String =
+    """WITH feed AS (
+      |  SELECT
+      |    CASE WHEN l_orderkey % 11 = 0 THEN 0.77 ELSE l_discount END AS disc,
+      |    CASE WHEN l_orderkey % 13 = 0 THEN 'X' ELSE l_returnflag END AS flag,
+      |    CASE WHEN l_orderkey % 17 = 0 THEN NULL ELSE l_partkey END AS pk
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT (CASE WHEN disc NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN flag NOT IN ('A','N','R') THEN 2 ELSE 0 END)
+      |       + (CASE WHEN pk IS NULL THEN 4 ELSE 0 END) AS mask
+      |  FROM feed)
+      |SELECT CAST(mask AS BIGINT) AS mask, CAST(count(*) AS BIGINT) AS n
+      |FROM m GROUP BY 1 ORDER BY mask""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+
+  /** q166_union_align — N-feed schema alignment: three heterogeneous
+    * document feeds (different column subsets) union BY NAME with
+    * missing columns null-filled and provenance tagged — the multi-feed
+    * ingest alignment every aggregation pipeline starts with, where
+    * positional UNION would silently misalign columns (the classic
+    * corruption) and strict unionByName would refuse. */
+  def q166UnionAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val f1 = d.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"lang", lit("f1").as("feed"))
+    val f2 = d.filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"source", $"n_chars", lit("f2").as("feed"))
+    val f3 = d.filter($"doc_id" % 3 === 2)
+      .select($"doc_id", $"lang", $"n_chars", lit("f3").as("feed"))
+    f1.unionByName(f2, allowMissingColumns = true)
+      .unionByName(f3, allowMissingColumns = true)
+      .select($"doc_id", $"feed", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** q166 oracle: the explicit null-filled union. */
+  val q166Sql: String =
+    """SELECT doc_id, 'f1' AS feed, lang, CAST(NULL AS VARCHAR) AS source,
+      |  CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT doc_id, 'f2', CAST(NULL AS VARCHAR), source, n_chars
+      |FROM documents WHERE doc_id % 3 = 1
+      |UNION ALL
+      |SELECT doc_id, 'f3', lang, CAST(NULL AS VARCHAR), n_chars
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q164
 
   /** q164_record_linkage — probabilistic entity resolution, the
@@ -1743,6 +1841,8 @@ object CoreQueries {
       |LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_quarantine" -> (q165Quarantine _),
+    "q166_union_align" -> (q166UnionAlign _),
     "q164_record_linkage" -> (q164RecordLinkage _),
     "q162_unpivot" -> (q162Unpivot _),
     "q161_grouping_sets" -> (q161GroupingSets _),
@@ -1786,6 +1886,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_quarantine" -> q165Sql,
+    "q166_union_align" -> q166Sql,
     "q164_record_linkage" -> q164Sql,
     "q162_unpivot" -> q162Sql,
     "q161_grouping_sets" -> q161Sql,
