@@ -36,9 +36,52 @@ object PrivacyQueries {
       |HAVING count(DISTINCT o_custkey) >= 2
       |ORDER BY o_orderdate""".stripMargin
 
+  /** q167_masked_view — dynamic data masking, the COLUMN-level-security
+    * half of the clean room (BigQuery policy tags / data masking; q22's
+    * aggregation threshold is the ROW half): subscribers query a masking
+    * VIEW where the name keeps only its 3-char suffix, the key becomes a
+    * joinable-but-irreversible 48-bit md5 token, and the balance
+    * generalizes to its 1000-unit bucket — utility (group counts,
+    * distinct-entity counts, histograms) survives, raw identifiers never
+    * leave the view. The masks are pure SQL expressions
+    * ([[graft.sql.CleanRoom.MaskRule]]), so pushdown/pruning survive the
+    * view and the oracle replays the mask text verbatim on the raw
+    * table — the masked aggregate must match the
+    * mask-then-aggregate-in-SQL answer exactly. */
+  def q167MaskedView(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.CleanRoom
+    Tables.customer(s, dir).createOrReplaceTempView("customer_raw_q167")
+    CleanRoom.createMaskingView(s, "customer_masked_q167", "customer_raw_q167",
+      Map("c_name" -> CleanRoom.SuffixMask(3),
+        "c_custkey" -> CleanRoom.HashMask,
+        "c_acctbal" -> CleanRoom.BucketMask(1000)))
+    s.sql(
+      """SELECT c_mktsegment, CAST(c_acctbal AS BIGINT) AS bal_bucket,
+        |  count(*) AS n, count(DISTINCT c_custkey) AS n_tokens,
+        |  min(c_name) AS sample_masked
+        |FROM customer_masked_q167
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin)
+  }
+
+  val q167Sql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment,
+      |    concat(repeat('*', greatest(length(c_name) - 3, 0)),
+      |           right(c_name, 3)) AS c_name,
+      |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS c_custkey,
+      |    floor(c_acctbal / 1000) * 1000 AS c_acctbal
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(c_acctbal AS BIGINT) AS bal_bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_tokens,
+      |  min(c_name) AS sample_masked
+      |FROM m GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_masked_view" -> (q167MaskedView _),
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q167_masked_view" -> q167Sql,
     "q22_privacy_agg" -> q22Sql)
 }

@@ -203,6 +203,42 @@ object CleanRoom {
       graft.privacy.AggregationThresholdPolicy(privacyUnitColumn, threshold))
   }
 
+  /** Column-masking rules for [[createMaskingView]] — the dynamic-data-
+    * masking half of column-level security (BigQuery policy tags / data
+    * masking; the clean-room counterpart to [[createPolicyView]]'s
+    * row-aggregation threshold). Each rule is a pure SQL expression over
+    * the column, so the masked view stays a plain Catalyst view: pushdown
+    * and pruning through it survive, and an independent engine can replay
+    * the mask text verbatim (which is exactly how the q167 oracle gates
+    * it). */
+  sealed trait MaskRule { def sql(col: String): String }
+  /** Keep only the last `k` characters; the rest become '*'. */
+  final case class SuffixMask(k: Int) extends MaskRule {
+    def sql(col: String): String =
+      s"concat(repeat('*', greatest(length($col) - $k, 0)), " +
+        s"substring($col, -least($k, length($col)), $k))"
+  }
+  /** Replace the value with a 12-hex-char md5 token — joinable (equal
+    * values get equal tokens) but not reversible at 48 bits. */
+  case object HashMask extends MaskRule {
+    def sql(col: String): String = s"substring(md5(cast($col AS STRING)), 1, 12)"
+  }
+  /** Generalize a numeric to its bucket floor (width in the column's own
+    * units) — utility-preserving for histograms, hides exact values. */
+  final case class BucketMask(width: Long) extends MaskRule {
+    def sql(col: String): String = s"(floor($col / $width) * $width)"
+  }
+
+  /** Masked view over `table`: listed columns pass through their
+    * [[MaskRule]], everything else is projected as-is. */
+  def createMaskingView(spark: SparkSession, name: String, table: String,
+                        masks: Map[String, MaskRule]): Unit = {
+    val cols = spark.table(table).columns.map { c =>
+      masks.get(c).map(r => s"${r.sql(c)} AS $c").getOrElse(c)
+    }
+    createView(spark, name, s"SELECT ${cols.mkString(", ")} FROM $table")
+  }
+
   /** O22 durable variant: a PERSISTENT (catalog) view — the reference's
     * clean-room views are dataset-level objects
     * (`/root/reference/sql/sp_demo_cleanroom.sql:51-63`), visible to every
