@@ -87,22 +87,37 @@ final class MergeSink(
     * row itself stays STORED, which is what keeps the merge idempotent
     * under replay: an upstream re-delivery of a pre-delete upsert loses to
     * the retained tombstone instead of resurrecting the key (the Kafka
-    * log-compaction / Cassandra tombstone recipe). */
+    * log-compaction / Cassandra tombstone recipe).
+    *
+    * NULL-safe: only an EXPLICIT `"true"` tombstone excludes a row. Under
+    * plain `=!=`, three-valued logic would also drop rows whose tombstone
+    * column is NULL (a feed that only stamps deletes, a schema-evolved
+    * union) — live rows silently hidden. `<=>` keeps them. */
   def read(): DataFrame = {
     val t = spark.read.parquet(tableDir).drop(partCol)
-    tombstoneCol.map(c => t.filter(col(c) =!= "true")).getOrElse(t)
+    tombstoneCol.map(c => t.filter(!(col(c) <=> "true"))).getOrElse(t)
   }
 
   /** Physically drop tombstone rows — the compaction horizon decision.
     * Full-table rewrite (run rarely, like any compaction): after a purge,
     * a replay of a PRE-delete change would resurrect its key, so purge
     * only once the upstream replay window has passed. No-op without a
-    * configured `tombstoneCol`. */
+    * configured `tombstoneCol`, and no-op before the table exists (mirrors
+    * merge()'s existence check). NULL-safe like read(): only explicit
+    * `"true"` tombstones are purged. If EVERY row is a tombstone, the
+    * overwrite is skipped — writing an empty partitioned dataset would
+    * leave a directory with no part files, bricking read()/merge() with
+    * 'unable to infer schema'; an all-tombstone table simply keeps its
+    * tombstones until fresh live rows arrive. */
   def purgeTombstones(): Unit = tombstoneCol.foreach { c =>
-    val live = spark.read.parquet(tableDir)
-      .filter(col(c) =!= "true").localCheckpoint(true)
-    live.write.partitionBy(partCol)
-      .mode(SaveMode.Overwrite).parquet(tableDir)
+    if (new java.io.File(tableDir).exists()) {
+      val live = spark.read.parquet(tableDir)
+        .filter(!(col(c) <=> "true")).localCheckpoint(true)
+      if (!live.isEmpty) {
+        live.write.partitionBy(partCol)
+          .mode(SaveMode.Overwrite).parquet(tableDir)
+      }
+    }
   }
 
   /** O25: backfill-then-stream. The batch snapshot is merged first (the

@@ -219,9 +219,23 @@ object CleanRoom {
         s"substring($col, -least($k, length($col)), $k))"
   }
   /** Replace the value with a 12-hex-char md5 token — joinable (equal
-    * values get equal tokens) but not reversible at 48 bits. */
+    * values get equal tokens). PSEUDONYMIZATION, not anonymization: the
+    * token is an unsalted deterministic hash, so a low-entropy domain
+    * (sequential keys, known enumerable values) is trivially reversible by
+    * hashing every candidate; use [[KeyedHashMask]] for guessable domains.
+    * The 48-bit truncation also implies birthday collisions around ~16M
+    * distinct values — count(DISTINCT token) deflates past that scale. */
   case object HashMask extends MaskRule {
     def sql(col: String): String = s"substring(md5(cast($col AS STRING)), 1, 12)"
+  }
+  /** Keyed (salted) variant of [[HashMask]]: md5(secret || value). An
+    * attacker without the key cannot enumerate candidate values, so it is
+    * safe on guessable domains — at the cost that tokens only join across
+    * views sharing the SAME key. Same 48-bit collision bound. */
+  final case class KeyedHashMask(key: String) extends MaskRule {
+    require(!key.contains("'"), "mask key must not contain quotes")
+    def sql(col: String): String =
+      s"substring(md5(concat('$key', ':', cast($col AS STRING))), 1, 12)"
   }
   /** Generalize a numeric to its bucket floor (width in the column's own
     * units) — utility-preserving for histograms, hides exact values. */

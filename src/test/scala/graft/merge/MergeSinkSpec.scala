@@ -135,4 +135,40 @@ class MergeSinkSpec extends SparkSpec {
     assert(stored.filter("__deleted = 'true'").count() === 0L)
     assert(state() === Seq((2L, "b1")))
   }
+
+  test("NULL tombstone values are live rows, not deletes (null-safe filter polarity)") {
+    // a feed that only stamps deletes: upserts carry __deleted = NULL.
+    // read() must keep them and purgeTombstones() must NOT drop them.
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("merge-nulltomb") + "/t"
+    val sink = new MergeSink(spark, dir, "id", Seq("ts"), numBuckets = 4,
+      tombstoneCol = Some("__deleted"))
+    val batch = Seq(
+      (1L, "live-null", 10L, null.asInstanceOf[String]),
+      (2L, "live-false", 10L, "false"),
+      (3L, "-", 10L, "true")
+    ).toDF("id", "name", "ts", "__deleted")
+    sink.merge(batch)
+    def state() = sink.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() === Seq((1L, "live-null"), (2L, "live-false")))
+    sink.purgeTombstones()
+    assert(state() === Seq((1L, "live-null"), (2L, "live-false")))
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
+
+  test("purgeTombstones edge cases: missing dir is a no-op; all-tombstone table is not bricked") {
+    val dir = tmpDir("merge-purge-edge") + "/t"
+    val sink = new MergeSink(spark, dir, "id", Seq("ts"), numBuckets = 4,
+      tombstoneCol = Some("__deleted"))
+    sink.purgeTombstones() // before any merge: must not throw
+    sink.merge(delChanges((1L, "-", 10L, "true"), (2L, "-", 10L, "true")))
+    sink.purgeTombstones() // every row is a tombstone: overwrite skipped
+    // the sink is still usable: tombstones retained, reads empty, and a
+    // fresh upsert lands normally
+    assert(sink.read().count() === 0L)
+    sink.merge(delChanges((1L, "a-new", 20L, "false")))
+    assert(sink.read().collect().map(_.getString(1)).toSeq === Seq("a-new"))
+  }
 }

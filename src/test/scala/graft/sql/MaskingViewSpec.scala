@@ -46,4 +46,40 @@ class MaskingViewSpec extends SparkSpec {
     val joined = spark.table("mask_v").join(spark.table("mask_v2"), "c_custkey")
     assert(joined.count() == 1L)
   }
+
+  test("KeyedHashMask defeats candidate enumeration; same key stays joinable") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "tag").createOrReplaceTempView("kmask_base")
+    CleanRoom.createMaskingView(spark, "kmask_v", "kmask_base",
+      Map("c_custkey" -> CleanRoom.KeyedHashMask("s3cret")))
+    val toks = spark.table("kmask_v").collect().map(_.getAs[String]("c_custkey"))
+    assert(toks.forall(t => t.length == 12 && t.matches("[0-9a-f]+")))
+    assert(toks.distinct.length == 3)
+
+    // the enumeration attack that breaks unsalted HashMask on a sequential
+    // domain: hash every candidate key and look for token collisions. It
+    // recovers EVERY row under HashMask and ZERO rows under KeyedHashMask.
+    val unsaltedTok = (k: Long) =>
+      spark.sql(s"SELECT substring(md5(cast($k AS STRING)), 1, 12)").head.getString(0)
+    CleanRoom.createMaskingView(spark, "umask_v", "kmask_base",
+      Map("c_custkey" -> CleanRoom.HashMask))
+    val unsalted = spark.table("umask_v").collect().map(_.getAs[String]("c_custkey")).toSet
+    val candidates = (1L to 100L).map(unsaltedTok)
+    assert(candidates.count(unsalted.contains) == 3)            // fully reversed
+    assert(candidates.count(toks.toSet.contains) == 0)           // keyed: opaque
+
+    // two views sharing the key join; a different key does not
+    CleanRoom.createMaskingView(spark, "kmask_v2", "kmask_base",
+      Map("c_custkey" -> CleanRoom.KeyedHashMask("s3cret")))
+    assert(spark.table("kmask_v").join(spark.table("kmask_v2"), "c_custkey").count() == 3L)
+    CleanRoom.createMaskingView(spark, "kmask_v3", "kmask_base",
+      Map("c_custkey" -> CleanRoom.KeyedHashMask("other")))
+    assert(spark.table("kmask_v").join(spark.table("kmask_v3"), "c_custkey").count() == 0L)
+
+    intercept[IllegalArgumentException] {
+      CleanRoom.KeyedHashMask("bad'key")
+    }
+  }
 }
