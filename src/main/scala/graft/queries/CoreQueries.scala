@@ -1008,14 +1008,33 @@ object CoreQueries {
     * losing it — exactly the robustness the weighted-evidence method
     * exists for, visible in the export's score spectrum.
     *
-    * Scale shape: pairs come ONLY from the 1000-value digit-tail block
-    * join — never A×B. A fixed block count is the q26 anti-pattern at
-    * extreme scale; production grows the key with the registries (more
-    * digits, +phonetic bands — the q119/q64 parametric-key discipline),
-    * and the weights/thresholds ship as literals (frozen-model rule).
-    * All evidence integer-exact (e6 log-odds, e2 balances). */
+    * Scale shape: pairs come ONLY from the digit-tail block join — never
+    * A×B — and the key WIDTH IS PARAMETRIC IN REGISTRY SIZE (the q119/q64
+    * parametric-key discipline): k tail digits are chosen so the expected
+    * per-block population stays ~constant (k = ceil(log10(|A| / 1.5)),
+    * clamped to [3, 9]), so within-block pair work grows ~linearly with
+    * the registries instead of ~N²/1000 under a fixed 3-digit key (the
+    * measured 6.7× at ×10 that this parameterization retires). Widening
+    * k only SPLITS blocks (equal last-(k+1) ⇒ equal last-k), never merges
+    * them, and the corruption model never touches the digit suffix, so
+    * true pairs always share every tail width — recall is monotone in k
+    * and the classified output is IDENTICAL for every k (spurious
+    * same-tail pairs score ≤ -500000, below the `possible` band; see
+    * RecordLinkageSpec). The weights/thresholds ship as literals
+    * (frozen-model rule). All evidence integer-exact (e6 log-odds, e2
+    * balances). */
   def q164RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.customer(s, dir).count() // registry-level stat, one scalar
+    q164RecordLinkageWithK(s, dir,
+      math.min(9, math.max(3, math.ceil(math.log10(n / 1.5)).toInt)))
+  }
+
+  /** q164 core with an explicit block-key width (exposed for the spec's
+    * k-invariance proof; production entry computes k from registry size). */
+  private[graft] def q164RecordLinkageWithK(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
+    require(k >= 1 && k <= 9, s"digit-tail width out of range: $k")
     val c = Tables.customer(s, dir)
       .select($"c_custkey", $"c_name", $"c_nationkey",
         floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal2"))
@@ -1030,8 +1049,8 @@ object CoreQueries {
           .otherwise($"c_nationkey").as("nat_b"),
         when($"c_custkey" % 3 === 0, $"bal2" + 10000L)
           .otherwise($"bal2").as("bal_b"))
-    val pairs = a.withColumn("blk", expr("right(name_a, 3)"))
-      .join(b.withColumn("blk2", expr("right(name_b, 3)")),
+    val pairs = a.withColumn("blk", expr(s"right(name_a, $k)"))
+      .join(b.withColumn("blk2", expr(s"right(name_b, $k)")),
         $"blk" === $"blk2")
     val score =
       when(substring_index($"name_a", "#", -1) ===
@@ -1050,7 +1069,11 @@ object CoreQueries {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** q164 oracle: identical corruption, blocking, weights, thresholds. */
+  /** q164 oracle: identical corruption, weights, thresholds. The oracle
+    * blocks at a FIXED k=3 tail while the engine's k is registry-size-
+    * parametric — sound because the classified output is k-invariant
+    * (true pairs share every tail width; spurious same-tail pairs cannot
+    * reach the `possible` threshold), which RecordLinkageSpec pins. */
   val q164Sql: String =
     """WITH c AS (
       |  SELECT c_custkey, c_name, c_nationkey,
@@ -1503,12 +1526,19 @@ object CoreQueries {
     * Scale shape: the pair generation is a CO-PARTITIONED self-join on
     * l_orderkey (basket-bounded: C(lines-per-order, 2) pairs per order —
     * at unbounded basket sizes, cap per-basket items first, the q104
-    * discipline); the edge and adjacency relations are built once and
-    * localCheckpoint-pinned for their reuses (q139's rule); the count is
-    * the EDGE-ITERATOR form — per oriented edge, a native merge-scan
-    * intersection of two sorted adjacency arrays — so no wedge row is
-    * ever materialized or shuffled (the Σ outdeg² stream stays virtual).
-    * Everything integer, everything exact. */
+    * discipline); the edge, ORIENTED-edge, and adjacency relations are
+    * each built once and localCheckpoint-pinned for their reuses (q139's
+    * rule — the oriented relation has FOUR consumers: odeg, the wedge
+    * algebra, the adjacency fold, and the intersection join; unpinned it
+    * re-ran its two degree joins per consumer, which under the
+    * interleaved bench's memory pressure re-read disk-spilled checkpoint
+    * blocks 4× — the 18 s → 64 s inflation round 11 measured); the count
+    * is the EDGE-ITERATOR form — per oriented edge, a native merge-scan
+    * intersection of two sorted adjacency arrays — so no wedge ROW is
+    * ever materialized (the Σ outdeg² stream stays virtual; the bytes of
+    * the attached arrays are Σ outdeg² longs, the algorithm's floor, and
+    * they stream through the join — never resident per task beyond one
+    * row). Everything integer, everything exact. */
   def q144Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
@@ -1523,6 +1553,7 @@ object CoreQueries {
       .join(deg.toDF("nv", "dv"), $"v" === $"nv")
       .select(when(uFirst, $"u").otherwise($"v").as("src"),
         when(uFirst, $"v").otherwise($"u").as("dst"))
+      .localCheckpoint()
     // edge-iterator core (Chiba–Nishizeki / the cSPARQL-free classic):
     // triangles = Σ over oriented edges (u, v) of |N⁺(u) ∩ N⁺(v)|, each
     // triangle counted exactly once at its DAG-source edge. The earlier
