@@ -68,16 +68,18 @@ object PolicyCatalog {
     * writing the policy properties onto that view instance's own metadata. */
   def setPolicy(spark: SparkSession, viewName: String,
                 policy: AggregationThresholdPolicy): Unit =
-    updateProperties(spark, viewName,
+    updatePropertiesOf(spark, viewName,
       _ + (UnitProp -> policy.unitColumn) + (ThresholdProp -> policy.threshold.toString))
 
   /** Strip a policy off the view instance (the other way a policy dies is
     * with the instance itself, via CREATE OR REPLACE / DROP). */
   def removePolicy(spark: SparkSession, viewName: String): Unit =
-    try updateProperties(spark, viewName, _ - UnitProp - ThresholdProp)
+    try updatePropertiesOf(spark, viewName, _ - UnitProp - ThresholdProp)
     catch { case _: NoSuchElementException => () } // no such view -> nothing bound
 
-  private def updateProperties(spark: SparkSession, viewName: String,
+  /** Shared by the sibling [[JoinRestrictionCatalog]] — one property-update
+    * path for every policy kind stamped onto a view instance's metadata. */
+  private[privacy] def updatePropertiesOf(spark: SparkSession, viewName: String,
       f: Map[String, String] => Map[String, String]): Unit = {
     val cat = spark.sessionState.catalog
     val ident = graft.util.Names.parseTableIdentifier(spark, viewName)
@@ -417,6 +419,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
+    ext.injectPostHocResolutionRule(s => new JoinRestrictionRule(s))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -77,11 +77,54 @@ object PrivacyQueries {
       |  min(c_name) AS sample_masked
       |FROM m GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin
 
+  /** q168_join_restriction — the JOIN-restriction clean-room primitive
+    * (BigQuery analysis rules' `join_restriction_policy`; the sharing
+    * pattern around `/root/reference/sql/sp_demo_cleanroom.sql:51-63`).
+    * The publisher shares `customer` permitting joins ONLY on `c_custkey`
+    * (mode JOIN_ANY: a join is required, and it must key on an allowed
+    * column); the subscriber links their `orders` to it and aggregates
+    * per market segment. The gated result is the ALLOWED join — the
+    * oracle replays it as a plain SQL join — while the reject surface
+    * (disallowed keys, expression-wrapped keys, renamed-key laundering,
+    * cross-join + filter smuggling, correlated-subquery smuggling, union
+    * re-keying, JOIN_BLOCKED, JOIN_ALL partial keys) is pinned by
+    * JoinRestrictionSpec, the q22 adversarial-suite discipline.
+    *
+    * Scale shape: enforcement is a pure analysis-time plan walk — zero
+    * runtime cost; the permitted plan below is the ordinary broadcast/
+    * shuffle equi-join Catalyst would pick unaided. */
+  def q168JoinRestriction(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.CleanRoom
+    Tables.customer(s, dir).createOrReplaceTempView("customer_raw_q168")
+    CleanRoom.createJoinRestrictedView(s, "customer_shared_q168",
+      "SELECT * FROM customer_raw_q168",
+      graft.privacy.JoinConditionMode.JoinAny, Seq("c_custkey"))
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q168")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer_shared_q168 c JOIN orders_q168 o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q168Sql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_masked_view" -> (q167MaskedView _),
+    "q168_join_restriction" -> (q168JoinRestriction _),
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
     "q167_masked_view" -> q167Sql,
+    "q168_join_restriction" -> q168Sql,
     "q22_privacy_agg" -> q22Sql)
 }

@@ -253,6 +253,21 @@ object CleanRoom {
     createView(spark, name, s"SELECT ${cols.mkString(", ")} FROM $table")
   }
 
+  /** Join-restricted view — the THIRD clean-room primitive (q22's row
+    * aggregation threshold, q167's column masking, and this: BigQuery
+    * analysis rules' `join_restriction_policy`). The publisher declares
+    * which columns may serve as join keys; the injected
+    * [[graft.privacy.JoinRestrictionRule]] rejects every other linkage
+    * (disallowed keys, expression-wrapped keys, filter- or subquery-
+    * smuggled joins) at analysis time. */
+  def createJoinRestrictedView(spark: SparkSession, name: String, selectSql: String,
+                               mode: graft.privacy.JoinConditionMode,
+                               allowedColumns: Seq[String]): Unit = {
+    createView(spark, name, selectSql)
+    graft.privacy.JoinRestrictionCatalog.setPolicy(spark, name,
+      graft.privacy.JoinRestrictionPolicy(mode, allowedColumns))
+  }
+
   /** O22 durable variant: a PERSISTENT (catalog) view — the reference's
     * clean-room views are dataset-level objects
     * (`/root/reference/sql/sp_demo_cleanroom.sql:51-63`), visible to every

@@ -85,11 +85,24 @@ object ScaleUp {
             regexp_replace(col("text"),
               s"(?<![A-Za-z0-9])(?!(?:$markers)\\b)([A-Za-z0-9]+)", "$1" + f"z$i%02d"))
         case "embeddings" if i > 0 =>
-          // distinct nonzero rotation per copy; unique only below the
-          // embedding dimension (64) — main enforces copies <= 64
-          shifted.withColumn("embedding", expr(
-            s"concat(slice(embedding, $i + 1, size(embedding) - $i), " +
-              s"slice(embedding, 1, $i))"))
+          // distinct transform per copy: a cyclic rotation (i mod dim) for
+          // the first 64 copies, COMPOSED with full-vector negation for
+          // copies 64..99 (rotation indices wrap at the embedding
+          // dimension). Both transforms preserve norms and within-copy dot
+          // products EXACTLY — every copy's internal ANN/near-dup structure
+          // is the base corpus's — while any two distinct copies differ by
+          // a nonzero rotation or by sign, so cross-copy vectors stay
+          // decorrelated (sign-flip pairs at the same rotation are
+          // anti-correlated: cosine c becomes -c, maximally far from any
+          // near-dup threshold). main enforces copies <= 100 (salt width).
+          val rot = i % 64
+          val rotExpr =
+            if (rot == 0) "embedding"
+            else s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
+              s"slice(embedding, 1, $rot))"
+          val full = if (i < 64) rotExpr
+            else s"transform($rotExpr, x -> -x)"
+          shifted.withColumn("embedding", expr(full))
         case _ => shifted
       }
     }.reduce(_ unionByName _)
@@ -99,8 +112,9 @@ object ScaleUp {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    // documents salt is 2-digit; embeddings rotation must stay < dim (64)
-    require(copies >= 1 && copies <= 64, s"copies must be in [1, 64], got $copies")
+    // documents salt is 2-digit (covers copy indices 0..99 at fixed width);
+    // embeddings use rotation (i mod 64) composed with negation for i >= 64
+    require(copies >= 1 && copies <= 100, s"copies must be in [1, 100], got $copies")
     val spark = graft.GraftSession.local(appName = "graft-scaleup")
     graft.Tables.names.foreach { t =>
       scaleTable(spark, inDir, t, copies)
