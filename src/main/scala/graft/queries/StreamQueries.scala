@@ -293,6 +293,102 @@ object StreamQueries {
       .orderBy($"id")
   }
 
+  /** q169 shared constants: the people-registry revisions (the reference's
+    * G5/G6 shapes — `/root/reference/README.md:299-450` — on the customer
+    * feed) and their deterministic registry ids, so the oracle states the
+    * expected stamps as literals. `id`/`nation` are REQUIRED: the NOT NULL
+    * is what makes the G6 drop incompatible, exactly like dropping the
+    * populated `zipcode` column errored in the reference. */
+  private[queries] object Q169 {
+    val V1Ddl = "id BIGINT NOT NULL, name STRING, nation BIGINT NOT NULL, bal DOUBLE"
+    // G5: ADD a nullable 'age' — compatible in both directions
+    val V2Ddl =
+      "id BIGINT NOT NULL, name STRING, nation BIGINT NOT NULL, bal DOUBLE, age BIGINT"
+    // G6: DROP the required 'nation' (and 'age') — FORWARD-incompatible
+    val V3Ddl = "id BIGINT NOT NULL, name STRING, bal DOUBLE"
+    private def revId(ddl: String): String = new SchemaRegistry()
+      .revisionIdOf(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    lazy val Rev1: String = revId(V1Ddl)
+    lazy val Rev2: String = revId(V2Ddl)
+  }
+
+  /** q169_schema_compat — compatibility-GATED schema-revision registration
+    * (the reference lab's full evolution arc as one hash-gated flow:
+    * G5 "add `age`" must be ACCEPTED and start flowing, G6 "drop
+    * `zipcode`" must be REJECTED with the pipeline continuing on the
+    * prior revision — `/root/reference/README.md:299-450`):
+    *
+    *  - rev 1 registers under FULL (first revision always passes);
+    *    wave 1 (custkey ≡ 0 mod 3) publishes and conforms under it;
+    *  - the G5 proposal (add nullable `age`) passes FULL and becomes
+    *    rev 2; wave 2 (≡ 1) publishes WITH age and it flows;
+    *  - the G6 proposal (drop the REQUIRED `nation`) throws
+    *    [[SchemaCompatibilityException]] — asserted here, with the
+    *    registry untouched — and wave 3 (≡ 2) keeps publishing under the
+    *    still-latest rev 2 (a lagging v1 writer: its payloads carry no
+    *    `age`, which conformance null-fills).
+    *
+    * Every output row carries the revision stamp current AT ITS PUBLISH,
+    * so the oracle pins both the acceptance (waves 2–3 stamp rev 2) and
+    * the rejection (wave 3's stamp is rev 2, NOT a third id) through the
+    * hash gate; the violation texts are pinned by SchemaCompatSpec.
+    *
+    * Scale shape: compatibility checks are driver-side control-plane
+    * algebra over field sets (KB-sized); each wave is one distributed
+    * JSON-conform pass; no shuffle beyond the final order. */
+  def q169SchemaCompat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.schema.{CompatibilityMode, SchemaCompatibilityException}
+    val registry = new SchemaRegistry
+    val v1 = org.apache.spark.sql.types.StructType.fromDDL(Q169.V1Ddl)
+    val v2 = org.apache.spark.sql.types.StructType.fromDDL(Q169.V2Ddl)
+    val v3 = org.apache.spark.sql.types.StructType.fromDDL(Q169.V3Ddl)
+
+    val rev1 = registry.registerRevision("q169-people", v1, CompatibilityMode.Full)
+    val rev2 = registry.registerRevision("q169-people", v2, CompatibilityMode.Full)
+    val rejected =
+      try { registry.registerRevision("q169-people", v3, CompatibilityMode.Full); false }
+      catch { case _: SchemaCompatibilityException => true }
+    require(rejected, "the G6 drop-required-column proposal must be rejected")
+    require(registry.latest("q169-people").revisionId == rev2.revisionId,
+      "a rejected proposal must leave the registry on the prior revision")
+
+    val c = graft.Tables.customer(s, dir)
+    def wire(df: DataFrame, withAge: Boolean): DataFrame = {
+      val fields = Seq($"c_custkey".as("id"), $"c_name".as("name"),
+        $"c_nationkey".as("nation"), $"c_acctbal".as("bal")) ++
+        (if (withAge) Seq(($"c_custkey" % 90).as("age")) else Nil)
+      df.select(to_json(struct(fields: _*)).as("value"))
+    }
+    // conform each wave against the revision current at its publish: the
+    // q128 projection semantics — topic-schema fields only, missing fields
+    // null-filled
+    def conform(w: DataFrame, rev: graft.schema.SchemaRevision): DataFrame = {
+      // parse with an all-nullable copy (from_json output is nullable by
+      // nature; the NOT NULLs matter to the registry's compat algebra only)
+      val parseSchema = org.apache.spark.sql.types.StructType(
+        rev.schema.fields.map(_.copy(nullable = true)))
+      w.select(from_json($"value", parseSchema).as("m"))
+        .select($"m.id", $"m.name", $"m.nation", $"m.bal",
+          (if (rev.schema.fieldNames.contains("age")) $"m.age" else lit(null).cast("long"))
+            .as("age"),
+          lit(rev.revisionId).as("revision"))
+    }
+    val wave1 = conform(wire(c.filter($"c_custkey" % 3 === 0), withAge = false), rev1)
+    val wave2 = conform(wire(c.filter($"c_custkey" % 3 === 1), withAge = true), rev2)
+    val wave3 = conform(wire(c.filter($"c_custkey" % 3 === 2), withAge = false), rev2)
+    wave1.unionByName(wave2).unionByName(wave3).orderBy($"id")
+  }
+
+  val q169Sql: String =
+    s"""SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+       |  c_acctbal AS bal,
+       |  CASE WHEN c_custkey % 3 = 1 THEN c_custkey % 90 END AS age,
+       |  CASE WHEN c_custkey % 3 = 0 THEN '${Q169.Rev1}'
+       |       ELSE '${Q169.Rev2}' END AS revision
+       |FROM customer
+       |ORDER BY id""".stripMargin
+
   /** q34_merge_upsert — the [[graft.merge.MergeSink]] latest-wins upsert
     * under the oracle gate: events applied in TWO batches (split by id
     * parity, so later batches overwrite earlier state for shared keys);
@@ -1163,6 +1259,7 @@ object StreamQueries {
     "q122_sink_compact" -> (q122SinkCompact _),
     "q123_dlq_replay" -> (q123DlqReplay _),
     "q128_schema_evolution" -> (q128SchemaEvolution _),
+    "q169_schema_compat" -> (q169SchemaCompat _),
     "q89_stream_join" -> (q89StreamJoin _),
     "q96_incr_agg"    -> (q96IncrAgg _),
     "q34_merge_upsert" -> (q34MergeUpsert _),
@@ -1183,6 +1280,7 @@ object StreamQueries {
     "q122_sink_compact" -> q122Sql,
     "q123_dlq_replay" -> q123Sql,
     "q128_schema_evolution" -> q128Sql,
+    "q169_schema_compat" -> q169Sql,
     "q34_merge_upsert" -> q34Sql,
     "q136_time_travel" -> q136Sql,
     // the stateful streams must converge to their batch twins — same
