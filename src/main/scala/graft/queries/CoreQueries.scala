@@ -1871,7 +1871,59 @@ object CoreQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+
+  /** q171_scalar_subquery — TPC-H Q17's correlated SCALAR-subquery shape
+    * (small-quantity-order revenue): lineitems of one brand's parts whose
+    * quantity is below 20% of that PART's average quantity, folded to the
+    * yearly-revenue scalar. Completes the subquery-decorrelation family:
+    * q33 (scalar per-group), q134 (EXISTS/NOT EXISTS chain), and this —
+    * the aggregate-in-the-predicate form every warehouse optimizer must
+    * turn into a join.
+    *
+    * Spark-first decorrelation: the subquery becomes ONE per-part
+    * aggregate joined back on `l_partkey` — fact and aggregate shuffle on
+    * the same key (co-partitioned, the q76 rule), the brand dimension
+    * stays an unforced join (AQE broadcasts at small SF, the q5 rule).
+    * Exactness: quantities are integral doubles, so `avg` is an exact
+    * integer sum over an exact count with ONE IEEE division, `0.2 * avg`
+    * one multiply — bit-identical in both engines; revenue folds on the
+    * e2 integer grid and the final `/7.0` is a single floored float op.
+    *
+    * At 100 TB: two co-partitioned passes over lineitem (one to build the
+    * per-part thresholds, one to probe), no row multiplication, and the
+    * threshold table is |parts|-sized — the decorrelated plan is the ONLY
+    * viable one at scale (a per-row re-aggregation, the naive reading of
+    * the subquery, would be O(rows × basket)). */
+  def q171ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val thresholds = li.groupBy($"l_partkey".as("t_partkey"))
+      .agg((lit(0.2) * avg($"l_quantity")).as("qty_threshold"))
+    val brand = Tables.part(s, dir).filter($"p_brand" === "Brand#13")
+      .select($"p_partkey")
+    li.join(brand, $"l_partkey" === $"p_partkey")
+      .join(thresholds, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg(count(lit(1)).as("n_small"),
+        floor(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")) / 7.0 + 0.5)
+          .cast("long").as("avg_yearly_e2"))
+  }
+
+  /** q171 oracle: the textbook correlated scalar subquery — the
+    * decorrelated join plan must reproduce the declarative answer. */
+  val q171Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |  CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |                   AS BIGINT) / 7.0 + 0.5) AS BIGINT) AS avg_yearly_e2
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+      |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                      FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_scalar_subquery" -> (q171ScalarSubquery _),
     "q165_quarantine" -> (q165Quarantine _),
     "q166_union_align" -> (q166UnionAlign _),
     "q164_record_linkage" -> (q164RecordLinkage _),
@@ -1917,6 +1969,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_scalar_subquery" -> q171Sql,
     "q165_quarantine" -> q165Sql,
     "q166_union_align" -> q166Sql,
     "q164_record_linkage" -> q164Sql,

@@ -118,13 +118,65 @@ object PrivacyQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q170_dp_count — ε-differentially-private counts, the FOURTH clean-room
+    * primitive (BigQuery analysis rules' `differential_privacy_policy`
+    * next to q22's threshold, q167's masks, q168's join restriction):
+    * daily order counts published with Laplace(1/ε) noise at ε=1, under a
+    * per-view privacy-budget LEDGER — this gate spends the 2.0-ε budget in
+    * two ε=1 reads and asserts the third read is REJECTED (the ledger, not
+    * the noise, is what stops an analyst averaging re-runs).
+    *
+    * The noise is hash-seeded per GROUP (md5 → e6-grid uniform → inverse
+    * CDF), which makes it independently replayable: the oracle re-derives
+    * the identical draw in DuckDB text. Production would key the seed with
+    * a secret salt — same machinery, same single-draw-per-group rule (see
+    * [[graft.privacy.DifferentialPrivacy]]).
+    *
+    * Scale shape: one scalar expression per OUTPUT group after the normal
+    * count aggregation — zero extra shuffles; the ledger is driver-side
+    * bytes. */
+  def q170DpCount(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    import graft.privacy.DifferentialPrivacy
+    val budget = new DifferentialPrivacy.DpBudget(2.0)
+    val g = Tables.orders(s, dir)
+      .groupBy($"o_orderdate").agg(count(lit(1)).as("n"))
+    def read() = DifferentialPrivacy.dpCount(
+      g, $"o_orderdate".cast("string"), epsilon = 1.0, seed = "q170",
+      budget = Some(budget))
+    val out = read()
+    read() // second ε=1 read — budget now exhausted
+    val rejected =
+      try { read(); false }
+      catch { case _: graft.privacy.PolicyViolationException => true }
+    require(rejected, "the third read must exceed the 2.0-epsilon budget")
+    // DP-honest export: the noisy count only, never the raw n
+    out.select($"o_orderdate", $"noisy_n_e2").orderBy($"o_orderdate")
+  }
+
+  val q170Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderdate, count(*) AS n FROM orders GROUP BY 1),
+      |u AS (
+      |  SELECT o_orderdate, n,
+      |    (CAST('0x' || substr(md5('q170:' || CAST(o_orderdate AS VARCHAR)), 1, 15)
+      |          AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+      |  FROM g)
+      |SELECT o_orderdate,
+      |  CAST(floor((n + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))
+      |             * 100 + 0.5) AS BIGINT) AS noisy_n_e2
+      |FROM u ORDER BY o_orderdate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_masked_view" -> (q167MaskedView _),
     "q168_join_restriction" -> (q168JoinRestriction _),
+    "q170_dp_count" -> (q170DpCount _),
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
     "q167_masked_view" -> q167Sql,
     "q168_join_restriction" -> q168Sql,
+    "q170_dp_count" -> q170Sql,
     "q22_privacy_agg" -> q22Sql)
 }
