@@ -1922,8 +1922,146 @@ object CoreQueries {
       |                      FROM lineitem l2
       |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+
+  /** q172_bom_explode — recursive hierarchy expansion (the bill-of-materials
+    * / org-chart / category-tree shape): every part is a node in a derived
+    * tree (parent = `floor(p_partkey / 10)`, roots = keys 1–9 — the tree is
+    * ARITHMETIC so both engines derive identical edges from the same table),
+    * each edge carries a quantity (`p_partkey % 5 + 1`), and the query
+    * flattens the tree to one row per node with its root ancestor, depth,
+    * and the PRODUCT of edge quantities along the path (the "how many
+    * sub-assemblies per finished good" number BOM explosion exists for).
+    * Completes the iterative family next to q99's fixpoint CC: this is
+    * transitive closure WITH path algebra, the `WITH RECURSIVE` workload —
+    * which the oracle states declaratively while the Spark plan is the
+    * level-synchronous BFS a distributed engine actually runs.
+    *
+    * Scale shape: the edge relation is hash-partitioned on `parent` ONCE
+    * and localCheckpoint-pinned; each level is one co-partitioned hash join
+    * frontier⋈edges (no growing lineage — every level pins). Levels =
+    * tree depth = O(log₁₀ |parts|) — 5 rounds at sf0.1, 7 at 100× — and
+    * each node is visited exactly once, so total join work is O(V + E)
+    * across all rounds, the PREGEL bound. Output is |V| rows. */
+  def q172BomExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, dir).select($"p_partkey")
+    val edges = part.filter($"p_partkey" >= 10)
+      .select(floor($"p_partkey" / 10).cast("long").as("parent"),
+        $"p_partkey".as("child"),
+        ($"p_partkey" % 5 + 1).as("qty"))
+      .repartition($"parent")
+      .localCheckpoint()
+    var frontier = part.filter($"p_partkey" <= 9)
+      .select($"p_partkey".as("node"), $"p_partkey".as("root"),
+        lit(0).as("depth"), lit(1L).as("path_qty"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var rounds = 0
+    while (rounds < 20 && frontier.limit(1).count() > 0) {
+      frontier = edges.join(frontier, $"parent" === $"node")
+        .select($"child".as("node"), $"root",
+          ($"depth" + 1).as("depth"), ($"path_qty" * $"qty").as("path_qty"))
+        .localCheckpoint()
+      levels += frontier
+      rounds += 1
+    }
+    levels.reduce(_ unionByName _).orderBy($"node")
+  }
+
+  /** q172 oracle: the same tree stated as a recursive CTE — the BFS loop
+    * must reproduce the declarative transitive closure exactly. */
+  val q172Sql: String =
+    """WITH RECURSIVE bom(node, root, depth, path_qty) AS (
+      |  SELECT p_partkey, p_partkey, 0, CAST(1 AS BIGINT)
+      |  FROM part WHERE p_partkey <= 9
+      |  UNION ALL
+      |  SELECT c.p_partkey, b.root, b.depth + 1,
+      |         b.path_qty * (c.p_partkey % 5 + 1)
+      |  FROM bom b
+      |  JOIN part c ON CAST(floor(c.p_partkey / 10) AS BIGINT) = b.node
+      |             AND c.p_partkey >= 10)
+      |SELECT node, root, depth, path_qty FROM bom ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q174
+
+  /** q174_basket_lift — market-basket association rules over order
+    * "baskets" (the parts of one order): for every unordered part-BRAND
+    * pair co-occurring in ≥ 20 orders, support / confidence / lift on the
+    * e6 grid — the Agrawal–Srikant frequent-itemset statistics at the
+    * pair level, the family (affinity analysis, "bought X also bought Y")
+    * none of the existing gates cover. Brands (25 values) rather than raw
+    * partkeys keep the rule space meaningful AND make the per-basket
+    * distinct-item count small and bounded.
+    *
+    * Scale shape: baskets are (order × distinct brand) rows — one
+    * orderkey-partitioned dedup, then the pair expansion is WITHIN-basket
+    * (≤ C(25,2) pairs per order, output-proportional, never a corpus
+    * self-join); the pair census folds map-side to ≤ 300 rule rows; the
+    * basket count is a 1-row broadcast. All three statistics derive from
+    * exact integer counts with ONE float division each (floored onto e6)
+    * — associative partial aggregation and DuckDB's serial fold agree
+    * bit-for-bit. */
+  def q174BasketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir).join(
+        Tables.part(s, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .localCheckpoint() // three consumers: pair expansion + two counts
+    val nOrders = baskets.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = baskets.groupBy($"p_brand").agg(count(lit(1)).as("item_n"))
+    val a = baskets.select($"l_orderkey", $"p_brand".as("brand_a"))
+    val b = baskets.select($"l_orderkey", $"p_brand".as("brand_b"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter($"brand_a" < $"brand_b")
+      .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("pair_n"))
+      .filter($"pair_n" >= 20)
+    pairs
+      .join(itemN.select($"p_brand".as("brand_a"), $"item_n".as("n_a")), "brand_a")
+      .join(itemN.select($"p_brand".as("brand_b"), $"item_n".as("n_b")), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select($"brand_a", $"brand_b", $"pair_n", $"n_a", $"n_b",
+        floor($"pair_n" * 1000000L / $"n_orders").as("support_e6"),
+        floor($"pair_n" * 1000000L / $"n_a").as("conf_a_to_b_e6"),
+        floor(($"pair_n" * $"n_orders").cast("double") / ($"n_a" * $"n_b")
+          * 1000000 + 0.5).cast("long").as("lift_e6"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
+  /** q174 oracle: the same exact-integer rule statistics declaratively.
+    * Integer `//` floors match Spark's integer `floor(a*k/b)`; the lift's
+    * single float division + e6 floor replays the identical operator tree. */
+  val q174Sql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l.l_orderkey, p.p_brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+      |items AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS item_n
+      |          FROM baskets GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |         CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM baskets a JOIN baskets b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 20)
+      |SELECT brand_a, brand_b, pair_n,
+      |  ia.item_n AS n_a, ib.item_n AS n_b,
+      |  pair_n * 1000000 // n.n_orders AS support_e6,
+      |  pair_n * 1000000 // ia.item_n AS conf_a_to_b_e6,
+      |  CAST(floor(CAST(pair_n * n.n_orders AS DOUBLE) / (ia.item_n * ib.item_n)
+      |             * 1000000 + 0.5) AS BIGINT) AS lift_e6
+      |FROM pairs
+      |JOIN items ia ON ia.p_brand = pairs.brand_a
+      |JOIN items ib ON ib.p_brand = pairs.brand_b
+      |CROSS JOIN n
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_scalar_subquery" -> (q171ScalarSubquery _),
+    "q172_bom_explode" -> (q172BomExplode _),
+    "q174_basket_lift" -> (q174BasketLift _),
     "q165_quarantine" -> (q165Quarantine _),
     "q166_union_align" -> (q166UnionAlign _),
     "q164_record_linkage" -> (q164RecordLinkage _),
@@ -1970,6 +2108,8 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q171_scalar_subquery" -> q171Sql,
+    "q172_bom_explode" -> q172Sql,
+    "q174_basket_lift" -> q174Sql,
     "q165_quarantine" -> q165Sql,
     "q166_union_align" -> q166Sql,
     "q164_record_linkage" -> q164Sql,
