@@ -2058,10 +2058,187 @@ object CoreQueries {
       |CROSS JOIN n
       |ORDER BY brand_a, brand_b""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+
+  /** q175_skyline — 2-D Pareto frontier (skyline operator, Börzsönyi et
+    * al. ICDE'01): the parts no other part beats on BOTH price (lower is
+    * better) and size (higher is better) — the multi-objective
+    * shortlisting shape (cheapest-per-capability, best-effort/price
+    * tradeoff curves) that SQL states as a quadratic NOT EXISTS.
+    *
+    * Spark-first decomposition: a skyline point must carry its price
+    * point's MAX size (same-price domination) AND strictly exceed every
+    * cheaper price point's max (cheaper-price domination) — so the corpus
+    * collapses FIRST to one row per distinct price (map-side combinable
+    * `max`), the frontier test is a running-max window over that
+    * aggregate, and survivors join back by (price, max size). Comparisons
+    * only — no float arithmetic anywhere, so cross-engine exactness is
+    * structural.
+    *
+    * Scale shape: the only corpus-wide stage is the per-price max
+    * aggregation (partial-agg before the exchange). The window runs over
+    * |distinct prices| rows — a property of the PRICE DOMAIN (1000 points
+    * in this corpus, bounded in any real catalog), not corpus size. The
+    * survivor join broadcasts the frontier (≤ |price points| rows). For
+    * an unbounded domain the same operator distributes by skyline
+    * idempotence: per-partition local skylines, then this plan over
+    * their union. */
+  def q175Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    val perPrice = p.groupBy($"p_retailprice").agg(max($"p_size").as("msize"))
+    val w = Window.orderBy($"p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice.withColumn("prevmax", max($"msize").over(w))
+      .filter($"prevmax".isNull || $"msize" > $"prevmax")
+      .select($"p_retailprice".as("f_price"), $"msize")
+    p.join(broadcast(frontier),
+        $"p_retailprice" === $"f_price" && $"p_size" === $"msize")
+      .select($"p_partkey", $"p_brand", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** q175 oracle: the textbook quadratic dominance statement — the
+    * aggregate-decomposed plan must reproduce it exactly. */
+  val q175Sql: String =
+    """SELECT p_partkey, p_brand, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+
+  /** q176_proration — largest-remainder apportionment (Hamilton's
+    * method): allocate exactly 10,000 budget seats across nations in
+    * proportion to their order revenue. The financial-allocation shape
+    * (cost allocation, index weighting, ad-spend splits) whose contract
+    * is CONSERVATION: Σ seats = 10,000 exactly, which naive per-row
+    * rounding violates. Floor shares `(S·rev_i) div Σrev` leave
+    * `S − Σ floors` seats; those go to the largest integer remainders
+    * `S·rev_i − floor_i·Σrev` (ties broken by nation key).
+    *
+    * Exactness: revenue folds to whole currency units (long), and every
+    * derived number — floor share, remainder, leftover, rank — is
+    * INTEGER arithmetic; there is no float anywhere, so both engines
+    * agree structurally. Bound: `S·Σrev` must fit int64 — with S = 10⁴
+    * that admits ledgers to ~9·10¹⁴ currency units; beyond that the
+    * product widens to decimal(38,0) on both engines, a one-line change.
+    *
+    * Scale shape: one fact-side aggregation to |nations| rows behind a
+    * broadcast customer→nation attach; everything after (total, floors,
+    * remainders, rank over 25 rows) is tiny-relation algebra — the
+    * apportionment itself costs nothing at any corpus size. */
+  def q176Proration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(sum(floor($"o_totalprice").cast("long")).as("rev"))
+    val total = rev.agg(sum($"rev").as("total"))
+    val f = rev.crossJoin(broadcast(total))
+      .withColumn("fl", expr("(10000 * rev) div total"))
+      .withColumn("rem", lit(10000L) * $"rev" - $"fl" * $"total")
+    val leftover = f.agg((lit(10000L) - sum($"fl")).as("leftover"))
+    val rk = Window.orderBy($"rem".desc, $"c_nationkey")
+    f.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(rk))
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"rev",
+        ($"fl" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("seats"))
+      .orderBy($"n_name")
+  }
+
+  /** q176 oracle: the same all-integer apportionment declaratively;
+    * DuckDB `//` matches Spark `div` on non-negative longs. */
+  val q176Sql: String =
+    """WITH rev AS (
+      |  SELECT c_nationkey,
+      |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev),
+      |f AS (SELECT c_nationkey, rev,
+      |        (10000 * rev) // t.total AS fl,
+      |        10000 * rev - ((10000 * rev) // t.total) * t.total AS rem
+      |      FROM rev CROSS JOIN t),
+      |l AS (SELECT CAST(10000 - sum(fl) AS BIGINT) AS leftover FROM f),
+      |r AS (SELECT f.*, row_number() OVER (ORDER BY rem DESC, c_nationkey) AS rk
+      |      FROM f)
+      |SELECT n_name, rev,
+      |  CAST(fl + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS seats
+      |FROM r JOIN nation ON n_nationkey = c_nationkey CROSS JOIN l
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+
+  /** q178_chi2_cells — Pearson χ² contingency cells for independence of
+    * order status × priority (Pearson 1900): per cell the observed count,
+    * row/column marginals, and the χ² contribution
+    * `(o − e)²/e, e = r·c/N` on the e6 grid — the categorical-association
+    * test a data-quality / drift pipeline runs over label × source,
+    * cohort × outcome, shard × class tables. Cells are emitted
+    * INDIVIDUALLY (the analyst sums them); gating the per-cell vector is
+    * also what keeps the oracle float-exact — a cross-engine float SUM of
+    * the 15 contributions would hinge on fold order, the one thing the
+    * integer-grid discipline cannot pin.
+    *
+    * Exactness: all counts are exact longs from ONE corpus aggregation;
+    * the contribution is a single float chain (one long→double division
+    * for e, subtract, self-multiply — never `pow`, whose libm path is not
+    * bit-pinned across engines — divide, e6 floor) with an identical
+    * operator tree on both sides.
+    *
+    * Scale shape: one map-side-combinable groupBy collapses the corpus to
+    * |status|·|priority| = 15 rows; marginals and N derive from those 15
+    * rows, not from re-scans; everything downstream is broadcast algebra
+    * on tiny relations. */
+  def q178Chi2Cells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("o_n"))
+    val rowTot = cells.groupBy($"o_orderstatus").agg(sum($"o_n").as("r_n"))
+    val colTot = cells.groupBy($"o_orderpriority").agg(sum($"o_n").as("c_n"))
+    val n = cells.agg(sum($"o_n").as("n_tot"))
+    cells.join(broadcast(rowTot), "o_orderstatus")
+      .join(broadcast(colTot), "o_orderpriority")
+      .crossJoin(broadcast(n))
+      .withColumn("exp_d", $"r_n" * $"c_n" / $"n_tot")
+      .select($"o_orderstatus", $"o_orderpriority", $"o_n", $"r_n", $"c_n",
+        floor(($"o_n" - $"exp_d") * ($"o_n" - $"exp_d") / $"exp_d" * 1000000 + 0.5)
+          .cast("long").as("chi2_cell_e6"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  /** q178 oracle: identical marginal derivation and float chain. */
+  val q178Sql: String =
+    """WITH cells AS (
+      |  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS o_n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT o_orderstatus, CAST(sum(o_n) AS BIGINT) AS r_n
+      |      FROM cells GROUP BY 1),
+      |c AS (SELECT o_orderpriority, CAST(sum(o_n) AS BIGINT) AS c_n
+      |      FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o_n) AS BIGINT) AS n_tot FROM cells),
+      |e AS (SELECT cells.o_orderstatus, cells.o_orderpriority, o_n, r_n, c_n,
+      |        CAST(r_n * c_n AS DOUBLE) / n_tot AS exp_d
+      |      FROM cells
+      |      JOIN r USING (o_orderstatus)
+      |      JOIN c USING (o_orderpriority)
+      |      CROSS JOIN n)
+      |SELECT o_orderstatus, o_orderpriority, o_n, r_n, c_n,
+      |  CAST(floor((o_n - exp_d) * (o_n - exp_d) / exp_d * 1000000 + 0.5)
+      |       AS BIGINT) AS chi2_cell_e6
+      |FROM e ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_scalar_subquery" -> (q171ScalarSubquery _),
     "q172_bom_explode" -> (q172BomExplode _),
     "q174_basket_lift" -> (q174BasketLift _),
+    "q175_skyline" -> (q175Skyline _),
+    "q176_proration" -> (q176Proration _),
+    "q178_chi2_cells" -> (q178Chi2Cells _),
     "q165_quarantine" -> (q165Quarantine _),
     "q166_union_align" -> (q166UnionAlign _),
     "q164_record_linkage" -> (q164RecordLinkage _),
@@ -2110,6 +2287,9 @@ object CoreQueries {
     "q171_scalar_subquery" -> q171Sql,
     "q172_bom_explode" -> q172Sql,
     "q174_basket_lift" -> q174Sql,
+    "q175_skyline" -> q175Sql,
+    "q176_proration" -> q176Sql,
+    "q178_chi2_cells" -> q178Sql,
     "q165_quarantine" -> q165Sql,
     "q166_union_align" -> q166Sql,
     "q164_record_linkage" -> q164Sql,

@@ -1618,7 +1618,65 @@ object EventQueries {
       |SELECT event_id, user_id, v AS version, seg_ver
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+
+  /** q177_rolling_actives — trailing-7-day distinct active users per
+    * event type, per observed day: the rolling-DAU/WAU family. SQL states
+    * it as `count(DISTINCT user)` over a range window — which Spark
+    * (correctly) refuses, because windowed DISTINCT does not decompose.
+    * The engine form is the COVERAGE-INTERVAL decomposition: a user's
+    * activity on day d makes them "active" for days [d, d+6], so per
+    * (type, user) the distinct activity days are merged into islands
+    * (gap > 6 ⇒ new island — adjacent coverage would overlap otherwise),
+    * each island [s, e] covers [s, e+6] exactly once, and the per-day
+    * count is then a plain `count(*)` — no DISTINCT ever touches a
+    * corpus-sized relation.
+    *
+    * Scale shape: one (type, user, day) dedup shuffle (map-side
+    * combinable); the island window partitions by (type, user) — fully
+    * parallel, state O(1) per row; the explode emits at most
+    * span+6 rows per island (calendar-bounded, disjoint by the gap rule);
+    * the final count folds map-side onto |types|·|days| rows. The
+    * observed-day filter is a broadcast semi-join against the ≤|days|
+    * calendar. */
+  def q177RollingActives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .select($"event_type", $"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"event_type", $"user_id").orderBy($"d")
+    val islands = p
+      .withColumn("gap", datediff($"d", lag($"d", 1).over(w)))
+      .withColumn("new_island", when($"gap".isNull || $"gap" > 6, 1).otherwise(0))
+      .withColumn("island",
+        sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"event_type", $"user_id", $"island")
+      .agg(min($"d").as("s"), max($"d").as("e"))
+    val coverage = islands.select($"event_type", $"user_id",
+      explode(sequence($"s", date_add($"e", 6))).as("day"))
+    val observedDays = p.select($"d".as("day")).distinct()
+    coverage.join(broadcast(observedDays), "day")
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("actives_7d"))
+      // ISO string, not DateType: the cross-engine hash needs one rendering
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"actives_7d")
+      .orderBy($"event_type", $"day")
+  }
+
+  /** q177 oracle: the declarative trailing-window distinct count — the
+    * island decomposition must reproduce it day for day. */
+  val q177Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM p)
+      |SELECT p.event_type, strftime(days.day, '%Y-%m-%d') AS day,
+      |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS actives_7d
+      |FROM days JOIN p ON p.d BETWEEN days.day - 6 AND days.day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_rolling_actives" -> (q177RollingActives _),
     "q154_clamped_balance" -> (q154ClampedBalance _),
     "q153_attribution" -> (q153Attribution _),
     "q149_time_to_convert" -> (q149TimeToConvert _),
@@ -1654,6 +1712,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_rolling_actives" -> q177Sql,
     "q154_clamped_balance" -> q154Sql,
     "q153_attribution" -> q153Sql,
     "q149_time_to_convert" -> q149Sql,
