@@ -2232,7 +2232,86 @@ object CoreQueries {
       |       AS BIGINT) AS chi2_cell_e6
       |FROM e ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+
+  /** q179_spatial_join — grid-bucketed spatial distance self-join (the
+    * canonical spatial join: all customer pairs within L∞ radius r on a
+    * derived integer plane, census'd by nation pair). Coordinates are
+    * hash-derived integers (md5 → int64, the established grid idiom) on
+    * a plane whose WIDTH GROWS with √corpus — `W = ceil(√n)·1000` — so
+    * point DENSITY is constant at every scale and matched pairs grow
+    * LINEARLY with the corpus (the q119/q164 width-parametric
+    * discipline, applied to space instead of blocking keys).
+    *
+    * Spark-first plan: cell size = r, each point's home cell on one
+    * side; the other side replicates into its 3×3 neighborhood (9×, a
+    * row-local explode), then ONE two-column equi-join on the cell —
+    * every true pair meets exactly once (b's home cell is one of a's
+    * nine), never a corpus cross-join. Exact integer L∞ + squared-
+    * distance filter after the join; the census folds map-side to
+    * ≤ |nations|² rows. All integers — exactness is structural. */
+  def q179SpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = 1500L
+    val cust = Tables.customer(s, dir)
+    val w = cust.agg((ceil(sqrt(count(lit(1)))) * 1000).cast("long").as("wd"))
+    def coord(axis: String): Column =
+      conv(substring(md5(concat(lit(axis + ":"), $"c_custkey".cast("string"))), 1, 15),
+        16, 10).cast("long") % $"wd"
+    val pts = cust.crossJoin(broadcast(w))
+      .select($"c_custkey", $"c_nationkey", coord("x").as("x"), coord("y").as("y"))
+      .withColumn("cx", expr(s"x div $r")).withColumn("cy", expr(s"y div $r"))
+    val offsets = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val reps = pts.withColumn("off", explode(array(offsets: _*)))
+      .select($"c_custkey".as("k_a"), $"c_nationkey".as("nk_a"),
+        $"x".as("xa"), $"y".as("ya"),
+        ($"cx" + $"off.dx").as("jx"), ($"cy" + $"off.dy").as("jy"))
+    val home = pts.select($"c_custkey".as("k_b"), $"c_nationkey".as("nk_b"),
+      $"x".as("xb"), $"y".as("yb"), $"cx".as("jx"), $"cy".as("jy"))
+    val nation = Tables.nation(s, dir)
+    reps.join(home, Seq("jx", "jy"))
+      .filter($"k_b" > $"k_a" &&
+        abs($"xa" - $"xb") <= r && abs($"ya" - $"yb") <= r)
+      .select($"nk_a", $"nk_b",
+        (($"xa" - $"xb") * ($"xa" - $"xb") +
+         ($"ya" - $"yb") * ($"ya" - $"yb")).as("d2"))
+      .groupBy($"nk_a", $"nk_b")
+      .agg(count(lit(1)).as("pairs"), sum($"d2").as("sum_d2"))
+      .join(broadcast(nation.select($"n_nationkey".as("nk_a"),
+        $"n_name".as("n_name_a"))), "nk_a")
+      .join(broadcast(nation.select($"n_nationkey".as("nk_b"),
+        $"n_name".as("n_name_b"))), "nk_b")
+      .select($"n_name_a", $"n_name_b", $"pairs", $"sum_d2")
+      .orderBy($"n_name_a", $"n_name_b")
+  }
+
+  /** q179 oracle: the declarative quadratic range self-join — the
+    * neighborhood-replicated equi-join must reproduce it exactly. */
+  val q179Sql: String =
+    """WITH w AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) * 1000 AS wd
+      |           FROM customer),
+      |pts AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST('0x' || substr(md5('x:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+      |         AS BIGINT) % w.wd AS x,
+      |    CAST('0x' || substr(md5('y:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+      |         AS BIGINT) % w.wd AS y
+      |  FROM customer CROSS JOIN w),
+      |pairs AS (
+      |  SELECT a.c_nationkey AS nk_a, b.c_nationkey AS nk_b,
+      |         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM pts a JOIN pts b
+      |    ON b.c_custkey > a.c_custkey
+      |   AND abs(a.x - b.x) <= 1500 AND abs(a.y - b.y) <= 1500)
+      |SELECT na.n_name AS n_name_a, nb.n_name AS n_name_b,
+      |  CAST(count(*) AS BIGINT) AS pairs, CAST(sum(d2) AS BIGINT) AS sum_d2
+      |FROM pairs JOIN nation na ON na.n_nationkey = nk_a
+      |           JOIN nation nb ON nb.n_nationkey = nk_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_spatial_join" -> (q179SpatialJoin _),
     "q171_scalar_subquery" -> (q171ScalarSubquery _),
     "q172_bom_explode" -> (q172BomExplode _),
     "q174_basket_lift" -> (q174BasketLift _),
@@ -2284,6 +2363,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_spatial_join" -> q179Sql,
     "q171_scalar_subquery" -> q171Sql,
     "q172_bom_explode" -> q172Sql,
     "q174_basket_lift" -> q174Sql,

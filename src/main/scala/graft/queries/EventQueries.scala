@@ -1675,7 +1675,106 @@ object EventQueries {
       |FROM days JOIN p ON p.d BETWEEN days.day - 6 AND days.day
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+
+  /** q180_survival — Kaplan–Meier product-limit survival curve (Kaplan &
+    * Meier, JASA 1958) for signup→purchase conversion with right
+    * censoring at the observation horizon: per event day t, the at-risk
+    * count, conversions d, and Ŝ(t) = Π_{u≤t}(1 − d_u/n_u) on the e6
+    * grid. The time-to-event family (churn, conversion, failure
+    * analysis) that naive "average latency of converters" reporting gets
+    * wrong — censored subjects carry information the product-limit form
+    * keeps.
+    *
+    * Exactness: d and n are exact longs from one day-level fold; the
+    * running product is `exp(Σ ln(1 − d/n))` — the established
+    * cross-engine `log`/`ln` idiom — accumulated by an ORDERED running
+    * window, which both engines fold sequentially in day order (the
+    * q154 rule), with the e6 floor absorbing libm ulp; extinction
+    * (d = n, ln 0) short-circuits to exactly 0 via a running flag.
+    *
+    * Scale shape: two user-keyed aggregations (first signup, first
+    * qualifying purchase) co-partition on user_id; the curve algebra
+    * runs on the |distinct duration days| relation — calendar-bounded,
+    * corpus-independent — so the windows never see corpus-sized input. */
+  def q180Survival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", to_date($"ts").as("d"))
+    val su = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"d").as("s_day"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .join(su, "user_id").filter($"d" >= $"s_day")
+      .groupBy($"user_id").agg(min($"d").as("p_day"))
+    val horizon = ev.agg(max($"d").as("h"))
+    val subj = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"p_day".isNotNull, datediff($"p_day", $"s_day"))
+          .otherwise(datediff($"h", $"s_day")).as("t"),
+        when($"p_day".isNotNull, 1L).otherwise(0L).as("ev"))
+    val byday = subj.groupBy($"t")
+      .agg(sum($"ev").as("d_ev"), (count(lit(1)) - sum($"ev")).as("c_ev"))
+    val tot = subj.agg(count(lit(1)).as("n0"))
+    val wPrior = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, 0)
+    byday.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        $"n0" - coalesce(sum($"d_ev" + $"c_ev").over(wPrior), lit(0L)))
+      .filter($"d_ev" > 0)
+      .withColumn("extinct",
+        max(when($"d_ev" === $"n_risk", 1).otherwise(0)).over(wCum))
+      .withColumn("lsum", sum(when($"d_ev" === $"n_risk", lit(0.0))
+        .otherwise(log(lit(1.0) - $"d_ev".cast("double") / $"n_risk"))).over(wCum))
+      .select($"t", $"n_risk", $"d_ev".as("d"),
+        floor((when($"extinct" === 1, lit(0.0)).otherwise(exp($"lsum")))
+          * 1000000 + 0.5).cast("long").as("surv_e6"))
+      .orderBy($"t")
+  }
+
+  /** q180 oracle: the same product-limit derivation declaratively. */
+  val q180Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS s_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS DATE)) AS p_day
+      |  FROM events e JOIN su ON su.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.s_day
+      |  GROUP BY 1),
+      |horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+      |subj AS (
+      |  SELECT su.user_id,
+      |    CASE WHEN pu.p_day IS NOT NULL THEN datediff('day', su.s_day, pu.p_day)
+      |         ELSE datediff('day', su.s_day, horizon.h) END AS t,
+      |    CASE WHEN pu.p_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id CROSS JOIN horizon),
+      |byday AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+      |         CAST(count(*) - sum(ev) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM subj),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    n0 - CAST(COALESCE(sum(d + c) OVER (ORDER BY t
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         AS BIGINT) AS n_risk
+      |  FROM byday CROSS JOIN tot),
+      |km AS (
+      |  SELECT t, n_risk, d,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct,
+      |    sum(CASE WHEN d = n_risk THEN 0.0
+      |             ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+      |  FROM risk WHERE d > 0)
+      |SELECT t, n_risk, d,
+      |  CAST(floor(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END
+      |             * 1000000 + 0.5) AS BIGINT) AS surv_e6
+      |FROM km ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_survival" -> (q180Survival _),
     "q177_rolling_actives" -> (q177RollingActives _),
     "q154_clamped_balance" -> (q154ClampedBalance _),
     "q153_attribution" -> (q153Attribution _),
@@ -1712,6 +1811,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_survival" -> q180Sql,
     "q177_rolling_actives" -> q177Sql,
     "q154_clamped_balance" -> q154Sql,
     "q153_attribution" -> q153Sql,

@@ -3537,7 +3537,79 @@ object TextQueries {
        |FROM sh GROUP BY lang, shard_id
        |ORDER BY lang, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+
+  /** q181_auc — exact ROC-AUC via the tie-corrected Mann–Whitney rank
+    * statistic (Mann & Whitney 1947; AUC ≡ U/(P·N), Hanley–McNeil 1982):
+    * how well the stopword ratio separates English from non-English
+    * documents — the model-evaluation family (classifier AUC, ranking
+    * quality) computed EXACTLY, no trapezoid approximation.
+    *
+    * Engine form: AUC needs global ranks, which naively means a global
+    * sort. Instead the corpus folds to per-SCORE (positive, negative)
+    * counts — the score is the e6-grid stop ratio, a bounded domain —
+    * and U decomposes over score groups: U2 = Σ_g 2·np_g·negBefore_g +
+    * np_g·nn_g (doubled to keep the ½-tie credit integral). negBefore
+    * splits into a bucket prefix (window over ≤101 bucket rows) plus a
+    * within-bucket prefix (window PARTITIONED by bucket — parallel, the
+    * q152 bucket-decomposed-prefix discipline); no corpus-sized relation
+    * ever enters a single-partition window. All counts exact longs; the
+    * final AUC is ONE double division floored onto e6 (int64-safe to
+    * ~10⁸ docs per class; decimal widening is the documented escape). */
+  def q181Auc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"lang", TextFunctions.tokens($"text").as("toks"))
+      .select(when($"lang" === "en", 1L).otherwise(0L).as("pos"),
+        stopRatioE6($"toks").as("score"))
+      .filter($"score".isNotNull)
+    val g = scored.groupBy($"score")
+      .agg(sum($"pos").as("np"), (count(lit(1)) - sum($"pos")).as("nn"))
+      .withColumn("bucket", expr("score div 10000"))
+    val bPre = g.groupBy($"bucket").agg(sum($"nn").as("bn"))
+      .withColumn("negBeforeBucket",
+        coalesce(sum($"bn").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"bucket", $"negBeforeBucket")
+    val wIn = Window.partitionBy($"bucket").orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(bPre), "bucket")
+      .withColumn("neg_before",
+        $"negBeforeBucket" + coalesce(sum($"nn").over(wIn), lit(0L)))
+      .agg(sum($"np").as("p"), sum($"nn").as("n"),
+        sum(lit(2L) * $"np" * $"neg_before" + $"np" * $"nn").as("u2"))
+      .select($"p", $"n", $"u2",
+        floor($"u2" / (lit(2.0) * $"p" * $"n") * 1000000 + 0.5)
+          .cast("long").as("auc_e6"))
+  }
+
+  /** q181 oracle: the same tie-corrected U statistic with a single
+    * declarative prefix — DuckDB needs no bucket split at oracle scale. */
+  val q181Sql: String =
+    s"""WITH s AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |         $StopRatioSql AS score
+       |  FROM (SELECT lang, $Toks AS toks FROM documents)),
+       |s2 AS (SELECT pos, score FROM s WHERE score IS NOT NULL),
+       |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+       |             CAST(count(*) - sum(pos) AS BIGINT) AS nn
+       |      FROM s2 GROUP BY 1),
+       |pre AS (
+       |  SELECT score, np, nn,
+       |    COALESCE(sum(nn) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_before
+       |  FROM g),
+       |u AS (SELECT CAST(sum(2 * np * neg_before + np * nn) AS BIGINT) AS u2,
+       |             CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n
+       |      FROM pre)
+       |SELECT p, n, u2,
+       |  CAST(floor(CAST(u2 AS DOUBLE) / (2.0 * p * n) * 1000000 + 0.5)
+       |       AS BIGINT) AS auc_e6
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_auc"           -> (q181Auc _),
     "q137_shard_export"  -> (q137ShardExport _),
     "q129_leakage_split" -> (q129LeakageSplit _),
     "q130_bpe_merges"    -> (q130BpeMerges _),
@@ -3593,6 +3665,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q181_auc"           -> q181Sql,
     "q137_shard_export"  -> q137Sql,
     "q129_leakage_split" -> q129Sql,
     "q130_bpe_merges"    -> q130Sql,
