@@ -2310,7 +2310,121 @@ object CoreQueries {
       |           JOIN nation nb ON nb.n_nationkey = nk_b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+
+  /** q182_gini — Lorenz deciles + Gini coefficient of customer revenue
+    * (Gini 1912; G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) over ascending
+    * ranks): the concentration/inequality family — revenue concentration
+    * for the business, KEY-SKEW diagnosis for the engine operator (the
+    * same statistic says whether a key distribution needs salting).
+    *
+    * Engine form: the rank-statistic needs global ranks; as in q181/q152
+    * the corpus never meets a single-partition window — revenue buckets
+    * (value div 10⁶, a property of the per-customer revenue DOMAIN, not
+    * corpus size) get prefix counts from a tiny bucket window, and
+    * within-bucket ranks come from a bucket-PARTITIONED row_number with
+    * a deterministic (rev, key) tie-break that the oracle states
+    * declaratively. Everything is integer until two final divisions
+    * (cumulative share, Gini), each one double op floored onto e6;
+    * `Σ i·x` stays int64 to ~10⁶ customers per the stated bound. */
+  def q182Gini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey".as("k"))
+      .agg(sum(floor($"o_totalprice").cast("long")).as("rev"))
+    val g = x.withColumn("bucket", expr("rev div 1000000"))
+    val bPre = g.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("nBefore", coalesce(sum($"bn").over(
+        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"bucket", $"nBefore")
+    val wIn = Window.partitionBy($"bucket").orderBy($"rev", $"k")
+    val rk = g.join(broadcast(bPre), "bucket")
+      .withColumn("i", $"nBefore" + row_number().over(wIn))
+    val tot = rk.agg(count(lit(1)).as("n"), sum($"rev").as("t"),
+      sum($"i" * $"rev").as("s"))
+    val dec = rk.crossJoin(broadcast(tot))
+      .groupBy(expr("((i - 1) * 10) div n").as("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum($"rev").as("sum_rev"))
+    val wCum = Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)
+    dec.withColumn("cum", sum($"sum_rev").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_cust", $"sum_rev",
+        floor($"cum".cast("double") / $"t" * 1000000 + 0.5).cast("long")
+          .as("cum_share_e6"),
+        floor((lit(2L) * $"s" - ($"n" + lit(1L)) * $"t").cast("double")
+          / ($"n" * $"t") * 1000000 + 0.5).cast("long").as("gini_e6"))
+      .orderBy($"decile")
+  }
+
+  /** q182 oracle: declarative row_number ranks, identical final float
+    * chain; windowed BIGINT sums re-cast per the HUGEINT rule. */
+  val q182Sql: String =
+    """WITH x AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |rk AS (SELECT k, rev, row_number() OVER (ORDER BY rev, k) AS i FROM x),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS t,
+      |               CAST(sum(i * rev) AS BIGINT) AS s FROM rk),
+      |dec AS (
+      |  SELECT ((i - 1) * 10) // tot.n AS decile, CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(sum(rev) AS BIGINT) AS sum_rev
+      |  FROM rk CROSS JOIN tot GROUP BY 1)
+      |SELECT decile, n_cust, sum_rev,
+      |  CAST(floor(CAST(CAST(sum(sum_rev) OVER (ORDER BY decile
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+      |       / tot.t * 1000000 + 0.5) AS BIGINT) AS cum_share_e6,
+      |  CAST(floor(CAST(2 * tot.s - (tot.n + 1) * tot.t AS DOUBLE)
+      |       / (tot.n * tot.t) * 1000000 + 0.5) AS BIGINT) AS gini_e6
+      |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+
+  /** q183_benford — Benford first-digit audit (Newcomb 1881, Benford
+    * 1938): observed first-digit frequencies of order totals against the
+    * log₁₀(1+1/d) law — the forensic/data-quality screen for fabricated
+    * or truncated numeric feeds (synthetic-uniform data like this corpus
+    * correctly FAILS the law, observed ≈ 1/9 per digit — the audit's
+    * whole point is reporting that). One codegen scan folds the corpus
+    * to 9 digit rows map-side; the expected value is a per-row constant
+    * expression (`ln(1+1/d)/ln 10`, the established cross-engine ln
+    * idiom); observed share is one double division onto e6. */
+  def q183Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val obs = d.groupBy($"digit").agg(count(lit(1)).as("obs"))
+    val n = d.agg(count(lit(1)).as("n_tot"))
+    obs.crossJoin(broadcast(n))
+      .select($"digit", $"obs",
+        floor(log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))
+          * 1000000 + 0.5).cast("long").as("benford_e6"),
+        floor($"obs".cast("double") / $"n_tot" * 1000000 + 0.5).cast("long")
+          .as("observed_e6"))
+      .orderBy($"digit")
+  }
+
+  /** q183 oracle: identical digit extraction and float chains. */
+  val q183Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |              1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM d)
+      |SELECT digit, obs,
+      |  CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)
+      |       AS BIGINT) AS benford_e6,
+      |  CAST(floor(CAST(obs AS DOUBLE) / n.n_tot * 1000000 + 0.5)
+      |       AS BIGINT) AS observed_e6
+      |FROM obs CROSS JOIN n ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_gini" -> (q182Gini _),
+    "q183_benford" -> (q183Benford _),
     "q179_spatial_join" -> (q179SpatialJoin _),
     "q171_scalar_subquery" -> (q171ScalarSubquery _),
     "q172_bom_explode" -> (q172BomExplode _),
@@ -2363,6 +2477,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_gini" -> q182Sql,
+    "q183_benford" -> q183Sql,
     "q179_spatial_join" -> q179Sql,
     "q171_scalar_subquery" -> q171Sql,
     "q172_bom_explode" -> q172Sql,
