@@ -1773,7 +1773,157 @@ object EventQueries {
       |             * 1000000 + 0.5) AS BIGINT) AS surv_e6
       |FROM km ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+
+  /** q184_cusum — CUSUM changepoint/drift monitor (Page, Biometrika
+    * 1954) over daily event counts per type: the sequential
+    * level-shift detector a data-quality pipeline runs over feed
+    * volumes (the "did ingestion silently halve" alarm that q133's
+    * per-hour z-score misses because it only sees single-bucket
+    * spikes, not slow accumulating drift).
+    *
+    * The one-sided statistic S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − K))
+    * is the q154 Lindley recurrence, so it gets the same closed form:
+    * prefix sum minus running minimum — two ordered windows, no
+    * iterative fold. Everything stays INTEGER by scaling through n
+    * (days per type): increment = n·x − S − (S div 200) where S = Σx,
+    * i.e. slack K = mean/200, alarm threshold h = mean·n/10 — both
+    * DEFINED as integer ops so the statistic is exact cross-engine
+    * (no float ever enters). Slack sits below the noise floor on
+    * purpose: the statistic is a live random walk and the alarm set
+    * discriminates at every SF (24/150 alarm days at sf0.1).
+    *
+    * Scale shape: one map-side-combinable fold collapses the corpus to
+    * |types|·|days| rows; everything after — the stats join, both
+    * windows, the alarm compare — runs on that calendar-bounded
+    * relation, partitioned by type. Int64 bound: n·x < 2⁶³ needs
+    * x ≲ 6×10¹⁶ daily events/type at n = 150 — unreachable. */
+  def q184Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(st), "event_type")
+      .withColumn("inc", $"n" * $"x" - $"s" - expr("s div 200"))
+      .withColumn("p", sum($"inc").over(w))
+      .withColumn("m", least(lit(0L), min($"p").over(w)))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"x", ($"p" - $"m").as("cusum_scaled"),
+        when($"p" - $"m" > expr("s div 10"), lit(1L)).otherwise(lit(0L))
+          .as("alarm"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** q184 oracle: the identical integer Lindley closed form. */
+  val q184Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |inc AS (
+      |  SELECT d.event_type, d.day, d.x,
+      |         n.n * d.x - n.s - (n.s // 200) AS inc, n.s AS s
+      |  FROM daily d JOIN st n USING (event_type)),
+      |pre AS (
+      |  SELECT event_type, day, x, s,
+      |    CAST(sum(inc) OVER (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      |  FROM inc),
+      |cu AS (
+      |  SELECT event_type, day, x, s, p,
+      |    CAST(least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS m
+      |  FROM pre)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+      |  p - m AS cusum_scaled,
+      |  CAST(CASE WHEN p - m > s // 10 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM cu ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+
+  /** q185_acf — lag-k autocorrelation of the daily event-count series
+    * per type (the Box–Jenkins identification statistic): r_k =
+    * Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² at lags {1, 2, 3, 7} — the
+    * seasonality screen (a weekly-periodic feed shows r_7 ≫ r_1) a
+    * forecasting or anomaly layer runs before choosing its model.
+    *
+    * Exactness: scaling every centered term through n makes both the
+    * numerator and denominator INTEGER — c_t = n·x_t − Σx, so
+    * Σ c_t·c_{t+k} and Σ c_t² are exact int64 cross-engine; the single
+    * float division lands on e6. Int64 bound: Σc² < 2⁶³ needs daily
+    * x ≲ 1.7M events/type at n = 150 (c ≤ n·x); decimal(38) widening
+    * is the one-line escape beyond that.
+    *
+    * Scale shape: the corpus folds map-side to |types|·|days| rows;
+    * the lag self-join, the 4-lag explode, and both folds run on that
+    * calendar-bounded relation — corpus size never reaches a join or
+    * window. */
+  def q185Acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), to_date(lit("2024-01-01"))).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val st = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val c = daily.join(broadcast(st), "event_type")
+      .select($"event_type", $"d", ($"n" * $"x" - $"s").as("cx"))
+    val den = c.groupBy($"event_type").agg(sum($"cx" * $"cx").as("den"))
+    val num = c
+      .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L), lit(7L))))
+      .as("a")
+      .join(c.as("b"),
+        $"b.event_type" === $"a.event_type" &&
+          $"b.d" === ($"a.d" + $"a.lag").cast("int"))
+      .groupBy($"a.event_type".as("event_type"), $"a.lag".as("lag"))
+      .agg(sum($"a.cx" * $"b.cx").as("num"))
+    num.join(broadcast(den), "event_type")
+      .select($"event_type", $"lag", $"num", $"den",
+        floor($"num".cast("double") / $"den" * 1000000 + 0.5).cast("long")
+          .as("acf_e6"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  /** q185 oracle: identical integer centering and float chain. */
+  val q185Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT d.event_type, d.d, n.n * d.x - n.s AS cx
+      |  FROM daily d JOIN st n USING (event_type)),
+      |den AS (
+      |  SELECT event_type, CAST(sum(cx * cx) AS BIGINT) AS den
+      |  FROM c GROUP BY 1),
+      |lags AS (SELECT CAST(unnest([1, 2, 3, 7]) AS BIGINT) AS lag),
+      |num AS (
+      |  SELECT a.event_type, l.lag, CAST(sum(a.cx * b.cx) AS BIGINT) AS num
+      |  FROM c a CROSS JOIN lags l JOIN c b
+      |    ON b.event_type = a.event_type AND b.d = a.d + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT n.event_type, n.lag, n.num, d.den,
+      |  CAST(floor(CAST(n.num AS DOUBLE) / d.den * 1000000 + 0.5)
+      |       AS BIGINT) AS acf_e6
+      |FROM num n JOIN den d USING (event_type)
+      |ORDER BY event_type, lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_cusum" -> (q184Cusum _),
+    "q185_acf" -> (q185Acf _),
     "q180_survival" -> (q180Survival _),
     "q177_rolling_actives" -> (q177RollingActives _),
     "q154_clamped_balance" -> (q154ClampedBalance _),
@@ -1811,6 +1961,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_cusum" -> q184Sql,
+    "q185_acf" -> q185Sql,
     "q180_survival" -> q180Sql,
     "q177_rolling_actives" -> q177Sql,
     "q154_clamped_balance" -> q154Sql,

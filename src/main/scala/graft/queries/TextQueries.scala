@@ -3608,7 +3608,114 @@ object TextQueries {
        |       AS BIGINT) AS auc_e6
        |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+
+  /** q186_stratified_split — stratified train/val/test assignment with
+    * EXACT largest-remainder quotas per stratum (Neyman-style
+    * stratification meets the q176 Hamilton apportionment): every
+    * document lands in exactly one split, each (lang, size-bucket)
+    * stratum contributes 80/10/10 to the seat, and conservation
+    * (Σ splits = stratum size) holds by construction — the property
+    * naive per-row `hash % 10 < 8` sampling only hits in expectation.
+    * Next to q129 (which fences LEAKAGE clusters), this is the quota
+    * half of the split toolbox a training pipeline needs.
+    *
+    * Determinism: assignment order within a stratum is (md5 hash,
+    * doc_id) — the established hex-parse idiom both engines share —
+    * so the split is a pure function of the corpus, reproducible on
+    * re-run and auditable row by row. Quotas are ALL integer
+    * arithmetic (floor shares, remainder ranks, fixed split-order
+    * tie-break): no float anywhere.
+    *
+    * Scale shape: ranks within a stratum are BUCKET-DECOMPOSED (the
+    * q182/q152 discipline): the top-8-hex-bits bucket is monotone in
+    * the hash, so prefix counts come from a |strata|·256-row window
+    * and the corpus only meets (stratum, bucket)-PARTITIONED
+    * row_numbers — a mega-stratum never funnels through one
+    * partition. The quota table (3 rows per stratum) broadcasts. */
+  def q186StratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id",
+      concat($"lang", lit("/"), expr("n_chars div 1000").cast("string"))
+        .as("stratum"),
+      conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .withColumn("bucket", expr("h div 4503599627370496")) // 2^52: top 8 bits
+    val sz = d.groupBy($"stratum").agg(count(lit(1)).as("n"))
+    val splits = Seq(("train", 8L), ("val", 1L), ("test", 1L))
+      .toDF("split", "w")
+      .withColumn("ord", when($"split" === "train", 0)
+        .when($"split" === "val", 1).otherwise(2))
+    val q = sz.crossJoin(splits)
+      .withColumn("fl", expr("(n * w) div 10"))
+      .withColumn("rem", expr("(n * w) % 10"))
+    val lo = q.groupBy($"stratum")
+      .agg((first($"n") - sum($"fl")).as("leftover"))
+    val wRem = Window.partitionBy($"stratum").orderBy($"rem".desc, $"split")
+    val quotas = q.join(lo, "stratum")
+      .withColumn("quota", $"fl" +
+        when(row_number().over(wRem) <= $"leftover", 1L).otherwise(0L))
+    val wOrd = Window.partitionBy($"stratum").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = quotas
+      .withColumn("lo_b", coalesce(sum($"quota").over(wOrd), lit(0L)))
+      .select($"stratum", $"split", $"quota", $"lo_b")
+    val wPre = Window.partitionBy($"stratum").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = d.groupBy($"stratum", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("nBefore", coalesce(sum($"bn").over(wPre), lit(0L)))
+      .select($"stratum", $"bucket", $"nBefore")
+    val wIn = Window.partitionBy($"stratum", $"bucket").orderBy($"h", $"doc_id")
+    val rk = d.join(broadcast(bpre), Seq("stratum", "bucket"))
+      .withColumn("i", $"nBefore" + row_number().over(wIn))
+    rk.join(broadcast(bounds),
+        rk("stratum") === bounds("stratum") &&
+          $"i" > $"lo_b" && $"i" <= $"lo_b" + $"quota")
+      .select($"doc_id", rk("stratum").as("stratum"), $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** q186 oracle: declarative global per-stratum ranks + the identical
+    * integer quota pipeline. */
+  val q186Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    lang || '/' || CAST(n_chars // 1000 AS VARCHAR) AS stratum,
+      |    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |         AS BIGINT) AS h
+      |  FROM documents),
+      |sz AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |q AS (
+      |  SELECT stratum, n, s.split, s.w,
+      |    (n * s.w) // 10 AS fl, (n * s.w) % 10 AS rem
+      |  FROM sz CROSS JOIN (SELECT unnest(['train','val','test']) AS split,
+      |                             unnest([8, 1, 1]) AS w) s),
+      |lo AS (SELECT stratum, CAST(n - sum(fl) AS BIGINT) AS leftover
+      |       FROM q GROUP BY stratum, n),
+      |qr AS (
+      |  SELECT q.stratum, q.split, q.fl +
+      |    CASE WHEN row_number() OVER (PARTITION BY q.stratum
+      |           ORDER BY q.rem DESC, q.split) <= lo.leftover
+      |         THEN 1 ELSE 0 END AS quota
+      |  FROM q JOIN lo USING (stratum)),
+      |b AS (
+      |  SELECT stratum, split, quota,
+      |    CAST(coalesce(sum(quota) OVER (PARTITION BY stratum
+      |      ORDER BY CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS lo_b
+      |  FROM qr),
+      |rk AS (
+      |  SELECT doc_id, stratum,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) AS i
+      |  FROM d)
+      |SELECT rk.doc_id, rk.stratum, b.split
+      |FROM rk JOIN b ON b.stratum = rk.stratum
+      |  AND rk.i > b.lo_b AND rk.i <= b.lo_b + b.quota
+      |ORDER BY rk.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_stratified_split" -> (q186StratifiedSplit _),
     "q181_auc"           -> (q181Auc _),
     "q137_shard_export"  -> (q137ShardExport _),
     "q129_leakage_split" -> (q129LeakageSplit _),
@@ -3665,6 +3772,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q186_stratified_split" -> q186Sql,
     "q181_auc"           -> q181Sql,
     "q137_shard_export"  -> q137Sql,
     "q129_leakage_split" -> q129Sql,
