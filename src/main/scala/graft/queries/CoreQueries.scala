@@ -2422,7 +2422,86 @@ object CoreQueries {
       |       AS BIGINT) AS observed_e6
       |FROM obs CROSS JOIN n ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+
+  /** q188_gains — decile gains/lift chart for a score against a binary
+    * response (score = order total, response = urgent priority): the
+    * model-evaluation staple next to q181's AUC — "how much of the
+    * response does the top decile capture, and at what lift". A
+    * campaign-targeting or ranking-eval layer reads exactly this table.
+    *
+    * Engine form: the global score rank is BUCKET-DECOMPOSED (the
+    * q182/q186 discipline, here in DESCENDING order): bucket =
+    * score div 10⁴ — a property of the price DOMAIN (≤ ~60 buckets),
+    * monotone in score — takes prefix counts from a tiny bucket
+    * window ordered DESC, and the corpus only meets
+    * bucket-PARTITIONED row_numbers. Lift and cumulative gain are the
+    * only float ops, each a single shared-shape chain floored onto
+    * e6. Int64 bound: n_rows·r < 2⁶³ holds to ~3×10⁹ rows;
+    * decimal(38) widening is the documented escape.
+    *
+    * Exactness: counts are exact longs; the lift chain
+    * `cast(double) · n / (n_rows · r)` and the gain chain keep the
+    * identical operator tree on both engines (the multi-step-float
+    * rule), with DuckDB's windowed BIGINT sum re-cast per the HUGEINT
+    * rule. */
+  def q188Gains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir).select($"o_orderkey".as("k"),
+      floor($"o_totalprice").cast("long").as("score"),
+      when($"o_orderpriority" === "1-URGENT", lit(1L)).otherwise(lit(0L))
+        .as("resp"))
+      .withColumn("bucket", expr("score div 10000"))
+    val wPre = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = d.groupBy($"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("nBefore", coalesce(sum($"bn").over(wPre), lit(0L)))
+      .select($"bucket", $"nBefore")
+    val wIn = Window.partitionBy($"bucket").orderBy($"score".desc, $"k")
+    val rk = d.join(broadcast(bpre), "bucket")
+      .withColumn("i", $"nBefore" + row_number().over(wIn))
+    val tot = rk.agg(count(lit(1)).as("n"), sum($"resp").as("r"))
+    val dec = rk.crossJoin(broadcast(tot))
+      .groupBy(expr("((i - 1) * 10) div n").as("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum($"resp").as("n_resp"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec.withColumn("cum", sum($"n_resp").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_rows", $"n_resp",
+        floor($"n_resp".cast("double") * $"n" / ($"n_rows" * $"r")
+          * 1000000 + 0.5).cast("long").as("lift_e6"),
+        floor($"cum".cast("double") / $"r" * 1000000 + 0.5).cast("long")
+          .as("cum_gain_e6"))
+      .orderBy($"decile")
+  }
+
+  /** q188 oracle: declarative global descending rank + identical float
+    * chains. */
+  val q188Sql: String =
+    """WITH d AS (
+      |  SELECT o_orderkey AS k, CAST(floor(o_totalprice) AS BIGINT) AS score,
+      |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS resp
+      |  FROM orders),
+      |rk AS (SELECT k, score, resp,
+      |       row_number() OVER (ORDER BY score DESC, k) AS i FROM d),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(resp) AS BIGINT) AS r FROM rk),
+      |dec AS (
+      |  SELECT ((i - 1) * 10) // tot.n AS decile,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(resp) AS BIGINT) AS n_resp
+      |  FROM rk CROSS JOIN tot GROUP BY 1)
+      |SELECT decile, n_rows, n_resp,
+      |  CAST(floor(CAST(n_resp AS DOUBLE) * tot.n / (n_rows * tot.r)
+      |       * 1000000 + 0.5) AS BIGINT) AS lift_e6,
+      |  CAST(floor(CAST(CAST(sum(n_resp) OVER (ORDER BY decile
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |       AS DOUBLE) / tot.r * 1000000 + 0.5) AS BIGINT) AS cum_gain_e6
+      |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_gains" -> (q188Gains _),
     "q182_gini" -> (q182Gini _),
     "q183_benford" -> (q183Benford _),
     "q179_spatial_join" -> (q179SpatialJoin _),
@@ -2477,6 +2556,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_gains" -> q188Sql,
     "q182_gini" -> q182Sql,
     "q183_benford" -> q183Sql,
     "q179_spatial_join" -> q179Sql,

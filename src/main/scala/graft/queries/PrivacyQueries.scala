@@ -168,13 +168,76 @@ object PrivacyQueries {
       |             * 100 + 0.5) AS BIGINT) AS noisy_n_e2
       |FROM u ORDER BY o_orderdate""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+
+  /** q187_k_anonymity — k-anonymity + l-diversity audit (Sweeney
+    * IJUFKS 2002; Machanavajjhala et al. ICDE 2006): for every
+    * quasi-identifier group (segment, nation, balance bucket), the
+    * group size, the number of DISTINCT sensitive values (the
+    * customer's first-order priority), and the k≥5 / l≥3 verdicts.
+    * The MEASUREMENT half of the privacy surface: q22 enforces a
+    * threshold, q167 masks, q168 restricts joins, q170 adds noise —
+    * this one tells the publisher whether a proposed quasi-identifier
+    * schema is safe to release at all (a group of size < k re-identifies;
+    * a k-safe group with one sensitive value still discloses it).
+    *
+    * Exactness: counts and distinct-counts only — no float anywhere.
+    * The balance bucket is SHIFTED before the integer divide
+    * ((floor(bal)+1000) div 500) so no negative numerator ever meets
+    * `div` (Spark truncates, DuckDB floors — the established rule).
+    *
+    * Scale shape: one left join co-partitioned on custkey (the sensitive
+    * lookup), then ONE map-side-combinable fold to |QI-domain| rows
+    * (≤ |segments|·|nations|·|buckets|); the distinct-count shuffles
+    * (QI, sv) pairs — bounded by |QI|·|priorities|, not the corpus. */
+  def q187KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val sens = Tables.orders(s, dir).groupBy($"o_custkey".as("c"))
+      .agg(min_by($"o_orderpriority", $"o_orderkey").as("sv"))
+    val base = Tables.customer(s, dir)
+      .join(sens, $"c" === $"c_custkey", "left")
+      .select($"c_mktsegment".as("seg"), $"c_nationkey".cast("long").as("nat"),
+        expr("(cast(floor(c_acctbal) as bigint) + 1000) div 500").as("bal_b"),
+        coalesce($"sv", lit("NONE")).as("sv"))
+    base.groupBy($"seg", $"nat", $"bal_b")
+      .agg(count(lit(1)).as("grp_n"), countDistinct($"sv").as("l_div"))
+      .select($"seg", $"nat", $"bal_b", $"grp_n", $"l_div",
+        when($"grp_n" >= 5, lit(1L)).otherwise(lit(0L)).as("k_anon_5"),
+        when($"grp_n" >= 5 && $"l_div" >= 3, lit(1L)).otherwise(lit(0L))
+          .as("l_div_3"))
+      .orderBy($"seg", $"nat", $"bal_b")
+  }
+
+  /** q187 oracle: the identical integer census. */
+  val q187Sql: String =
+    """WITH sens AS (
+      |  SELECT o_custkey AS c, arg_min(o_orderpriority, o_orderkey) AS sv
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c.c_mktsegment AS seg, CAST(c.c_nationkey AS BIGINT) AS nat,
+      |         (CAST(floor(c.c_acctbal) AS BIGINT) + 1000) // 500 AS bal_b,
+      |         coalesce(s.sv, 'NONE') AS sv
+      |  FROM customer c LEFT JOIN sens s ON s.c = c.c_custkey),
+      |g AS (
+      |  SELECT seg, nat, bal_b, CAST(count(*) AS BIGINT) AS grp_n,
+      |         CAST(count(DISTINCT sv) AS BIGINT) AS l_div
+      |  FROM base GROUP BY 1, 2, 3)
+      |SELECT seg, nat, bal_b, grp_n, l_div,
+      |  CAST(CASE WHEN grp_n >= 5 THEN 1 ELSE 0 END AS BIGINT) AS k_anon_5,
+      |  CAST(CASE WHEN grp_n >= 5 AND l_div >= 3 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS l_div_3
+      |FROM g ORDER BY seg, nat, bal_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_k_anonymity" -> (q187KAnonymity _),
     "q167_masked_view" -> (q167MaskedView _),
     "q168_join_restriction" -> (q168JoinRestriction _),
     "q170_dp_count" -> (q170DpCount _),
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q187_k_anonymity" -> q187Sql,
     "q167_masked_view" -> q167Sql,
     "q168_join_restriction" -> q168Sql,
     "q170_dp_count" -> q170Sql,

@@ -1084,7 +1084,147 @@ object VectorQueries {
       |    AS BIGINT) AS cos_e6
       |FROM p ORDER BY label_a, label_b""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+
+  /** q189_mmr — Maximal Marginal Relevance diversified re-ranking
+    * (Carbonell & Goldstein SIGIR'98, λ = 0.5): per query (one per
+    * label, the label's min-vec_id vector), greedily select 10 of the
+    * top-100-relevance candidates maximizing 2·MMR = rel − max
+    * similarity to the already-selected set. THE training-data
+    * selection shape — "relevant but not redundant" — that a pure
+    * top-k (q25/q121) cannot express because its objective depends on
+    * what was already picked.
+    *
+    * Exactness: vectors quantize onto the e3 integer grid and every
+    * dot product is an exact integer (≤ 6.4×10⁷ per pair — exact in
+    * int64 AND in double, which lets candidate generation reuse the
+    * codegen'd `graft_dot`); the greedy argmax tie-breaks
+    * (score desc, vec_id asc). The oracle UNROLLS the 10 greedy steps
+    * as chained CTEs — same integer arithmetic, declaratively.
+    *
+    * Scale shape: candidate generation is the distributed part — one
+    * broadcast of |queries| vectors against the corpus scan (at
+    * production scale the IVF/q121 read path feeds this pool instead);
+    * re-ranking is O(k·pool²) per query over a pool CAPPED at 100, so
+    * the greedy runs inside `flatMapGroups` on a bounded group — the
+    * Ivf.scala bounded-collect discipline, never a corpus collect.
+    * Queries parallelize across partitions. */
+  def q189Mmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // e3-quantized vector as array<double> of integral values: exact in
+    // double up to 2^53, so graft_dot's double dot is the integer dot
+    val qcol = transform($"embedding",
+      x => floor(x.cast("double") * 1000 + lit(0.5)).cast("double"))
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"), qcol.as("q"))
+    val wQ = Window.partitionBy($"label").orderBy($"vec_id")
+    val qv = e.withColumn("rn", row_number().over(wQ)).filter($"rn" === 1)
+      .select($"label", $"vec_id".as("qid"), $"q".as("qq"))
+    val wC = Window.partitionBy($"label").orderBy($"rel".desc, $"vec_id")
+    val cand = e.join(broadcast(qv), "label").filter($"vec_id" =!= $"qid")
+      .select($"label", $"vec_id", dot($"qq", $"q").cast("long").as("rel"), $"q")
+      .withColumn("rnk", row_number().over(wC)).filter($"rnk" <= 100)
+    cand.select($"label", $"vec_id", $"rel", $"q")
+      .as[(Long, Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val vecs = cs.map(_._4.map(_.toLong).toArray)
+        def dotL(a: Array[Long], b: Array[Long]): Long = {
+          var i = 0; var acc = 0L
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val n = cs.length
+        val picked = scala.collection.mutable.ArrayBuffer[Int](0)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](
+          (label, 1L, cs(0)._2, cs(0)._3))
+        var step = 2
+        while (step <= 10 && step <= n) {
+          var bi = -1; var bs = Long.MinValue; var bv = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!picked.contains(i)) {
+              var ms = Long.MinValue
+              picked.foreach { p =>
+                val sm = dotL(vecs(i), vecs(p)); if (sm > ms) ms = sm
+              }
+              val sc = cs(i)._3 - ms
+              if (sc > bs || (sc == bs && cs(i)._2 < bv)) {
+                bi = i; bs = sc; bv = cs(i)._2
+              }
+            }
+            i += 1
+          }
+          picked += bi
+          out += ((label, step.toLong, cs(bi)._2, bs))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("label", "step", "vec_id", "score2")
+      .orderBy($"label", $"step")
+  }
+
+  /** q189 oracle: the 10 greedy steps UNROLLED as chained CTEs over
+    * materialized integer-quantized candidates — the same argmax with
+    * the same (score desc, vec_id) tie-break, stated declaratively. */
+  val q189Sql: String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    [CAST(floor(x*1000+0.5) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |qv AS MATERIALIZED (
+        |  SELECT label, arg_min(q, vec_id) AS q, min(vec_id) AS qid
+        |  FROM e GROUP BY 1),
+        |rel AS MATERIALIZED (
+        |  SELECT e.label, e.vec_id, e.q,
+        |    CAST(list_sum(list_transform(list_zip(qv.q, e.q),
+        |      p -> p[1]*p[2])) AS BIGINT) AS rel
+        |  FROM e JOIN qv ON qv.label = e.label AND e.vec_id <> qv.qid),
+        |cand AS MATERIALIZED (
+        |  SELECT label, vec_id, q, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label
+        |      ORDER BY rel DESC, vec_id) AS rnk
+        |    FROM rel) t WHERE rnk <= 100),
+        |sims AS MATERIALIZED (
+        |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |      p -> p[1]*p[2])) AS BIGINT) AS sim
+        |  FROM cand a JOIN cand b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |s1 AS (
+        |  SELECT label, vec_id, rel AS score2, CAST(1 AS BIGINT) AS step FROM (
+        |    SELECT label, vec_id, rel,
+        |      row_number() OVER (PARTITION BY label ORDER BY rel DESC, vec_id) AS rn
+        |    FROM cand) t WHERE rn = 1),
+        |p1 AS MATERIALIZED (SELECT label, vec_id FROM s1)""".stripMargin
+    val steps = (2 to 10).map { i =>
+      s"""m$i AS (
+         |  SELECT c.label, c.vec_id, c.rel, max(s.sim) AS ms
+         |  FROM cand c
+         |  JOIN sims s ON s.label = c.label AND s.ia = c.vec_id
+         |  JOIN p${i - 1} x ON x.label = s.label AND x.vec_id = s.ib
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} y
+         |                    WHERE y.label = c.label AND y.vec_id = c.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |s$i AS (
+         |  SELECT label, vec_id, score2, CAST($i AS BIGINT) AS step FROM (
+         |    SELECT label, vec_id, rel - ms AS score2,
+         |      row_number() OVER (PARTITION BY label
+         |        ORDER BY rel - ms DESC, vec_id) AS rn
+         |    FROM m$i) t WHERE rn = 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT * FROM p${i - 1} UNION ALL SELECT label, vec_id FROM s$i)""".stripMargin
+    }
+    val union = (1 to 10).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      "\nSELECT CAST(label AS BIGINT) AS label, step, vec_id, score2 " +
+      s"FROM ($union) z ORDER BY label, step"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_mmr" -> (q189Mmr _),
     "q151_label_centroid_cosine" -> (q151LabelCentroidCosine _),
     "q135_ivf_delta_insert" -> (q135IvfDeltaInsert _),
     "q131_embedding_drift" -> (q131EmbeddingDrift _),
@@ -1100,6 +1240,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q189_mmr" -> q189Sql,
     "q151_label_centroid_cosine" -> q151Sql,
     "q135_ivf_delta_insert" -> q135Sql,
     "q131_embedding_drift" -> q131Sql,
