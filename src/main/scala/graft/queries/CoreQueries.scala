@@ -2500,7 +2500,64 @@ object CoreQueries {
       |       AS DOUBLE) / tot.r * 1000000 + 0.5) AS BIGINT) AS cum_gain_e6
       |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+
+  /** q191_concurrency — interval-concurrency sweep: open orders per
+    * calendar day (opens, closes, running open count) with a
+    * deterministically synthesized close date (orderkey % 30 + 1 days
+    * — the q138 synthesized-dimension discipline; orders carry no
+    * close date). The sweep-line family — concurrent sessions, open
+    * tickets, active rentals, peak-load sizing — whose naive SQL is a
+    * days × orders range join.
+    *
+    * Engine form: the classic delta decomposition — +1 at start, −1
+    * at end — folds the corpus map-side to |days| delta rows; the
+    * running count is ONE ordered prefix window over that
+    * calendar-bounded relation (~2.5k rows here, never
+    * corpus-sized). All integer; the day renders as an ISO string
+    * for the one cross-engine encoding. */
+  def q191Concurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(to_date($"o_orderdate").as("sday"),
+      date_add(to_date($"o_orderdate"),
+        ($"o_orderkey" % 30 + 1).cast("int")).as("eday"))
+    val delta = o.select($"sday".as("day"), lit(1L).as("d"))
+      .unionByName(o.select($"eday".as("day"), lit(-1L).as("d")))
+    val byday = delta.groupBy($"day").agg(
+      sum($"d").as("net"),
+      sum(when($"d" === 1, 1L).otherwise(0L)).as("opens"),
+      sum(when($"d" === -1, 1L).otherwise(0L)).as("closes"))
+    val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    byday.withColumn("open_count", sum($"net").over(w))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"opens", $"closes", $"open_count")
+      .orderBy($"day")
+  }
+
+  /** q191 oracle: the identical delta decomposition. */
+  val q191Sql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS s,
+      |         CAST(o_orderdate AS DATE)
+      |           + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+      |  FROM orders),
+      |delta AS (
+      |  SELECT s AS day, CAST(1 AS BIGINT) AS d FROM o
+      |  UNION ALL SELECT e AS day, CAST(-1 AS BIGINT) AS d FROM o),
+      |byday AS (SELECT day, CAST(sum(d) AS BIGINT) AS net,
+      |          CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS opens,
+      |          CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS closes
+      |          FROM delta GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, opens, closes,
+      |  CAST(sum(net) OVER (ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_count
+      |FROM byday ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_concurrency" -> (q191Concurrency _),
     "q188_gains" -> (q188Gains _),
     "q182_gini" -> (q182Gini _),
     "q183_benford" -> (q183Benford _),
@@ -2556,6 +2613,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_concurrency" -> q191Sql,
     "q188_gains" -> q188Sql,
     "q182_gini" -> q182Sql,
     "q183_benford" -> q183Sql,

@@ -3714,7 +3714,136 @@ object TextQueries {
       |  AND rk.i > b.lo_b AND rk.i <= b.lo_b + b.quota
       |ORDER BY rk.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+
+  /** q190_blocklist — domain blocklist filtering with WILDCARD-SUFFIX
+    * matching (`dom13.t4` blocks every subdomain of it; `t6` blocks the
+    * whole TLD): the content-filtering pass every crawl-derived corpus
+    * runs (URL/domain deny lists), whose join shape SQL states as a
+    * quadratic `LIKE` join. Domains are synthesized deterministically
+    * from doc_id (the q138/q164 synthesized-dimension discipline —
+    * the corpus carries no real URLs); the blocklist is a literal
+    * policy table.
+    *
+    * Engine form: a suffix match is a PREFIX match on the reversed
+    * string, so the join blocks on the reversed-suffix key (first 2
+    * chars of the reversed domain = the TLD tail) — an equi-join
+    * against the BROADCAST policy list with a residual exact/suffix
+    * verify, never a corpus × patterns LIKE cross. Per-doc work =
+    * |patterns sharing the TLD block| (the blocklist is O(1) policy
+    * config, so fixed block count is correct here — unlike q164's
+    * registry, it does not grow with the corpus). The most specific
+    * (longest, then lexicographic) pattern wins per doc — a 1-row
+    * window over the ≤|patterns| matches per doc. */
+  def q190Blocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id",
+      concat(lit("sub"), ($"doc_id" % 3).cast("string"),
+        lit(".dom"), ($"doc_id" % 97).cast("string"),
+        lit(".t"), ($"doc_id" % 7).cast("string")).as("domain"))
+      .withColumn("blk", substring(reverse($"domain"), 1, 2))
+    val bl = Seq("sub0.dom0.t0", "sub1.dom31.t5", "dom13.t4", "dom77.t0",
+        "dom5.t2", "t6", "dom90.t6").toDF("pattern")
+      .withColumn("blk", substring(reverse($"pattern"), 1, 2))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(length($"pattern").desc, $"pattern")
+    d.join(broadcast(bl), "blk")
+      .filter($"domain" === $"pattern" ||
+        $"domain".endsWith(concat(lit("."), $"pattern")))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"domain", $"pattern".as("matched"))
+      .orderBy($"doc_id")
+  }
+
+  /** q190 oracle: the declarative exact-or-suffix LIKE join. */
+  val q190Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'sub' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    '.dom' || CAST(doc_id % 97 AS VARCHAR) ||
+      |    '.t' || CAST(doc_id % 7 AS VARCHAR) AS domain
+      |  FROM documents),
+      |bl AS (SELECT * FROM (VALUES ('sub0.dom0.t0'), ('sub1.dom31.t5'),
+      |        ('dom13.t4'), ('dom77.t0'), ('dom5.t2'), ('t6'),
+      |        ('dom90.t6')) AS v(pattern)),
+      |m AS (
+      |  SELECT d.doc_id, d.domain, bl.pattern
+      |  FROM d JOIN bl ON d.domain = bl.pattern
+      |     OR d.domain LIKE '%.' || bl.pattern),
+      |best AS (
+      |  SELECT doc_id, domain, pattern,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY len(pattern) DESC, pattern) AS rn
+      |  FROM m)
+      |SELECT doc_id, domain, pattern AS matched
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+
+  /** q192_phrase_query — positional-index phrase search (the classic
+    * IR adjacency query, Manning/Raghavan/Schütze ch. 2): for each
+    * two-term phrase, the documents and occurrence counts where the
+    * terms appear ADJACENT in order — what q73's BM25 bag-of-words
+    * retrieval cannot express, and the reason real inverted indexes
+    * store positions.
+    *
+    * Engine form: `posexplode` builds the positional postings
+    * relation once; the phrase table (policy-sized) broadcasts onto
+    * the first-term postings; the adjacency check is ONE
+    * co-partitioned self-join on (doc, pos+1) — output-proportional,
+    * never a corpus cross. The fold to |phrases| rows is
+    * map-side-combinable.
+    *
+    * Scale shape: postings are |tokens| rows — linear in corpus
+    * bytes, the same relation an index build materializes anyway; at
+    * 100 TB the (doc_id, pos) join key partitions evenly by
+    * construction (positions are within-doc). Counts are exact longs. */
+  def q192PhraseQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(TextFunctions.tokens($"text")))
+      .select($"doc_id", ($"pos" + 1).as("pos"), $"col".as("term"))
+    val ph = Seq(("key agg", "key", "agg"), ("row scan", "row", "scan"),
+        ("slow fast", "slow", "fast"), ("table value", "table", "value"),
+        ("part hash", "part", "hash")).toDF("phrase", "t1", "t2")
+    // both sides semi-filter on the broadcast term lists BEFORE the
+    // adjacency shuffle: only ~|matching tokens| rows move, not the
+    // whole postings relation
+    val t2s = ph.select($"t2".as("term2")).distinct()
+    val rt = t.toDF("d2", "p2", "term2").join(broadcast(t2s), "term2")
+    t.join(broadcast(ph), $"term" === $"t1")
+      .select($"phrase", $"doc_id", $"pos", $"t2")
+      .join(rt,
+        $"d2" === $"doc_id" && $"p2" === $"pos" + 1 && $"term2" === $"t2")
+      .groupBy($"phrase")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .orderBy($"phrase")
+  }
+
+  /** q192 oracle: the same postings relation via the shared tokenizer
+    * fragment, adjacency stated declaratively. */
+  val q192Sql: String =
+    s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |         generate_subscripts(toks, 1) AS pos
+       |  FROM d),
+       |ph AS (SELECT * FROM (VALUES ('key agg','key','agg'),
+       |        ('row scan','row','scan'), ('slow fast','slow','fast'),
+       |        ('table value','table','value'),
+       |        ('part hash','part','hash')) AS v(phrase, t1, t2)),
+       |m AS (
+       |  SELECT ph.phrase, a.doc_id
+       |  FROM ph JOIN t a ON a.term = ph.t1
+       |  JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |          AND b.term = ph.t2)
+       |SELECT phrase, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_occ
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_blocklist" -> (q190Blocklist _),
+    "q192_phrase_query" -> (q192PhraseQuery _),
     "q186_stratified_split" -> (q186StratifiedSplit _),
     "q181_auc"           -> (q181Auc _),
     "q137_shard_export"  -> (q137ShardExport _),
@@ -3772,6 +3901,8 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q190_blocklist" -> q190Sql,
+    "q192_phrase_query" -> q192Sql,
     "q186_stratified_split" -> q186Sql,
     "q181_auc"           -> q181Sql,
     "q137_shard_export"  -> q137Sql,
