@@ -2556,7 +2556,184 @@ object CoreQueries {
       |    AS open_count
       |FROM byday ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+
+  /** q193_rfm — RFM customer segmentation (Hughes 1994, the classic
+    * recency/frequency/monetary quintile scoring): each customer gets
+    * R, F, M ∈ 1..5 by global quintile rank, segment = 100R + 10F + M,
+    * output = segment census. The marketing-segmentation family — and
+    * three more exercises of the bucket-decomposed global rank (each
+    * dimension ranks on its own DOMAIN-bounded bucket: recency div 10
+    * over the calendar, frequency raw over small counts, monetary
+    * div 10⁸ over the spend domain — none corpus-sized).
+    *
+    * Exactness: quintile = ((i−1)·5) div n + 1 over deterministic
+    * (value, custkey) ranks — pure integer, no ntile ambiguity;
+    * revenue folds on the e2 grid. */
+  def q193Rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rfm = Tables.orders(s, dir).groupBy($"o_custkey".as("c"))
+      .agg(
+        datediff(lit("1998-12-31").cast("date"), max(to_date($"o_orderdate")))
+          .cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("mon"))
+      .localCheckpoint()
+    val n = rfm.agg(count(lit(1)).as("n"))
+
+    // bucket-decomposed global rank: prefix counts from the tiny bucket
+    // window, corpus only meets bucket-partitioned row_numbers
+    def rank(df: DataFrame, value: Column, bucket: Column, descending: Boolean,
+        out: String): DataFrame = {
+      val d = df.withColumn("__v", value).withColumn("__b", bucket)
+      val wPre = (if (descending) Window.orderBy($"__b".desc)
+        else Window.orderBy($"__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bpre = d.groupBy($"__b").agg(count(lit(1)).as("bn"))
+        .withColumn("nb", coalesce(sum($"bn").over(wPre), lit(0L)))
+        .select($"__b", $"nb")
+      val wIn = Window.partitionBy($"__b")
+        .orderBy(if (descending) $"__v".desc else $"__v".asc, $"c")
+      d.join(broadcast(bpre), "__b")
+        .withColumn(out, $"nb" + row_number().over(wIn))
+        .drop("__v", "__b", "nb")
+    }
+    // recency: most recent (smallest rec) scores HIGHEST -> rank rec desc
+    val r1 = rank(rfm, $"rec", expr("rec div 10"), descending = true, "ir")
+    val r2 = rank(r1, $"freq", $"freq", descending = false, "if_")
+    val r3 = rank(r2, $"mon", expr("mon div 100000000"), descending = false, "im")
+    r3.crossJoin(broadcast(n))
+      .select((expr("((ir - 1) * 5) div n") * 100 +
+        expr("((if_ - 1) * 5) div n") * 10 +
+        expr("((im - 1) * 5) div n") + 111).as("segment"))
+      .groupBy($"segment").agg(count(lit(1)).as("n_cust"))
+      .orderBy($"segment")
+  }
+
+  /** q193 oracle: declarative global ranks, identical quintile arithmetic. */
+  val q193Sql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+      |         DATE '1998-12-31') AS BIGINT) AS rec,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS mon
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+      |rk AS (
+      |  SELECT c,
+      |    row_number() OVER (ORDER BY rec DESC, c) AS ir,
+      |    row_number() OVER (ORDER BY freq, c) AS if_,
+      |    row_number() OVER (ORDER BY mon, c) AS im
+      |  FROM rfm)
+      |SELECT (((ir - 1) * 5) // n.n + 1) * 100
+      |     + (((if_ - 1) * 5) // n.n + 1) * 10
+      |     + ((im - 1) * 5) // n.n + 1 AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_cust
+      |FROM rk CROSS JOIN n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+
+  /** q194_selectivity — cardinality-estimation audit (the
+    * System R / Selinger attribute-value-independence assumption,
+    * SIGMOD'79): for every (status, priority) cell, the AVI estimate
+    * n·sel₁·sel₂ next to the ACTUAL count and the q-error — the
+    * statistics table a cost-based optimizer consults, turned into a
+    * query so the independence assumption's failure is measurable
+    * (correlated columns are where plans go wrong at 100 TB).
+    *
+    * Three map-side-combinable folds (corpus → |statuses|, |priorities|,
+    * |cells| rows) and broadcast crossjoins of those tiny relations.
+    * Int64 bound: c1·c2 < 2⁶³ to ~3×10⁹ rows; decimal widening is the
+    * escape. Both float chains keep the identical operator tree. */
+  def q194Selectivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val n = o.agg(count(lit(1)).as("n"))
+    val s1 = o.groupBy($"o_orderstatus".as("status")).agg(count(lit(1)).as("c1"))
+    val s2 = o.groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("c2"))
+    val act = o.groupBy($"o_orderstatus".as("v1"), $"o_orderpriority".as("v2"))
+      .agg(count(lit(1)).as("actual"))
+    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(n))
+      .join(broadcast(act),
+        $"v1" === $"status" && $"v2" === $"priority", "left")
+      .select($"status", $"priority",
+        coalesce($"actual", lit(0L)).as("actual"),
+        floor($"c1".cast("double") * $"c2" / $"n" + 0.5).cast("long")
+          .as("est"),
+        floor(coalesce($"actual", lit(0L)).cast("double") * $"n"
+          / ($"c1" * $"c2") * 1000000 + 0.5).cast("long").as("qerr_e6"))
+      .orderBy($"status", $"priority")
+  }
+
+  /** q194 oracle: identical folds and float chains. */
+  val q194Sql: String =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+      |s1 AS (SELECT o_orderstatus AS v, CAST(count(*) AS BIGINT) AS c1
+      |       FROM orders GROUP BY 1),
+      |s2 AS (SELECT o_orderpriority AS v, CAST(count(*) AS BIGINT) AS c2
+      |       FROM orders GROUP BY 1),
+      |act AS (SELECT o_orderstatus AS v1, o_orderpriority AS v2,
+      |        CAST(count(*) AS BIGINT) AS actual FROM orders GROUP BY 1, 2)
+      |SELECT s1.v AS status, s2.v AS priority,
+      |  coalesce(act.actual, 0) AS actual,
+      |  CAST(floor(CAST(s1.c1 AS DOUBLE) * s2.c2 / n.n + 0.5) AS BIGINT)
+      |    AS est,
+      |  CAST(floor(CAST(coalesce(act.actual, 0) AS DOUBLE) * n.n
+      |       / (s1.c1 * s2.c2) * 1000000 + 0.5) AS BIGINT) AS qerr_e6
+      |FROM s1 CROSS JOIN s2 CROSS JOIN n
+      |LEFT JOIN act ON act.v1 = s1.v AND act.v2 = s2.v
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+
+  /** q196_related_items — "customers also bought": top-5 co-purchased
+    * parts per part by order support — the bipartite-projection
+    * recommender (the item-item collaborative filter's candidate
+    * table, Linden et al. IEEE IC'03) over the same co-purchase
+    * relation q144/q174 mine.
+    *
+    * Engine form: per-order distinct item pairs (the q174 within-basket
+    * expansion — ≤ C(items, 2) per order, output-proportional, never a
+    * corpus self-join), folded map-side to per-pair support; the u-side
+    * predicate (part < 50) pushes BELOW the pair expansion — only pairs
+    * anchored at an audited part are ever generated; top-5 is a
+    * per-part window, fully parallel. */
+  def q196RelatedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = li.filter($"l_partkey" < 50).toDF("ok", "u")
+      .join(li.toDF("ok2", "v"), $"ok" === $"ok2" && $"u" =!= $"v")
+    val support = pairs.groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+    val w = Window.partitionBy($"u").orderBy($"support".desc, $"v")
+    support.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"u".as("part"), $"rank", $"v".as("related"), $"support")
+      .orderBy($"part", $"rank")
+  }
+
+  /** q196 oracle: the declarative co-occurrence count with the filter
+    * stated at the end — per-part ranks make the pushdown equivalent. */
+  val q196Sql: String =
+    """WITH e AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |         CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS support
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT u, v, support,
+      |       row_number() OVER (PARTITION BY u ORDER BY support DESC, v)
+      |         AS rank
+      |       FROM e)
+      |SELECT u AS part, rank, v AS related, support
+      |FROM rk WHERE rank <= 5 AND part < 50 ORDER BY part, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_rfm" -> (q193Rfm _),
+    "q194_selectivity" -> (q194Selectivity _),
+    "q196_related_items" -> (q196RelatedItems _),
     "q191_concurrency" -> (q191Concurrency _),
     "q188_gains" -> (q188Gains _),
     "q182_gini" -> (q182Gini _),
@@ -2613,6 +2790,9 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_rfm" -> q193Sql,
+    "q194_selectivity" -> q194Sql,
+    "q196_related_items" -> q196Sql,
     "q191_concurrency" -> q191Sql,
     "q188_gains" -> q188Sql,
     "q182_gini" -> q182Sql,

@@ -1921,7 +1921,64 @@ object EventQueries {
       |FROM num n JOIN den d USING (event_type)
       |ORDER BY event_type, lag""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+
+  /** q195_cohort_ltv — cumulative lifetime-value curve per acquisition
+    * cohort (first-order month): cohort size, per-age revenue, and the
+    * running cumulative — the unit-economics readout (payback period,
+    * LTV/CAC) that q83's retention counts price out. Revenue stays on
+    * the e2 integer grid end to end.
+    *
+    * Scale shape: two custkey-co-partitioned passes (first-order month,
+    * then revenue attributed to cohort × month-age) fold the corpus
+    * map-side to |cohorts|·|ages| rows; the cumulative window and the
+    * cohort-size join run on that calendar-bounded relation,
+    * partitioned by cohort. */
+  def q195CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey".as("c"),
+      trunc(to_date($"o_orderdate"), "month").as("m"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("rev"))
+    val fo = o.groupBy($"c").agg(min($"m").as("cohort"))
+    val r = o.join(fo, "c")
+      .groupBy($"cohort",
+        months_between($"m", $"cohort").cast("long").as("age"))
+      .agg(sum($"rev").as("rev_e2"))
+    val cs = fo.groupBy($"cohort").agg(count(lit(1)).as("n_cust"))
+    val w = Window.partitionBy($"cohort").orderBy($"age")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.join(broadcast(cs), "cohort")
+      .withColumn("cum_rev_e2", sum($"rev_e2").over(w))
+      .select(date_format($"cohort", "yyyy-MM").as("cohort"),
+        $"age", $"n_cust", $"rev_e2", $"cum_rev_e2")
+      .orderBy($"cohort", $"age")
+  }
+
+  /** q195 oracle: identical two-pass cohort attribution. */
+  val q195Sql: String =
+    """WITH fo AS (SELECT o_custkey AS c,
+      |  min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT fo.cohort,
+      |    CAST(date_diff('month', fo.cohort,
+      |         date_trunc('month', CAST(o.o_orderdate AS DATE)))
+      |         AS BIGINT) AS age,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS rev_e2
+      |  FROM orders o JOIN fo ON fo.c = o.o_custkey GROUP BY 1, 2),
+      |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cust
+      |       FROM fo GROUP BY 1)
+      |SELECT strftime(r.cohort, '%Y-%m') AS cohort, r.age, cs.n_cust,
+      |  r.rev_e2,
+      |  CAST(sum(r.rev_e2) OVER (PARTITION BY r.cohort ORDER BY r.age
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_rev_e2
+      |FROM r JOIN cs ON cs.cohort = r.cohort
+      |ORDER BY cohort, age""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_cohort_ltv" -> (q195CohortLtv _),
     "q184_cusum" -> (q184Cusum _),
     "q185_acf" -> (q185Acf _),
     "q180_survival" -> (q180Survival _),
@@ -1961,6 +2018,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_cohort_ltv" -> q195Sql,
     "q184_cusum" -> q184Sql,
     "q185_acf" -> q185Sql,
     "q180_survival" -> q180Sql,
