@@ -1977,7 +1977,132 @@ object EventQueries {
       |FROM r JOIN cs ON cs.cohort = r.cohort
       |ORDER BY cohort, age""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+
+  /** q197_changepoint — single changepoint LOCALIZATION by binary
+    * segmentation (Scott & Knott 1974; the first split of the
+    * recursive scheme): per event type, the day t maximizing the
+    * integer between-segment contrast |S₁·(n−t) − S₂·t| (the scaled
+    * mean-difference objective — cross-multiplied so no division ever
+    * happens). q184 answers "is there drift?"; this answers "WHERE did
+    * the level shift happen" — the pair a monitoring pipeline runs
+    * together.
+    *
+    * Scale shape: one map-side fold to |types|·|days| rows; prefix
+    * sums and the argmax window are type-partitioned and
+    * calendar-bounded. All integer; ties break on the earlier day. */
+  def q197Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wPre = Window.partitionBy($"event_type").orderBy($"day")
+    val pre = daily
+      .withColumn("s1",
+        sum($"x").over(wPre.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(wPre).cast("long"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val wBest = Window.partitionBy($"event_type")
+      .orderBy($"contrast".desc, $"day")
+    pre.join(broadcast(tot), "event_type")
+      .filter($"t" < $"n")
+      .withColumn("contrast",
+        abs($"s1" * ($"n" - $"t") - ($"s" - $"s1") * $"t"))
+      .withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("split_day"),
+        $"t".as("split_t"), $"contrast")
+      .orderBy($"event_type")
+  }
+
+  /** q197 oracle: the identical integer contrast argmax. */
+  val q197Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pre AS (
+      |  SELECT event_type, day, x,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s1,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |         AS BIGINT) AS t
+      |  FROM daily),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |obj AS (
+      |  SELECT p.event_type, p.day, p.t,
+      |    abs(p.s1 * (n.n - p.t) - (n.s - p.s1) * p.t) AS contrast
+      |  FROM pre p JOIN tot n USING (event_type)
+      |  WHERE p.t < n.n),
+      |best AS (
+      |  SELECT event_type, day, t, contrast,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY contrast DESC, day) AS rn
+      |  FROM obj)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+      |       t AS split_t, contrast
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+
+  /** q198_seasonal_profile — day-of-week seasonal decomposition with
+    * residual outliers: per (type, dow) profile means, per-day
+    * INTEGER-scaled residual n_d·x − S_d, and a |resid| > S_d/4 flag —
+    * the weekly-seasonality baseline (staffing, capacity, anomaly
+    * suppression) that q184/q133 treat as noise. The day-of-week is
+    * computed as (epochDay + 3) % 7 — pure integer arithmetic both
+    * engines share, sidestepping the engines' differing dayofweek()
+    * conventions (0 = Monday).
+    *
+    * Scale shape: one map-side fold to |types|·|days| rows, a 7-row
+    * profile join, and integer algebra — nothing downstream of the
+    * fold sees corpus-sized input. */
+  def q198SeasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow",
+        pmod(datediff($"day", lit("1970-01-01").cast("date")) + 3, lit(7))
+          .cast("long"))
+    val prof = daily.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("nd"), sum($"x").as("sd"))
+    daily.join(broadcast(prof), Seq("event_type", "dow"))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"dow", $"x", ($"nd" * $"x" - $"sd").as("resid_scaled"),
+        when(abs($"nd" * $"x" - $"sd") > expr("sd div 4"), lit(1L))
+          .otherwise(lit(0L)).as("outlier"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** q198 oracle: identical integer profile algebra. */
+  val q198Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (
+      |  SELECT event_type, day, x,
+      |    (CAST(day - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow
+      |  FROM daily),
+      |prof AS (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+      |         CAST(sum(x) AS BIGINT) AS sd
+      |  FROM dw GROUP BY 1, 2)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.dow, d.x,
+      |  p.nd * d.x - p.sd AS resid_scaled,
+      |  CAST(CASE WHEN abs(p.nd * d.x - p.sd) > p.sd // 4 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS outlier
+      |FROM dw d JOIN prof p ON p.event_type = d.event_type AND p.dow = d.dow
+      |ORDER BY d.event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_changepoint" -> (q197Changepoint _),
+    "q198_seasonal_profile" -> (q198SeasonalProfile _),
     "q195_cohort_ltv" -> (q195CohortLtv _),
     "q184_cusum" -> (q184Cusum _),
     "q185_acf" -> (q185Acf _),
@@ -2018,6 +2143,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_changepoint" -> q197Sql,
+    "q198_seasonal_profile" -> q198Sql,
     "q195_cohort_ltv" -> q195Sql,
     "q184_cusum" -> q184Sql,
     "q185_acf" -> q185Sql,

@@ -3841,7 +3841,63 @@ object TextQueries {
        |       CAST(count(*) AS BIGINT) AS n_occ
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+
+  /** q199_trending_terms — week-over-week trending-term detection (the
+    * Kleinberg-burst family's batch staple): per week, the top-3 terms
+    * by document-frequency growth over the prior week, floored onto
+    * e6, with a prior-week support floor (≥ 3 docs) so division noise
+    * never ranks. Document dates are synthesized deterministically
+    * from doc_id (the q138/q190 discipline — the corpus carries no
+    * timestamps). The content-intelligence query an editorial or
+    * drift-watch layer runs next to q88's distribution-level KL.
+    *
+    * Scale shape: distinct-terms explode → one map-side fold to
+    * |weeks|·|vocabulary| rows; the growth self-join and top-3 windows
+    * run on that vocabulary-bounded relation, partitioned by week. */
+  def q199TrendingTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tw = Tables.documents(s, dir)
+      .select(expr("(doc_id % 90) div 7").as("week"),
+        explode(array_distinct(TextFunctions.tokens($"text"))).as("term"))
+    val wc = tw.groupBy($"week", $"term").agg(count(lit(1)).as("docs"))
+    val w = Window.partitionBy($"week").orderBy($"growth_e6".desc, $"term")
+    wc.join(wc.toDF("pw", "pterm", "prev_docs"),
+        $"pterm" === $"term" && $"pw" === $"week" - 1 && $"prev_docs" >= 3)
+      .withColumn("growth_e6",
+        floor($"docs".cast("double") / $"prev_docs" * 1000000 + 0.5)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"week", $"rank", $"term", $"docs", $"prev_docs", $"growth_e6")
+      .orderBy($"week", $"rank")
+  }
+
+  /** q199 oracle: the same weekly document-frequency fold and growth
+    * ranks via the shared tokenizer fragment. */
+  val q199Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $Toks AS toks FROM documents),
+       |tw AS (
+       |  SELECT (doc_id % 90) // 7 AS week,
+       |         unnest(list_distinct(toks)) AS term
+       |  FROM d),
+       |wc AS (SELECT week, term, CAST(count(*) AS BIGINT) AS docs
+       |       FROM tw GROUP BY 1, 2),
+       |g AS (
+       |  SELECT cur.week, cur.term, cur.docs, prev.docs AS prev_docs,
+       |    CAST(floor(CAST(cur.docs AS DOUBLE) / prev.docs * 1000000 + 0.5)
+       |         AS BIGINT) AS growth_e6
+       |  FROM wc cur JOIN wc prev
+       |    ON prev.term = cur.term AND prev.week = cur.week - 1
+       |   AND prev.docs >= 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY week
+       |        ORDER BY growth_e6 DESC, term) AS rn FROM g)
+       |SELECT week, rn AS rank, term, docs, prev_docs, growth_e6
+       |FROM rk WHERE rn <= 3 ORDER BY week, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_trending_terms" -> (q199TrendingTerms _),
     "q190_blocklist" -> (q190Blocklist _),
     "q192_phrase_query" -> (q192PhraseQuery _),
     "q186_stratified_split" -> (q186StratifiedSplit _),
@@ -3901,6 +3957,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q199_trending_terms" -> q199Sql,
     "q190_blocklist" -> q190Sql,
     "q192_phrase_query" -> q192Sql,
     "q186_stratified_split" -> q186Sql,
