@@ -1246,7 +1246,84 @@ object StreamQueries {
        |WHERE event_id % 20 = 1
        |ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+
+  /** q200_stream_topk — "trending now" maintained as a stream: hourly
+    * event-type counts kept by a watermarked streaming window
+    * aggregation run to completion under AvailableNow, with the top-3
+    * types per hour derived from the EMITTED table. The leaderboard
+    * pattern every ops dashboard runs — and the division of labor is
+    * the point the gate pins: the STREAM maintains only the
+    * incremental windowed counts (state = open windows, the q110
+    * bound); the rank is a batch window over the emitted
+    * |hours|·|types| relation, never inside the stream (per-window
+    * top-k is not incrementally maintainable without custom state —
+    * recompute-over-emitted is the production shape).
+    *
+    * The oracle replays the hourly counts declaratively WITH the
+    * watermark-eviction pin (only windows closed by the final
+    * watermark emit under append mode — the q150 contract, stated
+    * verbatim) and ranks them the same way. */
+  def q200StreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q200")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(timestamp_millis(unix_millis($"ts")).as("ts"), $"event_type")
+    ev.orderBy($"ts", $"event_type")
+      .select(to_json(struct($"ts", $"event_type")).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING").text(s"$root/src")
+      .select(from_json($"value", ev.schema).as("e"))
+      .select($"e.ts", $"e.event_type")
+    withStreamPartitions(s) {
+      src.withWatermark("ts", "2 hours")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("start_ms"), $"event_type", $"n")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    val hours = s.read
+      .schema("start_ms LONG, event_type STRING, n LONG")
+      .parquet(s"$root/out")
+      .select(expr("start_ms div 3600000").as("hr"), $"event_type", $"n")
+    val w = Window.partitionBy($"hr").orderBy($"n".desc, $"event_type")
+    hours.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"hr", $"rank", $"event_type", $"n")
+      .orderBy($"hr", $"rank")
+  }
+
+  /** q200 oracle: hourly counts + the q150 watermark-eviction pin +
+    * the same rank. */
+  val q200Sql: String =
+    """WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+      |hw AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr, event_type,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT hw.hr, hw.event_type, hw.n FROM hw CROSS JOIN m
+      |  WHERE (hw.hr + 1) * 3600000 < m.mx - 7200000),
+      |rk AS (
+      |  SELECT hr, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY hr
+      |         ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM h)
+      |SELECT hr, rank, event_type, n
+      |FROM rk WHERE rank <= 3 ORDER BY hr, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_stream_topk" -> (q200StreamTopk _),
     "q163_stream_dedup_ttl" -> (q163StreamDedupTtl _),
     "q150_stream_anomaly" -> (q150StreamAnomaly _),
     "q147_cdc_delete_merge" -> (q147CdcDeleteMerge _),
@@ -1268,6 +1345,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q200_stream_topk" -> q200Sql,
     "q163_stream_dedup_ttl" -> q163Sql,
     "q150_stream_anomaly" -> q150Sql,
     "q147_cdc_delete_merge" -> q147Sql,
