@@ -768,4 +768,44 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "map-side partial agg must precede the exchange:\n" + p)
   }
+  test("q182/q188/q193: corpus ranks are bucket-partitioned — no corpus-sized single-partition window") {
+    for (df <- Seq(CoreQueries.q182Gini(spark, dir),
+                   CoreQueries.q188Gains(spark, dir),
+                   CoreQueries.q193Rfm(spark, dir))) {
+      val p = executed(df).toString
+      // every row_number over the corpus partitions by its bucket key;
+      // SinglePartition windows exist only over the tiny bucket/decile tables
+      assert(p.contains("hashpartitioning(bucket") ||
+        p.contains("hashpartitioning(__b"),
+        "corpus rows must exchange on the bucket key:\n" + p)
+    }
+  }
+
+  test("q189: candidate generation broadcasts only the per-label query vectors; no cartesian") {
+    val plan = executed(VectorQueries.q189Mmr(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the rel join must ride the label key")
+    // AQE wraps exchanges in QueryStageExec leaves — string-match instead
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the |labels|-row query-vector side must broadcast")
+  }
+
+  test("q190/q192: the policy tables broadcast; postings/domains never cartesian") {
+    for (df <- Seq(TextQueries.q190Blocklist(spark, dir),
+                   TextQueries.q192PhraseQuery(spark, dir))) {
+      val plan = executed(df)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "blocklist/phrase tables are policy-sized and must broadcast")
+    }
+  }
+
+  test("q196: the audited-part predicate pushes below the pair expansion") {
+    val s2 = leaves(CoreQueries.q196RelatedItems(spark, dir))
+    assert(s2.contains("PushedFilters") && s2.contains("l_partkey"),
+      "part < 50 must reach the u-side scan:\n" + s2)
+    val plan = executed(CoreQueries.q196RelatedItems(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
 }
