@@ -69,7 +69,14 @@ object DumpPlans {
     "q156_share_rollup" -> "fact-side e2 fold behind broadcast dims; ratio windows on the 25-row aggregate",
     "q161_grouping_sets" -> "one Expand (x4 sets) + map-side partial agg, single exchange",
     "q162_unpivot" -> "melt is a row-local Expand after the order-keyed fold — no extra exchange",
-    "q164_record_linkage" -> "digit-tail block join only — never A x B; weights in the instruction stream")
+    "q164_record_linkage" -> "digit-tail block join only — never A x B; weights in the instruction stream",
+    "q182_gini" -> "bucket-decomposed global rank: corpus rows exchange on the revenue bucket, global window on the bucket table only",
+    "q186_stratified_split" -> "quota table (3/stratum) broadcasts; ranks ride (stratum, hash-bucket) partitioned windows",
+    "q189_mmr" -> "per-label query vectors broadcast into one corpus scan; greedy on pools capped at 100 inside flatMapGroups",
+    "q190_blocklist" -> "policy list broadcasts on the reversed-suffix block key + residual suffix verify",
+    "q192_phrase_query" -> "positional postings; both sides semi-filter on broadcast term lists before the adjacency shuffle",
+    "q193_rfm" -> "three domain-bucketed ranks; quintiles are integer arithmetic over broadcast prefix tables",
+    "q196_related_items" -> "audited-part predicate pushed below the within-order pair expansion; per-part top-5 windows")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage
