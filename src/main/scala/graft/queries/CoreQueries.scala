@@ -2730,7 +2730,62 @@ object CoreQueries {
       |SELECT u AS part, rank, v AS related, support
       |FROM rk WHERE rank <= 5 AND part < 50 ORDER BY part, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201_weighted_median — exact weighted median (quantity weighted by
+    * e2 revenue, per return flag): the robust central-tendency statistic
+    * pricing/abuse teams use where plain medians ignore economic weight
+    * and means chase outliers. SQL has no weighted percentile; the
+    * textbook form sorts the corpus per group.
+    *
+    * Engine form: quantity is DOMAIN-BOUNDED (≤ ~50 distinct values),
+    * so the corpus folds map-side to |flags|·|quantities| weight cells;
+    * the cumulative-weight scan and the 2·cum ≥ total selection run on
+    * that domain-bounded relation — the corpus never meets a sort or
+    * window. All integer (e2 weights, cross-multiplied midpoint test —
+    * no division). */
+  def q201WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("flag"), $"l_quantity".cast("long").as("q"))
+      .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("w"))
+    val tot = g.groupBy($"flag").agg(sum($"w").as("tw"))
+    val wCum = Window.partitionBy($"flag").orderBy($"q")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRn = Window.partitionBy($"flag").orderBy($"q")
+    g.join(broadcast(tot), "flag")
+      .withColumn("cum", sum($"w").over(wCum))
+      .filter(lit(2) * $"cum" >= $"tw")
+      .withColumn("rn", row_number().over(wRn)).filter($"rn" === 1)
+      .select($"flag", $"q".as("weighted_median"),
+        $"cum".as("cum_weight_e2"), $"tw".as("total_weight_e2"))
+      .orderBy($"flag")
+  }
+
+  /** q201 oracle: identical domain fold + cumulative selection. */
+  val q201Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+      |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |tot AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1),
+      |c AS (
+      |  SELECT g.flag, g.q, g.w, tot.tw,
+      |    CAST(sum(g.w) OVER (PARTITION BY g.flag ORDER BY g.q
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM g JOIN tot USING (flag)),
+      |med AS (
+      |  SELECT flag, q, cum, tw,
+      |    row_number() OVER (PARTITION BY flag ORDER BY q) AS rn
+      |  FROM c WHERE 2 * cum >= tw)
+      |SELECT flag, q AS weighted_median, cum AS cum_weight_e2,
+      |       tw AS total_weight_e2
+      |FROM med WHERE rn = 1 ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_weighted_median" -> (q201WeightedMedian _),
     "q193_rfm" -> (q193Rfm _),
     "q194_selectivity" -> (q194Selectivity _),
     "q196_related_items" -> (q196RelatedItems _),
@@ -2790,6 +2845,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_weighted_median" -> q201Sql,
     "q193_rfm" -> q193Sql,
     "q194_selectivity" -> q194Sql,
     "q196_related_items" -> q196Sql,

@@ -2100,7 +2100,98 @@ object EventQueries {
       |FROM dw d JOIN prof p ON p.event_type = d.event_type AND p.dow = d.dow
       |ORDER BY d.event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+
+  /** q202_interpolate — linear gap interpolation over a sparse daily
+    * series (the sensor/metrics-backfill operator: q140 zero-fills
+    * missing buckets, this RECONSTRUCTS them from the neighbors —
+    * what dashboards and feature pipelines actually want for sampled
+    * series). The observation grid is structurally sparse by a
+    * deterministic day pattern ((day² mod 5) < 2 — the q190/q199
+    * synthesis discipline), so the operator is exercised identically
+    * at every SF: 60 of 150 grid days interpolate.
+    *
+    * Exactness: the carried neighbors (pd, pv, nd, nv) come from
+    * ffill/bfill windows both engines fold sequentially; the
+    * interpolated value is pv + floor((nv−pv)·(day−pd) / (nd−pd)) with
+    * the division as ONE double op — floor(double) agrees on negatives
+    * where integer `div`/`//` would not (truncate vs floor, the
+    * established rule).
+    *
+    * Scale shape: one map-side fold to |types|·|days| rows; the grid
+    * and all four carry windows are calendar-bounded and
+    * type-partitioned. */
+  def q202Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("v"))
+      .filter(($"day" * $"day") % 5 < 2)
+    val bounds = d.groupBy($"event_type")
+      .agg(min($"day").as("lo"), max($"day").as("hi"))
+    val grid = bounds.select($"event_type",
+      explode(sequence($"lo", $"hi")).as("day"))
+    val j = grid.join(d, Seq("event_type", "day"), "left")
+    val wB = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    j.withColumn("pd", last(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wB))
+      .withColumn("pv", last(when($"v".isNotNull, $"v"), ignoreNulls = true).over(wB))
+      .withColumn("nd", first(when($"v".isNotNull, $"day"), ignoreNulls = true).over(wF))
+      .withColumn("nv", first(when($"v".isNotNull, $"v"), ignoreNulls = true).over(wF))
+      .select($"event_type", $"day",
+        when($"v".isNotNull, $"v")
+          .otherwise($"pv" + floor((($"nv" - $"pv") * ($"day" - $"pd"))
+            .cast("double") / ($"nd" - $"pd")).cast("long"))
+          .as("v_interp_e2"),
+        when($"v".isNull, lit(1L)).otherwise(lit(0L)).as("interpolated"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** q202 oracle: identical carry windows and the one-division float
+    * interpolation chain. */
+  val q202Sql: String =
+    """WITH d0 AS (
+      |  SELECT event_type,
+      |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |           AS v
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT * FROM d0 WHERE (day * day) % 5 < 2),
+      |bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+      |           FROM d GROUP BY 1),
+      |grid AS (SELECT b.event_type, b.lo + u.g AS day
+      |         FROM bounds b CROSS JOIN unnest(range(0, 200)) AS u(g)
+      |         WHERE b.lo + u.g <= b.hi),
+      |j AS (SELECT grid.event_type, grid.day, d.v
+      |      FROM grid LEFT JOIN d USING (event_type, day)),
+      |seg AS (
+      |  SELECT event_type, day, v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+      |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM j)
+      |SELECT event_type, day,
+      |  CAST(CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + CAST(floor(CAST((nv - pv) * (day - pd) AS DOUBLE)
+      |                 / (nd - pd)) AS BIGINT) END AS BIGINT) AS v_interp_e2,
+      |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
+      |FROM seg ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_interpolate" -> (q202Interpolate _),
     "q197_changepoint" -> (q197Changepoint _),
     "q198_seasonal_profile" -> (q198SeasonalProfile _),
     "q195_cohort_ltv" -> (q195CohortLtv _),
@@ -2143,6 +2234,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q202_interpolate" -> q202Sql,
     "q197_changepoint" -> q197Sql,
     "q198_seasonal_profile" -> q198Sql,
     "q195_cohort_ltv" -> q195Sql,
