@@ -2784,7 +2784,81 @@ object CoreQueries {
       |       tw AS total_weight_e2
       |FROM med WHERE rn = 1 ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+
+  /** q203_abc — ABC / Pareto inventory classification (the 80/15/5
+    * revenue-concentration classes ops teams run before deciding what
+    * to stock, audit, or deprecate): parts ranked by revenue, classed
+    * A while the PRIOR cumulative share is under 80%, B under 95%,
+    * else C, reported as a class census with rank ranges.
+    *
+    * Engine form: the q188 descending bucket-decomposed rank, plus a
+    * bucket-decomposed PREFIX SUM (cum = revenue-before-bucket + the
+    * within-bucket running sum — both the prefix table and the class
+    * cuts are integer; the 80/95 thresholds are CROSS-MULTIPLIED
+    * (5·(cum−rev) < 4·t) so no division exists. The corpus folds to
+    * |parts| rows map-side first; parts only meet bucket-partitioned
+    * windows. */
+  def q203Abc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pr = Tables.lineitem(s, dir).groupBy($"l_partkey".as("part"))
+      .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("rev"))
+      .withColumn("bucket", expr("rev div 100000000"))
+    val tot = pr.agg(sum($"rev").as("t"))
+    val wPre = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = pr.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"), sum($"rev").as("brev"))
+      .withColumn("nBefore", coalesce(sum($"bn").over(wPre), lit(0L)))
+      .withColumn("revBefore", coalesce(sum($"brev").over(wPre), lit(0L)))
+      .select($"bucket", $"nBefore", $"revBefore")
+    val wIn = Window.partitionBy($"bucket").orderBy($"rev".desc, $"part")
+    val rk = pr.join(broadcast(bpre), "bucket")
+      .withColumn("i", $"nBefore" + row_number().over(wIn))
+      .withColumn("cum", $"revBefore" +
+        sum($"rev").over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    rk.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(lit(5) * ($"cum" - $"rev") < lit(4) * $"t", "A")
+          .when(lit(20) * ($"cum" - $"rev") < lit(19) * $"t", "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"), sum($"rev").as("rev_e2"),
+        min($"i").as("first_rank"), max($"i").as("last_rank"))
+      .orderBy($"cls")
+  }
+
+  /** q203 oracle: declarative global rank + prefix, identical integer
+    * class cuts. */
+  val q203Sql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM pr),
+      |rk AS (
+      |  SELECT part, rev, row_number() OVER (ORDER BY rev DESC, part) AS i
+      |  FROM pr),
+      |c AS (
+      |  SELECT rk.part, rk.rev, rk.i, tot.t,
+      |    CAST(sum(rk.rev) OVER (ORDER BY rk.i
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM rk CROSS JOIN tot),
+      |cls AS (
+      |  SELECT part, rev, i, cum,
+      |    CASE WHEN 5 * (cum - rev) < 4 * t THEN 'A'
+      |         WHEN 20 * (cum - rev) < 19 * t THEN 'B' ELSE 'C' END AS cls
+      |  FROM c)
+      |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev) AS BIGINT) AS rev_e2,
+      |  CAST(min(i) AS BIGINT) AS first_rank,
+      |  CAST(max(i) AS BIGINT) AS last_rank
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_abc" -> (q203Abc _),
     "q201_weighted_median" -> (q201WeightedMedian _),
     "q193_rfm" -> (q193Rfm _),
     "q194_selectivity" -> (q194Selectivity _),
@@ -2845,6 +2919,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q203_abc" -> q203Sql,
     "q201_weighted_median" -> q201Sql,
     "q193_rfm" -> q193Sql,
     "q194_selectivity" -> q194Sql,

@@ -2190,7 +2190,129 @@ object EventQueries {
       |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS interpolated
       |FROM seg ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204_relative_risk — two-variant experiment readout as RELATIVE
+    * RISK with the Katz log-normal 95% CI (the epidemiology/AB-test
+    * statistic q148's CUPED means don't report): users hash-assigned
+    * to variants (the established md5 idiom), conversion = any
+    * high-value purchase, output = counts, RR on e6, and the ln-scale
+    * CI bounds.
+    *
+    * Exactness: counts are exact; the RR and CI chains are shared-shape
+    * float ops — one division inside ln, IEEE-exact sqrt (sqrt is
+    * correctly rounded per IEEE 754, bit-identical cross-engine), the
+    * e6 floor absorbing libm's ln ulp (the q180 rule).
+    *
+    * Scale shape: one user-keyed fold, a 2-row variant aggregate, and
+    * scalar algebra on a 1-row relation. */
+  def q204RelativeRisk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, dir).groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val v = u.groupBy($"variant").agg(count(lit(1)).as("n"), sum($"conv").as("x"))
+    val ab = v.filter($"variant" === "A").select($"n".as("na"), $"x".as("xa"))
+      .crossJoin(v.filter($"variant" === "B").select($"n".as("nb"), $"x".as("xb")))
+    val lnRr = log($"xa".cast("double") * $"nb" / ($"xb" * $"na"))
+    val se = sqrt(lit(1.0) / $"xa" - lit(1.0) / $"na" +
+      lit(1.0) / $"xb" - lit(1.0) / $"nb")
+    ab.select($"na", $"xa", $"nb", $"xb",
+      floor($"xa".cast("double") * $"nb" / ($"xb" * $"na") * 1000000 + 0.5)
+        .cast("long").as("rr_e6"),
+      floor((lnRr - lit(1.96) * se) * 1000000 + 0.5).cast("long").as("lo_e6"),
+      floor((lnRr + lit(1.96) * se) * 1000000 + 0.5).cast("long").as("hi_e6"))
+  }
+
+  /** q204 oracle: identical float chains (ln/sqrt shared shape). */
+  val q204Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 'A' ELSE 'B' END AS variant,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+      |             THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(conv) AS BIGINT) AS x
+      |  FROM u GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS na, a.x AS xa, b.n AS nb, b.x AS xb
+      |  FROM (SELECT * FROM v WHERE variant = 'A') a,
+      |       (SELECT * FROM v WHERE variant = 'B') b)
+      |SELECT na, xa, nb, xb,
+      |  CAST(floor(CAST(xa AS DOUBLE) * nb / (xb * na) * 1000000 + 0.5)
+      |       AS BIGINT) AS rr_e6,
+      |  CAST(floor((ln(CAST(xa AS DOUBLE) * nb / (xb * na))
+      |       - 1.96 * sqrt(1.0/xa - 1.0/na + 1.0/xb - 1.0/nb)) * 1000000
+      |       + 0.5) AS BIGINT) AS lo_e6,
+      |  CAST(floor((ln(CAST(xa AS DOUBLE) * nb / (xb * na))
+      |       + 1.96 * sqrt(1.0/xa - 1.0/na + 1.0/xb - 1.0/nb)) * 1000000
+      |       + 0.5) AS BIGINT) AS hi_e6
+      |FROM ab""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+
+  /** q205_attribution_models — three attribution models side by side
+    * (first-touch / last-touch / linear) over pre-purchase journeys:
+    * the model-comparison table marketing runs before standardizing on
+    * one (q153 computes last-touch alone; the disagreement BETWEEN
+    * models is the deliverable here). Linear credit is
+    * floor(10⁶/m + 0.5) per touch — integer, defined identically in
+    * both engines.
+    *
+    * Scale shape: first-purchase lookup and the journey windows all
+    * ride ONE user_id partitioning; credit folds map-side to
+    * |channels| rows. */
+  def q205AttributionModels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir).filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts").as("pts"))
+    val wU = Window.partitionBy($"user_id")
+    val t = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click", "signup"))
+      .join(p, "user_id").filter($"ts" < $"pts")
+      .select($"user_id", $"event_type".as("ch"), $"ts", $"event_id")
+      .withColumn("i", row_number().over(wU.orderBy($"ts", $"event_id")))
+      .withColumn("m", count(lit(1)).over(wU))
+    t.groupBy($"ch").agg(
+        sum(when($"i" === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when($"i" === $"m", 1L).otherwise(0L)).as("last_touch"),
+        sum(floor(lit(1000000.0) / $"m" + 0.5).cast("long")).as("linear_e6"))
+      .orderBy($"ch")
+  }
+
+  /** q205 oracle: identical journey windows and credit arithmetic. */
+  val q205Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, min(ts) AS pts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |t AS (
+      |  SELECT e.user_id, e.event_type AS ch, e.ts,
+      |         row_number() OVER (PARTITION BY e.user_id
+      |           ORDER BY e.ts, e.event_id) AS i,
+      |         count(*) OVER (PARTITION BY e.user_id) AS m
+      |  FROM events e JOIN p ON p.user_id = e.user_id
+      |  WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts < p.pts),
+      |credit AS (
+      |  SELECT ch,
+      |    CAST(sum(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS first_touch,
+      |    CAST(sum(CASE WHEN i = m THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS last_touch,
+      |    CAST(sum(CAST(floor(1000000.0 / m + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS linear_e6
+      |  FROM t GROUP BY 1)
+      |SELECT * FROM credit ORDER BY ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_relative_risk" -> (q204RelativeRisk _),
+    "q205_attribution_models" -> (q205AttributionModels _),
     "q202_interpolate" -> (q202Interpolate _),
     "q197_changepoint" -> (q197Changepoint _),
     "q198_seasonal_profile" -> (q198SeasonalProfile _),
@@ -2234,6 +2356,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_relative_risk" -> q204Sql,
+    "q205_attribution_models" -> q205Sql,
     "q202_interpolate" -> q202Sql,
     "q197_changepoint" -> q197Sql,
     "q198_seasonal_profile" -> q198Sql,
