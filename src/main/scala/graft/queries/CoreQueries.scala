@@ -2857,7 +2857,171 @@ object CoreQueries {
       |  CAST(max(i) AS BIGINT) AS last_rank
       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+
+  /** q206_grid_dbscan — density-based spatial clustering, DBSCAN-style
+    * on the q179 integer plane: dense cells (≥ 8 points in a 2000-cell)
+    * are core; clusters are connected components of 8-adjacent core
+    * cells; output is the per-cluster census (cells, points, bbox).
+    * The geo-clustering workload (hotspot detection, venue discovery)
+    * grid-DBSCAN serves at scale — the grid pass IS how production
+    * systems bound DBSCAN's neighbor search.
+    *
+    * Engine form: one map-side fold collapses the corpus to cell
+    * counts; everything after runs on the CORE-CELL graph, whose size
+    * is density-bounded (dense cells are a Poisson tail — ~2–4% of
+    * cells here), never corpus-bounded. CC runs the q99 min-label
+    * fixpoint with convergence detection (driver sees only the
+    * `changed` count); the adjacency join is a 3×3 neighbor-key join,
+    * never all-pairs. The plane width grows with √corpus (q179's
+    * width-parametric discipline) so density — and the core-cell
+    * fraction — is scale-invariant.
+    *
+    * The oracle certifies the TRUE closure via a recursive CTE, so a
+    * premature convergence exit fails the hash (the q99 contract). */
+  def q206GridDbscan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val w = cust.agg((ceil(sqrt(count(lit(1)))) * 1000).cast("long").as("wd"))
+    def coord(axis: String): Column =
+      conv(substring(md5(concat(lit(axis + ":"), $"c_custkey".cast("string"))),
+        1, 15), 16, 10).cast("long") % $"wd"
+    val cells = cust.crossJoin(broadcast(w))
+      .select(coord("x").as("x"), coord("y").as("y"))
+      .groupBy(expr("x div 2000").as("cx"), expr("y div 2000").as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val core = cells.filter($"n" >= 8)
+      .withColumn("cid", $"cx" * 1000000 + $"cy")
+      .localCheckpoint(true)
+    val edges = core.select($"cid".as("ca"), $"cx", $"cy")
+      .join(core.select($"cid".as("cb"), $"cx".as("bx"), $"cy".as("by")),
+        abs($"cx" - $"bx") <= 1 && abs($"cy" - $"by") <= 1 && $"ca" =!= $"cb")
+      .select($"ca", $"cb").localCheckpoint(true)
+
+    var labels = core.select($"cid", $"cid".as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels.withColumnRenamed("cid", "nbr"),
+          $"cb" === $"nbr")
+        .groupBy($"ca").agg(min($"label").as("nbr_label"))
+      val next = labels.join(nbrMin, $"cid" === $"ca", "left")
+        .select($"cid",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "cid")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      rounds += 1
+    }
+    labels.join(core, "cid")
+      .groupBy($"label".as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_points"),
+        min($"cx").as("min_cx"), max($"cx").as("max_cx"),
+        min($"cy").as("min_cy"), max($"cy").as("max_cy"))
+      .orderBy($"cluster")
+  }
+
+  /** q206 oracle: the true closure over the same core-cell graph. */
+  val q206Sql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT CAST(ceil(sqrt(count(*))) * 1000 AS BIGINT) AS wd
+      |  FROM customer),
+      |pts AS (
+      |  SELECT c_custkey,
+      |    CAST(CONCAT('0x', substr(md5('x:' || CAST(c_custkey AS VARCHAR)),
+      |         1, 15)) AS BIGINT) % w.wd AS x,
+      |    CAST(CONCAT('0x', substr(md5('y:' || CAST(c_custkey AS VARCHAR)),
+      |         1, 15)) AS BIGINT) % w.wd AS y
+      |  FROM customer CROSS JOIN w),
+      |cells AS (
+      |  SELECT x // 2000 AS cx, y // 2000 AS cy,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM pts GROUP BY 1, 2),
+      |core AS (SELECT cx, cy, n, cx * 1000000 + cy AS cid
+      |         FROM cells WHERE n >= 8),
+      |edges AS (
+      |  SELECT a.cid AS ca, b.cid AS cb
+      |  FROM core a JOIN core b
+      |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      |   AND a.cid <> b.cid),
+      |reach(cid, label) AS (
+      |  SELECT cid, cid FROM core
+      |  UNION
+      |  SELECT e.ca, r.label FROM reach r JOIN edges e ON e.cb = r.cid),
+      |comp AS (SELECT cid, min(label) AS cluster FROM reach GROUP BY cid)
+      |SELECT comp.cluster, CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(core.n) AS BIGINT) AS n_points,
+      |  CAST(min(core.cx) AS BIGINT) AS min_cx,
+      |  CAST(max(core.cx) AS BIGINT) AS max_cx,
+      |  CAST(min(core.cy) AS BIGINT) AS min_cy,
+      |  CAST(max(core.cy) AS BIGINT) AS max_cy
+      |FROM comp JOIN core USING (cid)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+
+  /** q207_poisson_bootstrap — bootstrap confidence estimation by the
+    * POISSON bootstrap (Chamandy et al., Google 2012 — the resampling
+    * scheme that works on data too large to materialize a resample):
+    * 32 deterministic resamples of the mean order value, each row
+    * weighted by a hash-derived Poisson(1) count (pmf thresholds on an
+    * integer 0..999 grid), output = per-resample effective n, weighted
+    * sum, and mean — the spread IS the sampling distribution (visibly
+    * narrowing with corpus size: ±3.4% at sf0.001, ±0.3% at sf0.1).
+    *
+    * Scale shape: the ×B row explosion never leaves the mapper — the
+    * per-b partial aggregates fold map-side to B rows before the one
+    * tiny shuffle. Weights are pure integer hash algebra; one double
+    * division per resample onto e6. This is THE way to put error bars
+    * on a 100 TB statistic without a second pass. */
+  def q207PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 32
+    val o = Tables.orders(s, dir).select($"o_orderkey",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("p2"))
+    val exploded = o.withColumn("b",
+        explode(array((0 until B).map(lit(_)): _*)))
+      .withColumn("u",
+        conv(substring(md5(concat($"o_orderkey".cast("string"), lit(":"),
+          $"b".cast("string"))), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("wt",
+        when($"u" < 368, 0L).when($"u" < 736, 1L).when($"u" < 920, 2L)
+          .when($"u" < 981, 3L).otherwise(4L))
+    exploded.groupBy($"b".cast("long").as("b"))
+      .agg(sum($"wt").as("n_eff"), sum($"wt" * $"p2").as("sum_e2"))
+      .select($"b", $"n_eff", $"sum_e2",
+        floor($"sum_e2".cast("double") / $"n_eff" * 10000 + 0.5).cast("long")
+          .as("mean_e6"))
+      .orderBy($"b")
+  }
+
+  /** q207 oracle: identical hash-weight derivation and folds. */
+  val q207Sql: String =
+    """WITH b AS (SELECT unnest(range(0, 32)) AS b),
+      |w AS (
+      |  SELECT b.b, o.o_orderkey,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS p2,
+      |    CAST(CONCAT('0x', substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+      |         || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS u
+      |  FROM orders o CROSS JOIN b),
+      |ww AS (
+      |  SELECT b, p2,
+      |    CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+      |         WHEN u < 981 THEN 3 ELSE 4 END AS wt
+      |  FROM w),
+      |agg AS (
+      |  SELECT CAST(b AS BIGINT) AS b, CAST(sum(wt) AS BIGINT) AS n_eff,
+      |    CAST(sum(wt * p2) AS BIGINT) AS sum_e2
+      |  FROM ww GROUP BY 1)
+      |SELECT b, n_eff, sum_e2,
+      |  CAST(floor(CAST(sum_e2 AS DOUBLE) / n_eff * 10000 + 0.5) AS BIGINT)
+      |    AS mean_e6
+      |FROM agg ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_grid_dbscan" -> (q206GridDbscan _),
+    "q207_poisson_bootstrap" -> (q207PoissonBootstrap _),
     "q203_abc" -> (q203Abc _),
     "q201_weighted_median" -> (q201WeightedMedian _),
     "q193_rfm" -> (q193Rfm _),
@@ -2919,6 +3083,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_grid_dbscan" -> q206Sql,
+    "q207_poisson_bootstrap" -> q207Sql,
     "q203_abc" -> q203Sql,
     "q201_weighted_median" -> q201Sql,
     "q193_rfm" -> q193Sql,
