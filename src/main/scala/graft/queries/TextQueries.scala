@@ -3896,7 +3896,183 @@ object TextQueries {
        |SELECT week, rn AS rank, term, docs, prev_docs, growth_e6
        |FROM rk WHERE rn <= 3 ORDER BY week, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+
+  /** q208_calibration — calibration / reliability curve: model score
+    * binned into deciles of the score RANGE, observed positive rate vs
+    * mean predicted score per bin — the third leg of the model-eval
+    * triad (q181 discrimination, q188 targeting lift, THIS one answers
+    * "does 0.8 mean 80%?" — the property ranking metrics cannot see).
+    * Score = a logistic of document length, response = is-English.
+    *
+    * One codegen scan folds the corpus to ≤ 10 bin rows map-side; the
+    * score is the established exp/e6 idiom; two divisions per bin. */
+  def q208Calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = Tables.documents(s, dir).select(
+      floor(lit(1000000.0) / (lit(1.0) +
+        exp(-($"n_chars".cast("double") / 400.0 - 1.5)))).cast("long")
+        .as("score_e6"),
+      when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+    sc.groupBy(expr("score_e6 div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        sum($"score_e6").as("s"))
+      .select($"bin", $"n", $"n_pos",
+        floor($"s".cast("double") / $"n" + 0.5).cast("long")
+          .as("mean_score_e6"),
+        floor($"n_pos".cast("double") / $"n" * 1000000 + 0.5).cast("long")
+          .as("obs_rate_e6"))
+      .orderBy($"bin")
+  }
+
+  /** q208 oracle: identical scoring and bin folds. */
+  val q208Sql: String =
+    """WITH sc AS (
+      |  SELECT doc_id,
+      |    CAST(floor(1000000.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE)
+      |         / 400.0 - 1.5)))) AS BIGINT) AS score_e6,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |b AS (
+      |  SELECT score_e6 // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(score_e6) AS BIGINT) AS s
+      |  FROM sc GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_score_e6,
+      |  CAST(floor(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+      |    AS obs_rate_e6
+      |FROM b ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+
+  /** q209_ks_test — exact two-sample Kolmogorov–Smirnov statistic
+    * (source cohort A = src0–9 vs B = src10–19 on the length
+    * distribution): D = max |F₁ − F₂|, kept EXACT by cross-multiplying
+    * through n₁·n₂ — the integer |f₁·n₂ − f₂·n₁| argmax, one division
+    * at the end. Completes the drift family with a nonparametric TEST:
+    * q88's KL and q131's PSI measure divergence, KS gives the
+    * statistic supremum and where it occurs.
+    *
+    * Scale shape: one fold to the |value domain| relation, one
+    * calendar... domain-bounded prefix window, one argmax. Int64 bound
+    * f·n < 2⁶³ to ~3×10⁹ rows per cohort; decimal widening is the
+    * escape. */
+  def q209KsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"n_chars".as("v"),
+      when(substring($"source", 4, 10).cast("long") < 10, "A").otherwise("B")
+        .as("g"))
+    val n = d.agg(
+      sum(when($"g" === "A", 1L).otherwise(0L)).as("n1"),
+      sum(when($"g" === "B", 1L).otherwise(0L)).as("n2"))
+    val c = d.groupBy($"v").agg(
+      sum(when($"g" === "A", 1L).otherwise(0L)).as("c1"),
+      sum(when($"g" === "B", 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+    val wBest = Window.orderBy($"dnum".desc, $"v")
+    c.withColumn("f1", sum($"c1").over(wCum))
+      .withColumn("f2", sum($"c2").over(wCum))
+      .crossJoin(broadcast(n))
+      .withColumn("dnum", abs($"f1" * $"n2" - $"f2" * $"n1"))
+      .withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
+      .select($"n1", $"n2", $"v".as("argmax_value"), $"dnum".as("d_scaled"),
+        floor($"dnum".cast("double") / ($"n1" * $"n2") * 1000000 + 0.5)
+          .cast("long").as("d_e6"))
+  }
+
+  /** q209 oracle: identical integer KS supremum. */
+  val q209Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+      |         THEN 'A' ELSE 'B' END AS g
+      |  FROM documents),
+      |n AS (SELECT CAST(sum(CASE WHEN g='A' THEN 1 ELSE 0 END) AS BIGINT)
+      |        AS n1,
+      |      CAST(sum(CASE WHEN g='B' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM d),
+      |c AS (
+      |  SELECT v, CAST(sum(CASE WHEN g='A' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS c1,
+      |       CAST(sum(CASE WHEN g='B' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(c1) OVER (ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f1,
+      |    CAST(sum(c2) OVER (ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS f2
+      |  FROM c),
+      |ks AS (
+      |  SELECT v, abs(f1 * n.n2 - f2 * n.n1) AS dnum, n.n1, n.n2
+      |  FROM cum CROSS JOIN n),
+      |best AS (SELECT *, row_number() OVER (ORDER BY dnum DESC, v) AS rn
+      |         FROM ks)
+      |SELECT n1, n2, v AS argmax_value, dnum AS d_scaled,
+      |  CAST(floor(CAST(dnum AS DOUBLE) / (n1 * n2) * 1000000 + 0.5)
+      |       AS BIGINT) AS d_e6
+      |FROM best WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+
+  /** q210_negative_sampling — deterministic negative sampling for
+    * contrastive training: per anchor doc, 16 hash-walk candidates
+    * ((a·31 + i·7919) mod N), rejected if self or an exact duplicate
+    * (fingerprint match), first 4 survivors kept in walk order. The
+    * contrastive-pairs builder every embedding-training pipeline runs —
+    * and because the walk is pure arithmetic, the sample is
+    * reproducible and auditable (the property `rand()` negatives
+    * forfeit).
+    *
+    * Scale shape: anchors × 16 is anchor-proportional; the candidate
+    * resolution and duplicate rejection are two co-partitioned joins
+    * on doc_id; the keep-4 window partitions per anchor. */
+  def q210NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val fp = docs.select($"doc_id", md5(trim($"text")).as("f"))
+    val anchors = fp.filter($"doc_id" < 50).select($"doc_id".as("a"), $"f".as("fa"))
+    val cand = anchors.crossJoin(broadcast(nn))
+      .withColumn("i", explode(array((0 until 16).map(lit(_)): _*)))
+      .select($"a", $"fa", $"i".cast("long").as("i"),
+        (($"a" * 31 + $"i" * 7919) % $"n").as("c"))
+    val w = Window.partitionBy($"a").orderBy($"i")
+    cand.join(fp.toDF("cid", "fc"), $"cid" === $"c")
+      .filter($"c" =!= $"a" && $"fc" =!= $"fa")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 4)
+      .select($"a".as("doc_id"), $"rank", $"c".as("negative"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** q210 oracle: the identical hash walk and rejection rules. */
+  val q210Sql: String =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |fp AS (SELECT doc_id, md5(trim(text)) AS f FROM documents),
+      |anchors AS (SELECT doc_id AS a, f AS fa FROM fp WHERE doc_id < 50),
+      |cand AS (
+      |  SELECT anchors.a, anchors.fa, CAST(u.i AS BIGINT) AS i,
+      |         (anchors.a * 31 + u.i * 7919) % nn.n AS c
+      |  FROM anchors CROSS JOIN unnest(range(0, 16)) AS u(i) CROSS JOIN nn),
+      |ok AS (
+      |  SELECT cand.a, cand.i, cand.c
+      |  FROM cand JOIN fp ON fp.doc_id = cand.c
+      |  WHERE cand.c <> cand.a AND fp.f <> cand.fa),
+      |pick AS (SELECT a, i, c,
+      |         CAST(row_number() OVER (PARTITION BY a ORDER BY i) AS BIGINT)
+      |           AS rn
+      |         FROM ok)
+      |SELECT a AS doc_id, rn AS rank, c AS negative
+      |FROM pick WHERE rn <= 4 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_calibration" -> (q208Calibration _),
+    "q209_ks_test" -> (q209KsTest _),
+    "q210_negative_sampling" -> (q210NegativeSampling _),
     "q199_trending_terms" -> (q199TrendingTerms _),
     "q190_blocklist" -> (q190Blocklist _),
     "q192_phrase_query" -> (q192PhraseQuery _),
@@ -3957,6 +4133,9 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q208_calibration" -> q208Sql,
+    "q209_ks_test" -> q209Sql,
+    "q210_negative_sampling" -> q210Sql,
     "q199_trending_terms" -> q199Sql,
     "q190_blocklist" -> q190Sql,
     "q192_phrase_query" -> q192Sql,
