@@ -470,7 +470,84 @@ object MultimodalQueries {
       |WHERE pn IS NOT NULL AND abs(en * pn - pen * n) * 10 >= 50 * n * pn
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+
+  /** q211_av_align — audio/visual alignment: every q132 audio segment
+    * annotated with the q145 scene cuts that fall INSIDE its frame
+    * span (cut count + first cut) — the A/V synchronization shape
+    * (subtitles→shots, VAD→scene sampling) a multimodal curation
+    * pipeline runs after both single-modality passes, here composed
+    * from the ENGINE'S OWN operators: the two derivations are the
+    * production q132/q145 plans verbatim, and the alignment is one
+    * media-keyed interval-stab join.
+    *
+    * Scale shape: both sides are already media-keyed; the stab join's
+    * equi key is media_id with the span test as residual — per-media
+    * work is segments × cuts of ONE document, never cross-media. */
+  def q211AvAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seg = q132AudioSegments(s, dir)
+      .select($"media_id", $"start_frame", $"n_frames", $"silent")
+    val cuts = q145SceneCuts(s, dir)
+      .select($"media_id".as("cm"), $"frame_idx".as("cut"))
+    seg.join(cuts,
+        $"cm" === $"media_id" && $"cut" >= $"start_frame" &&
+          $"cut" <= $"start_frame" + lit(4L) * ($"n_frames" - 1), "left")
+      .groupBy($"media_id", $"start_frame", $"n_frames", $"silent")
+      .agg(count($"cut").as("n_cuts"),
+        coalesce(min($"cut"), lit(-1L)).as("first_cut"))
+      .orderBy($"media_id", $"start_frame")
+  }
+
+  /** q211 oracle: both single-modality pipelines inlined + the
+    * declarative stab join. */
+  val q211Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, CAST(u.i AS BIGINT) AS frame_idx,
+      |    substring(text, CAST(u.i * 64 + 1 AS INT), 64) AS fr
+      |  FROM documents,
+      |    UNNEST(range(0, (len(text) + 63) // 64)) AS u(i)
+      |  WHERE u.i % 4 = 0),
+      |e AS (
+      |  SELECT media_id, frame_idx, CAST(len(fr) AS BIGINT) AS nb,
+      |    CAST(list_sum([unicode(c) for c in string_split_regex(fr, '')])
+      |         AS BIGINT) AS en
+      |  FROM f),
+      |fl AS (
+      |  SELECT *, CAST(CASE WHEN en * 10 < nb * 945 THEN 1 ELSE 0 END
+      |         AS BIGINT) AS silent
+      |  FROM e),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY media_id ORDER BY frame_idx)
+      |    - row_number() OVER (PARTITION BY media_id, silent
+      |                         ORDER BY frame_idx) AS run_key
+      |  FROM fl),
+      |seg AS (
+      |  SELECT media_id, CAST(min(frame_idx) AS BIGINT) AS start_frame,
+      |    CAST(count(*) AS BIGINT) AS n_frames, silent
+      |  FROM rk GROUP BY media_id, silent, run_key),
+      |d AS (
+      |  SELECT media_id, frame_idx, nb, en,
+      |    lag(nb) OVER w AS pn, lag(en) OVER w AS pen
+      |  FROM e WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+      |cuts AS (
+      |  SELECT media_id, frame_idx AS cut
+      |  FROM d WHERE pn IS NOT NULL
+      |    AND abs(en * pn - pen * nb) * 10 >= 50 * nb * pn),
+      |j AS (
+      |  SELECT seg.media_id, seg.start_frame, seg.n_frames, seg.silent,
+      |    CAST(count(cuts.cut) AS BIGINT) AS n_cuts,
+      |    CAST(coalesce(min(cuts.cut), -1) AS BIGINT) AS first_cut
+      |  FROM seg LEFT JOIN cuts
+      |    ON cuts.media_id = seg.media_id
+      |   AND cuts.cut >= seg.start_frame
+      |   AND cuts.cut <= seg.start_frame + 4 * (seg.n_frames - 1)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT * FROM j ORDER BY media_id, start_frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_av_align" -> (q211AvAlign _),
     "q145_scene_cuts" -> (q145SceneCuts _),
     "q132_audio_segments" -> (q132AudioSegments _),
     "q28_media_meta"    -> (q28MediaMeta _),
@@ -482,6 +559,7 @@ object MultimodalQueries {
     "q127_image_neardup" -> (q127ImageNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q211_av_align" -> q211Sql,
     "q145_scene_cuts" -> q145Sql,
     "q132_audio_segments" -> q132Sql,
     "q28_media_meta"    -> q28Sql,
