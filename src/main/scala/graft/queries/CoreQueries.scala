@@ -3019,7 +3019,92 @@ object CoreQueries {
       |    AS mean_e6
       |FROM agg ORDER BY b""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+
+  /** q212_lateral — LATERAL correlated-subquery join conformance
+    * (SQL:1999 / Spark's lateral join, SPARK-34382): top-2 orders per
+    * customer expressed AS WRITTEN — a per-row dependent subquery with
+    * ORDER BY + LIMIT — exercising the DecorrelateInnerQuery path that
+    * rewrites it into the windowed plan q113's explicit top-k builds by
+    * hand. The conformance family's join-shaped member: both engines
+    * run the IDENTICAL SQL text.
+    *
+    * Scale shape: Catalyst decorrelates the lateral into one
+    * custkey-partitioned rank — no per-row re-execution survives in
+    * the physical plan. */
+  def q212Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+    s.sql("""
+      SELECT c.c_custkey, l.o_orderkey, l.p2
+      FROM customer_lat c, LATERAL (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p2
+        FROM orders_lat o WHERE o.o_custkey = c.c_custkey
+        ORDER BY p2 DESC, o_orderkey LIMIT 2) l
+      WHERE c.c_custkey < 500
+      ORDER BY c_custkey, p2 DESC, o_orderkey""")
+  }
+
+  /** q212 oracle: the same LATERAL SQL, table names swapped. */
+  val q212Sql: String =
+    """SELECT c.c_custkey, l.o_orderkey, l.p2
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |         AS p2
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY p2 DESC, o_orderkey LIMIT 2) l
+      |WHERE c.c_custkey < 500
+      |ORDER BY c_custkey, p2 DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+
+  /** q213_hof_conformance — higher-order-function conformance sweep:
+    * per order, the sorted quantity array driven through the HOF
+    * surface — `aggregate` (fold), `zip_with` + `sequence`
+    * (index-weighted sum), consecutive-gap max via zipped slices —
+    * against DuckDB's list_sort / list_sum / comprehension algebra.
+    * The array-function member of the conformance family
+    * (q157 windows, q158 multiset, q159 NULLs, q160 calendar,
+    * q161 grouping sets, q162 unpivot, q212 lateral). All integer.
+    *
+    * Scale shape: one order-keyed fold builds the arrays (bounded by
+    * lines-per-order ≤ ~7); every HOF is a row-local loop over that
+    * bounded array — no shuffle after the fold. */
+  def q213HofConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arr = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"q")).as("qs"))
+    arr.select($"l_orderkey",
+        size($"qs").cast("long").as("n"),
+        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total"),
+        expr("aggregate(zip_with(qs, sequence(1L, size(qs))," +
+          " (x, i) -> x * i), 0L, (a, x) -> a + x)").as("weighted"),
+        coalesce(
+          expr("array_max(zip_with(slice(qs, 2, size(qs) - 1)," +
+            " slice(qs, 1, size(qs) - 1), (a, b) -> a - b))"),
+          lit(-1L)).as("max_gap"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** q213 oracle: DuckDB's list algebra over the same sorted arrays. */
+  val q213Sql: String =
+    """WITH arr AS (
+      |  SELECT l_orderkey,
+      |    list_sort([CAST(q AS BIGINT) for q in list(CAST(l_quantity AS BIGINT))]) AS qs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, CAST(len(qs) AS BIGINT) AS n,
+      |  CAST(list_sum(qs) AS BIGINT) AS total,
+      |  CAST(list_sum([qs[i] * i for i in range(1, len(qs) + 1)]) AS BIGINT)
+      |    AS weighted,
+      |  CAST(coalesce(list_max([qs[i + 1] - qs[i]
+      |       for i in range(1, len(qs))]), -1) AS BIGINT) AS max_gap
+      |FROM arr ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_lateral" -> (q212Lateral _),
+    "q213_hof_conformance" -> (q213HofConformance _),
     "q206_grid_dbscan" -> (q206GridDbscan _),
     "q207_poisson_bootstrap" -> (q207PoissonBootstrap _),
     "q203_abc" -> (q203Abc _),
@@ -3083,6 +3168,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_lateral" -> q212Sql,
+    "q213_hof_conformance" -> q213Sql,
     "q206_grid_dbscan" -> q206Sql,
     "q207_poisson_bootstrap" -> q207Sql,
     "q203_abc" -> q203Sql,
