@@ -3102,7 +3102,107 @@ object CoreQueries {
       |       for i in range(1, len(qs))]), -1) AS BIGINT) AS max_gap
       |FROM arr ORDER BY l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** q214_survivorship_models — survivorship POLICY comparison for
+    * master-data merge (the q205 side-by-side pattern applied to MDM):
+    * for every linked record pair from q164's registries, which source
+    * each of three canonical-record policies keeps — latest-wins (by a
+    * synthesized per-record version stamp), source-priority (registry
+    * of record always wins), most-complete (longer name, ties to A) —
+    * and the census of policy-choice combinations. The DISAGREEMENT
+    * between policies is the deliverable: it is the row count a policy
+    * change would silently rewrite (q119 implements one policy; this
+    * measures what switching costs).
+    *
+    * All comparisons are integer/string equality on synthesized
+    * deterministic fields; one co-partitioned pair join and one fold
+    * to ≤ 4 combo rows. */
+  def q214SurvivorshipModels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name",
+        floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal2"))
+    val a = c.select($"c_custkey".as("id"), $"c_name".as("name_a"),
+      ($"c_custkey" % 11).as("ver_a"))
+    val b = c.filter($"c_custkey" % 7 =!= 0)
+      .select($"c_custkey".as("id"),
+        when($"c_custkey" % 4 === 0,
+          concat(lit("Custmer"), substring($"c_name", 9, 100000)))
+          .otherwise($"c_name").as("name_b"),
+        ($"c_custkey" % 13).as("ver_b"))
+    a.join(b, "id")
+      .select(
+        when($"ver_b" > $"ver_a", "B").otherwise("A").as("lww"),
+        lit("A").as("src"),
+        when(length($"name_b") > length($"name_a"), "B").otherwise("A")
+          .as("complete"))
+      .groupBy($"lww", $"src", $"complete")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lww", $"src", $"complete")
+  }
+
+  /** q214 oracle: identical synthesized stamps and policy rules. */
+  val q214Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal2
+      |  FROM customer),
+      |a AS (SELECT c_custkey AS id, c_name AS name_a,
+      |        c_custkey % 11 AS ver_a FROM c),
+      |b AS (
+      |  SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 4 = 0
+      |         THEN 'Custmer' || substr(c_name, 9) ELSE c_name END AS name_b,
+      |    c_custkey % 13 AS ver_b
+      |  FROM c WHERE c_custkey % 7 <> 0)
+      |SELECT CASE WHEN b.ver_b > a.ver_a THEN 'B' ELSE 'A' END AS lww,
+      |  'A' AS src,
+      |  CASE WHEN len(b.name_b) > len(a.name_a) THEN 'B' ELSE 'A' END
+      |    AS complete,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM a JOIN b USING (id)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+
+  /** q216_string_agg — ORDERED string aggregation conformance: the
+    * per-group ordered LISTAGG/string_agg SQL engines ship and Spark
+    * does not — emulated exactly as production Spark code does it:
+    * sort_array over collected (key, value) structs, then a row-local
+    * transform + array_join. Gated against DuckDB's native
+    * `string_agg(x ORDER BY k)`, so the emulation's ordering contract
+    * is proven, not assumed.
+    *
+    * Scale shape: one nation-keyed fold (group payload bounded by the
+    * filtered population); the sort and join are row-local on the
+    * collected array. */
+  def q216StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).filter($"c_custkey" < 300)
+      .select($"c_nationkey".cast("long").as("nat"), $"c_custkey",
+        substring($"c_mktsegment", 1, 1).as("code"))
+      .groupBy($"nat")
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(c_custkey, code)))," +
+            " s -> s.code)"), "").as("seq"))
+      .orderBy($"nat")
+  }
+
+  /** q216 oracle: DuckDB's native ordered string_agg. */
+  val q216Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_custkey,
+      |         substr(c_mktsegment, 1, 1) AS code
+      |  FROM customer WHERE c_custkey < 300)
+      |SELECT nat, CAST(count(*) AS BIGINT) AS n,
+      |  string_agg(code, '' ORDER BY c_custkey) AS seq
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_survivorship_models" -> (q214SurvivorshipModels _),
+    "q216_string_agg" -> (q216StringAgg _),
     "q212_lateral" -> (q212Lateral _),
     "q213_hof_conformance" -> (q213HofConformance _),
     "q206_grid_dbscan" -> (q206GridDbscan _),
@@ -3168,6 +3268,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q214_survivorship_models" -> q214Sql,
+    "q216_string_agg" -> q216Sql,
     "q212_lateral" -> q212Sql,
     "q213_hof_conformance" -> q213Sql,
     "q206_grid_dbscan" -> q206Sql,

@@ -2310,7 +2310,57 @@ object EventQueries {
       |  FROM t GROUP BY 1)
       |SELECT * FROM credit ORDER BY ch""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+
+  /** q215_srm — sample-ratio-mismatch guardrail (the FIRST check every
+    * experiment platform runs before reading any metric: do the
+    * assignment counts match the designed 50/50 split?): the 1-df
+    * chi-square (n_A − n_B)²/(n_A + n_B) on e6 with the 3.841 critical
+    * value as an integer cross-multiplied flag. A hash split correctly
+    * never flags — the gate proves the MECHANISM (an SRM here would
+    * mean the md5 assignment itself is broken upstream of every
+    * experiment readout q148/q204 produce).
+    *
+    * One distinct-user fold, a 1-row aggregate, integer flag algebra. */
+  def q215Srm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, dir).select($"user_id").distinct()
+      .withColumn("variant",
+        when(conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    u.agg(
+        sum(when($"variant" === "A", 1L).otherwise(0L)).as("na"),
+        sum(when($"variant" === "B", 1L).otherwise(0L)).as("nb"))
+      .select($"na", $"nb",
+        floor((($"na" - $"nb") * ($"na" - $"nb")).cast("double")
+          / ($"na" + $"nb") * 1000000 + 0.5).cast("long").as("chi2_e6"),
+        when(($"na" - $"nb") * ($"na" - $"nb") * 1000000L >
+          lit(3841459L) * ($"na" + $"nb"), lit(1L)).otherwise(lit(0L))
+          .as("srm_flag"))
+  }
+
+  /** q215 oracle: identical integer flag and float chain. */
+  val q215Sql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |v AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM u)
+      |SELECT na, nb,
+      |  CAST(floor(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+      |       * 1000000 + 0.5) AS BIGINT) AS chi2_e6,
+      |  CAST(CASE WHEN (na - nb) * (na - nb) * 1000000
+      |            > 3841459 * (na + nb) THEN 1 ELSE 0 END AS BIGINT)
+      |    AS srm_flag
+      |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_srm" -> (q215Srm _),
     "q204_relative_risk" -> (q204RelativeRisk _),
     "q205_attribution_models" -> (q205AttributionModels _),
     "q202_interpolate" -> (q202Interpolate _),
@@ -2356,6 +2406,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_srm" -> q215Sql,
     "q204_relative_risk" -> q204Sql,
     "q205_attribution_models" -> q205Sql,
     "q202_interpolate" -> q202Sql,
