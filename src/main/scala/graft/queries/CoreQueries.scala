@@ -3200,7 +3200,122 @@ object CoreQueries {
       |  string_agg(code, '' ORDER BY c_custkey) AS seq
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** q217_mix_shift — rate-change decomposition (the mix-shift /
+    * Oaxaca-style "why did the overall rate move" analysis): per
+    * segment, the period-over-period change in the F-status rate split
+    * into a RATE effect (w₁·Δr, behavior changed) and a MIX effect
+    * (Δw·r₂, composition changed) — the decomposition that stops "the
+    * metric dropped" post-mortems from blaming the wrong thing.
+    *
+    * Two map-side folds (corpus → |segments|·2 cells, → 2 totals);
+    * the effect chains are shared-shape float expressions over those
+    * tiny relations, floored onto e6. */
+  def q217MixShift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_orderpriority".as("seg"),
+      when(to_date($"o_orderdate") < lit("1996-01-01").cast("date"), 1)
+        .otherwise(2).as("period"),
+      when($"o_orderstatus" === "F", 1L).otherwise(0L).as("hit"))
+    val st = o.groupBy($"seg", $"period")
+      .agg(count(lit(1)).as("n"), sum($"hit").as("h"))
+    val t = st.groupBy($"period").agg(sum($"n").as("tn"))
+    val s1 = st.filter($"period" === 1).select($"seg", $"n".as("n1"), $"h".as("h1"))
+    val s2 = st.filter($"period" === 2).select($"seg".as("sg2"), $"n".as("n2"), $"h".as("h2"))
+    val t1 = t.filter($"period" === 1).select($"tn".as("tn1"))
+    val t2 = t.filter($"period" === 2).select($"tn".as("tn2"))
+    s1.join(s2, $"seg" === $"sg2")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select($"seg", $"n1", $"h1", $"n2", $"h2",
+        floor(($"h2".cast("double") / $"n2" - $"h1".cast("double") / $"n1")
+          * ($"n1".cast("double") / $"tn1") * 1000000 + 0.5).cast("long")
+          .as("rate_effect_e6"),
+        floor(($"n2".cast("double") / $"tn2" - $"n1".cast("double") / $"tn1")
+          * ($"h2".cast("double") / $"n2") * 1000000 + 0.5).cast("long")
+          .as("mix_effect_e6"))
+      .orderBy($"seg")
+  }
+
+  /** q217 oracle: identical folds and effect chains. */
+  val q217Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS seg,
+      |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      |         THEN 1 ELSE 2 END AS period,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+      |  FROM orders),
+      |s AS (
+      |  SELECT seg, period, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(hit) AS BIGINT) AS h
+      |  FROM o GROUP BY 1, 2),
+      |t AS (SELECT period, CAST(sum(n) AS BIGINT) AS tn FROM s GROUP BY 1),
+      |j AS (
+      |  SELECT s1.seg, s1.n AS n1, s1.h AS h1, s2.n AS n2, s2.h AS h2,
+      |         t1.tn AS tn1, t2.tn AS tn2
+      |  FROM (SELECT * FROM s WHERE period = 1) s1
+      |  JOIN (SELECT * FROM s WHERE period = 2) s2 USING (seg)
+      |  CROSS JOIN (SELECT tn FROM t WHERE period = 1) t1
+      |  CROSS JOIN (SELECT tn FROM t WHERE period = 2) t2)
+      |SELECT seg, n1, h1, n2, h2,
+      |  CAST(floor((CAST(h2 AS DOUBLE) / n2 - CAST(h1 AS DOUBLE) / n1)
+      |       * (CAST(n1 AS DOUBLE) / tn1) * 1000000 + 0.5) AS BIGINT)
+      |    AS rate_effect_e6,
+      |  CAST(floor((CAST(n2 AS DOUBLE) / tn2 - CAST(n1 AS DOUBLE) / tn1)
+      |       * (CAST(h2 AS DOUBLE) / n2) * 1000000 + 0.5) AS BIGINT)
+      |    AS mix_effect_e6
+      |FROM j ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+
+  /** q218_dup_payments — duplicate-payment detection (the fintech
+    * audit staple: same payer, same amount, within ±1 day): pairs over
+    * the order ledger with PLANTED duplicates (the q165 discipline —
+    * continuous synthetic prices never collide organically, so the
+    * detector's recall is proven against a known ground truth:
+    * echo rows +1 day for custkey % 97 = 0, orderkey % 3 = 0).
+    *
+    * Engine form: the self-join blocks on (custkey, exact amount) —
+    * an equi key whose group sizes are per-payer-per-amount (tiny),
+    * with the ±1-day residual — never a payer-wide or corpus cross. */
+  def q218DupPayments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select($"o_orderkey".as("k"),
+      $"o_custkey".as("c"), floor($"o_totalprice").cast("long").as("amt"),
+      datediff(to_date($"o_orderdate"), lit("1990-01-01").cast("date"))
+        .cast("long").as("d"))
+    val planted = base.filter($"c" % 97 === 0 && $"k" % 3 === 0)
+      .select(($"k" + 10000000L).as("k"), $"c", $"amt", ($"d" + 1).as("d"))
+    val o = base.unionByName(planted)
+    o.toDF("k_a", "ca", "amt", "da")
+      .join(o.toDF("k_b", "cb", "amt2", "db"),
+        $"ca" === $"cb" && $"amt" === $"amt2" && $"k_a" < $"k_b" &&
+          abs($"da" - $"db") <= 1)
+      .select($"k_a", $"k_b", $"ca".as("custkey"), $"amt",
+        abs($"da" - $"db").as("day_gap"))
+      .orderBy($"k_a", $"k_b")
+  }
+
+  /** q218 oracle: identical planting and blocked pair join. */
+  val q218Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS c,
+      |    CAST(floor(o_totalprice) AS BIGINT) AS amt,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS d
+      |  FROM orders),
+      |planted AS (
+      |  SELECT k + 10000000 AS k, c, amt, d + 1 AS d
+      |  FROM base WHERE c % 97 = 0 AND k % 3 = 0),
+      |o AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+      |SELECT a.k AS k_a, b.k AS k_b, a.c AS custkey, a.amt,
+      |  CAST(abs(a.d - b.d) AS BIGINT) AS day_gap
+      |FROM o a JOIN o b
+      |  ON a.c = b.c AND a.amt = b.amt AND a.k < b.k AND abs(a.d - b.d) <= 1
+      |ORDER BY k_a, k_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_mix_shift" -> (q217MixShift _),
+    "q218_dup_payments" -> (q218DupPayments _),
     "q214_survivorship_models" -> (q214SurvivorshipModels _),
     "q216_string_agg" -> (q216StringAgg _),
     "q212_lateral" -> (q212Lateral _),
@@ -3268,6 +3383,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q217_mix_shift" -> q217Sql,
+    "q218_dup_payments" -> q218Sql,
     "q214_survivorship_models" -> q214Sql,
     "q216_string_agg" -> q216Sql,
     "q212_lateral" -> q212Sql,
