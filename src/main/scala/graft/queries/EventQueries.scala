@@ -2359,7 +2359,201 @@ object EventQueries {
       |    AS srm_flag
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+
+  /** q222_bot_score — automation/bot detection by inter-arrival
+    * regularity (the traffic-quality gate every event pipeline runs
+    * before analytics or training ever see the stream): per user, the
+    * squared coefficient of variation of inter-event gaps. Humans are
+    * bursty (cv² ≈ 1 for Poisson arrivals, higher for sessions); a
+    * scripted client on a timer is metronomic (cv² → 0). Users with
+    * ≥ 5 gaps and cv² < 0.3 flag as suspected bots.
+    *
+    * Exactness: cv² = (n·ΣΔ² − (ΣΔ)²) / (ΣΔ)² over INTEGER second
+    * gaps — both sums are exact BIGINT folds (gaps ≤ ~10⁷ s, n ≤ 10³ ⇒
+    * n·ΣΔ² ≤ 10¹⁷ < 2⁶³), so the only float op is the final division,
+    * floored onto e6. No stddev_pop aggregate whose summation order
+    * could wobble across engines.
+    *
+    * Scale shape: one user-keyed window for the lag, one user-keyed
+    * fold — a single exchange on user_id; the flag arithmetic runs on
+    * |users| rows. */
+  def q222BotScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", (unix_millis($"ts") / lit(1000L)).cast("long").as("sec"),
+        $"event_id")
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(
+        Window.partitionBy($"user_id").orderBy($"sec", $"event_id")))
+      .filter($"gap".isNotNull)
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"gap").as("s"),
+        sum($"gap" * $"gap").as("ss"))
+      .filter($"n" >= 5 && $"s" > 0)
+      .select($"user_id", $"n",
+        floor(($"n" * $"ss" - $"s" * $"s").cast("double")
+          / ($"s" * $"s") * 1000000 + 0.5).cast("long").as("cv2_e6"),
+        when(($"n" * $"ss" - $"s" * $"s") * lit(10L)
+          < $"s" * $"s" * lit(3L), lit(1L)).otherwise(lit(0L)).as("bot_flag"))
+      .orderBy($"user_id")
+  }
+
+  /** q222 oracle: identical integer folds; the bot flag is the exact
+    * integer cross-multiplication (cv²·10 < 3), not a float compare. */
+  val q222Sql: String =
+    """WITH e0 AS (
+      |  SELECT user_id, epoch_ms(ts) // 1000 AS sec, event_id FROM events),
+      |g0 AS (
+      |  SELECT user_id, sec,
+      |    sec - lag(sec) OVER
+      |      (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+      |  FROM e0),
+      |f AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(gap) AS BIGINT) AS s,
+      |         CAST(sum(gap * gap) AS BIGINT) AS ss
+      |  FROM g0 WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(floor(CAST(n * ss - s * s AS DOUBLE) / (s * s) * 1000000 + 0.5)
+      |       AS BIGINT) AS cv2_e6,
+      |  CAST(CASE WHEN (n * ss - s * s) * 10 < s * s * 3 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS bot_flag
+      |FROM f WHERE n >= 5 AND s > 0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+
+  /** q228_holt — Holt double-exponential smoothing (level + trend,
+    * α = β = ½) over the per-type daily series, with a 7-day-ahead
+    * forecast: the capacity-planning / demand-forecast operator one
+    * notch above q94's EWMA (which has no trend term and lags every
+    * ramp). The recurrence
+    *   l_t = (x_t + l_{t-1} + b_{t-1}) / 2,
+    *   b_t = (l_t − l_{t-1} + b_{t-1}) / 2
+    * is inherently sequential, so it runs as ONE ordered fold per
+    * series (the q154/q184 Lindley discipline) — never an iterative
+    * join chain.
+    *
+    * Exactness: values live on the e1 integer grid; the fold state
+    * (level, trend) is bit-packed into one BIGINT
+    * ((l + 2²¹)·2²² + (b + 2²¹), bounds documented: |l|,|b| < 2²¹ at
+    * every SF including ×100), and each halving is floor(x / 2.0) — a
+    * power-of-two double division, exact, with FLOOR semantics on
+    * negatives where integer `div` vs `//` would diverge. Both engines
+    * fold the LITERAL same arithmetic.
+    *
+    * Scale shape: one map-side fold to |types|·|days| cells, one
+    * |types|-way ordered fold over calendar-bounded lists. Corpus size
+    * only touches the first fold. */
+  def q228Holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val step = holtStep("div")
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg((count(lit(1)) * 10).as("x10"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr(s"aggregate(array_sort(collect_list(struct(day, x10))), " +
+          s"CAST(-1 AS BIGINT), (acc, e) -> $step) ").as("enc"))
+      .select($"event_type", $"n_days",
+        (expr("enc div 4194304") - 2097152).as("level_e1"),
+        ($"enc" % 4194304 - 2097152).as("trend_e1"))
+      .withColumn("forecast7_e1", $"level_e1" + $"trend_e1" * 7)
+      .orderBy($"event_type")
+  }
+
+  /** The shared Holt fold body — `divOp` is the only engine-specific
+    * token (`div` in Spark, `//` in DuckDB); every other character of
+    * the recurrence is identical in both engines. `e.x10` addresses the
+    * struct field carrying the day's value. */
+  private def holtStep(divOp: String): String = {
+    val L = s"(acc $divOp 4194304 - 2097152)"
+    val B = s"(acc % 4194304 - 2097152)"
+    val lt = s"CAST(floor(CAST(e.x10 + $L + $B AS DOUBLE) / 2) AS BIGINT)"
+    val bt = s"CAST(floor(CAST($lt - $L + $B AS DOUBLE) / 2) AS BIGINT)"
+    s"CASE WHEN acc < 0 THEN (e.x10 + 2097152) * 4194304 + 2097152 " +
+      s"ELSE ($lt + 2097152) * 4194304 + ($bt + 2097152) END"
+  }
+
+  /** q228 oracle: the identical fold via list_reduce (seed injected by
+    * list_prepend, the q154 pattern), `//` for the decode division. */
+  val q228Sql: String = {
+    val step = holtStep("//").replace("e.x10", "e")
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+       |         CAST(count(*) * 10 AS BIGINT) AS x10
+       |  FROM events GROUP BY 1, 2),
+       |f AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    list_reduce(list_prepend(CAST(-1 AS BIGINT),
+       |        list(x10 ORDER BY day)),
+       |      (acc, e) -> $step) AS enc
+       |  FROM daily GROUP BY 1)
+       |SELECT event_type, n_days,
+       |  enc // 4194304 - 2097152 AS level_e1,
+       |  enc % 4194304 - 2097152 AS trend_e1,
+       |  (enc // 4194304 - 2097152) + (enc % 4194304 - 2097152) * 7
+       |    AS forecast7_e1
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q230
+
+  /** q230_streaks — gaps-and-islands streak detection (the engagement
+    * metric behind every "N-day streak" product surface, and the
+    * canonical SQL islands idiom): per user, contiguous runs of active
+    * days found by the day − dense_rank(day) constant-key trick — each
+    * island of consecutive days shares one group key, with NO self-join
+    * and NO iteration. Reported: longest streak, number of islands,
+    * and total active days.
+    *
+    * Scale shape: one map-side distinct to (user, day), one user-keyed
+    * window + fold — a single exchange on user_id; islands never
+    * materialize as pairs. The 100 TB contract: everything after the
+    * distinct is |users|·|active days|-sized. */
+  def q230Streaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val isl = days.withColumn("grp", $"day" - dense_rank().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+    isl.groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"),
+        count(lit(1)).as("n_islands"), sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
+  /** q230 oracle: the identical islands construction. */
+  val q230Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+      |    day
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_streaks" -> (q230Streaks _),
+    "q228_holt" -> (q228Holt _),
+    "q222_bot_score" -> (q222BotScore _),
     "q215_srm" -> (q215Srm _),
     "q204_relative_risk" -> (q204RelativeRisk _),
     "q205_attribution_models" -> (q205AttributionModels _),
@@ -2406,6 +2600,9 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q230_streaks" -> q230Sql,
+    "q228_holt" -> q228Sql,
+    "q222_bot_score" -> q222Sql,
     "q215_srm" -> q215Sql,
     "q204_relative_risk" -> q204Sql,
     "q205_attribution_models" -> q205Sql,

@@ -4069,7 +4069,321 @@ object TextQueries {
       |SELECT a AS doc_id, rn AS rank, c AS negative
       |FROM pick WHERE rn <= 4 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+
+  /** q219_pii_redact — PII detection + redaction over the corpus (the
+    * compliance pass every training-data pipeline runs before anything
+    * else sees the text): emails, US-phone shapes, and SSN shapes are
+    * counted and replaced with typed placeholders, and the gate
+    * hash-pins the md5 of every REDACTED document — so the oracle
+    * proves byte-identical redaction output, not just matching counts.
+    *
+    * The synthetic corpus carries no organic PII, so deterministic PII
+    * is PLANTED (the q218 discipline — known ground truth makes recall
+    * provable): doc_id%7==0 gains an email, %11==0 a phone, %13==0 an
+    * SSN shape. Patterns are plain character classes (identical under
+    * Java regex and RE2); redaction order is fixed (email, phone, SSN)
+    * in both engines.
+    *
+    * Scale shape: one embarrassingly-parallel projection pass — three
+    * codegen'd regexps per document, no shuffle before the final
+    * order. At 100 TB this is scan-bound, exactly as it should be. */
+  def q219PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ssnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val planted = Tables.documents(s, dir).select($"doc_id", concat($"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" call 415-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 13 === 0,
+        concat(lit(" id 987-65-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("t"))
+    planted.select($"doc_id",
+        regexp_count($"t", lit(emailRe)).cast("long").as("n_email"),
+        regexp_count($"t", lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_count(regexp_replace($"t", phoneRe, "<PHONE>"), lit(ssnRe))
+          .cast("long").as("n_ssn"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"t",
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ssnRe, "<SSN>")
+          .cast("binary")).as("redacted_md5"))
+      .filter($"n_email" + $"n_phone" + $"n_ssn" > 0)
+      .orderBy($"doc_id")
+  }
+
+  /** q219 oracle: identical planting, patterns, and redaction order
+    * (DuckDB regexp_replace needs the explicit 'g' flag; Spark's is
+    * global by default — the one cross-engine asymmetry to pin). */
+  val q219Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |         THEN ' id 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |    CAST(len(regexp_extract_all(
+      |      regexp_replace(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+      |    md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS redacted_md5
+      |  FROM planted)
+      |SELECT * FROM scored
+      |WHERE n_email + n_phone + n_ssn > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+
+  /** q220_decontam — eval-set decontamination by exact word-5-gram
+    * overlap (the GPT-3/PaLM-style benchmark-contamination check): eval
+    * docs (doc_id%50==0) are scored by the fraction of their distinct
+    * 5-gram shingles that also appear anywhere in the training split
+    * (everything else). The "is my test set leaked into my training
+    * corpus" audit, run before every evaluation claim.
+    *
+    * Engine form: eval shingles explode to (doc, shingle) distinct
+    * pairs; train shingles to a distinct shingle set; one left join
+    * counts the hits. Scale shape: the train side dominates — at
+    * 100 TB you hash shingles to 64-bit, partition by shingle hash,
+    * and map-side-distinct before the exchange (the shingle set is
+    * corpus-sized but the JOIN output is eval-sized); the eval side is
+    * tiny by construction and never broadcasts the train side. */
+  def q220Decontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFunctions.tokens($"text")
+    val withToks = Tables.documents(s, dir).withColumn("toks", toks)
+      .select($"doc_id", $"toks")
+      .withColumn("sh", when(size($"toks") < 5, array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))")))
+    val pairs = withToks.select($"doc_id", explode(array_distinct($"sh")).as("sh"))
+    val evalSh = pairs.filter($"doc_id" % 50 === 0)
+    val trainSh = pairs.filter($"doc_id" % 50 =!= 0).select($"sh").distinct()
+    val hits = evalSh.join(trainSh.withColumnRenamed("sh", "tsh"),
+        $"sh" === $"tsh", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"tsh".isNotNull, 1L).otherwise(0L)).as("n_hit"))
+    hits.select($"doc_id", $"n_shingles", $"n_hit",
+        floor($"n_hit".cast("double") / $"n_shingles" * 1000000 + 0.5)
+          .cast("long").as("contam_e6"))
+      .orderBy($"doc_id")
+  }
+
+  /** q220 oracle: identical shingling (the [[Toks]] empty-doc rule),
+    * distinct sets, and hit fold. */
+  val q220Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+      |         ELSE [list_aggregate(toks[i:i+4], 'string_agg', ' ')
+      |               for i in range(1, len(toks) - 3)] END)) AS sh
+      |  FROM tok),
+      |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |    CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hit
+      |  FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+      |  GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_hit,
+      |  CAST(floor(CAST(n_hit AS DOUBLE) / n_shingles * 1000000 + 0.5)
+      |    AS BIGINT) AS contam_e6
+      |FROM hits ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+
+  /** q221_url_canonical — URL canonicalization + dedup (the crawl-
+    * ingestion step that collapses tracking-param and fragment variants
+    * before any content dedup runs): lowercase scheme/host, strip a
+    * leading `www.`, drop the fragment, drop `utm_*` params, sort the
+    * survivors — then count how many raw variants collapse onto each
+    * canonical form. Synthetic URLs are built deterministically from
+    * the order ledger (mixed-case host, shuffled params, optional
+    * fragment), so the collapse ratio is a known ground truth.
+    *
+    * Scale shape: canonicalization is a pure projection (split/filter/
+    * sort over short in-row arrays — no explode); the dedup is one
+    * hash aggregation on the canonical string. At 100 TB: scan-bound
+    * projection + one exchange keyed by canonical URL. */
+  def q221UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("HTTP://WWW.Shop"), ($"o_custkey" % 5),
+      lit(".COM/item/"), ($"o_orderkey" % 100),
+      lit("?utm_source=feed"), ($"o_orderkey" % 3),
+      lit("&ref="), ($"o_orderkey" % 7),
+      lit("&id="), ($"o_orderkey" % 50),
+      when($"o_orderkey" % 2 === 0, lit("#top")).otherwise(lit("")))
+    val o = Tables.orders(s, dir).select($"o_orderkey", url.as("url"))
+      .withColumn("u1", split_part($"url", lit("#"), lit(1)))
+      .withColumn("scheme", lower(split_part($"u1", lit("://"), lit(1))))
+      .withColumn("rest", split_part($"u1", lit("://"), lit(2)))
+      .withColumn("hostraw", split_part($"rest", lit("/"), lit(1)))
+      .withColumn("host",
+        regexp_replace(lower($"hostraw"), "^www\\.", ""))
+      .withColumn("pathq", $"rest".substr(length($"hostraw") + 1, lit(1 << 20)))
+      .withColumn("path", split_part($"pathq", lit("?"), lit(1)))
+      .withColumn("query",
+        when(instr($"pathq", "?") === 0, lit(""))
+          .otherwise(substring_index($"pathq", "?", -1)))
+      .withColumn("keep", array_sort(expr(
+        "filter(CASE WHEN query = '' THEN array() ELSE split(query, '&') END," +
+          " p -> NOT startswith(p, 'utm_'))")))
+      .withColumn("canon", concat($"scheme", lit("://"), $"host", $"path",
+        when(size($"keep") > 0, concat(lit("?"), concat_ws("&", $"keep")))
+          .otherwise(lit(""))))
+    o.groupBy($"canon")
+      .agg(count(lit(1)).as("n_variants"), min($"o_orderkey").as("first_key"))
+      .orderBy($"canon")
+  }
+
+  /** q221 oracle: identical construction and canonicalization chain. */
+  val q221Sql: String =
+    """WITH raw AS (
+      |  SELECT o_orderkey, 'HTTP://WWW.Shop' || (o_custkey % 5)
+      |    || '.COM/item/' || (o_orderkey % 100)
+      |    || '?utm_source=feed' || (o_orderkey % 3)
+      |    || '&ref=' || (o_orderkey % 7)
+      |    || '&id=' || (o_orderkey % 50)
+      |    || CASE WHEN o_orderkey % 2 = 0 THEN '#top' ELSE '' END AS url
+      |  FROM orders),
+      |parts AS (
+      |  SELECT o_orderkey, split_part(url, '#', 1) AS u1 FROM raw),
+      |sp AS (
+      |  SELECT o_orderkey, lower(split_part(u1, '://', 1)) AS scheme,
+      |         split_part(u1, '://', 2) AS rest
+      |  FROM parts),
+      |hp AS (
+      |  SELECT o_orderkey, scheme, split_part(rest, '/', 1) AS hostraw,
+      |         substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+      |  FROM sp),
+      |pq AS (
+      |  SELECT o_orderkey, scheme,
+      |         regexp_replace(lower(hostraw), '^www\.', '') AS host,
+      |         split_part(pathq, '?', 1) AS path,
+      |         CASE WHEN strpos(pathq, '?') = 0 THEN ''
+      |              ELSE split_part(pathq, '?', 2) END AS query
+      |  FROM hp),
+      |canon AS (
+      |  SELECT o_orderkey, scheme || '://' || host || path ||
+      |    CASE WHEN len(keep) > 0
+      |         THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon
+      |  FROM (SELECT *, list_sort(list_filter(
+      |          CASE WHEN query = '' THEN []::VARCHAR[]
+      |               ELSE string_split(query, '&') END,
+      |          p -> NOT starts_with(p, 'utm_'))) AS keep
+      |        FROM pq))
+      |SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+      |       CAST(min(o_orderkey) AS BIGINT) AS first_key
+      |FROM canon GROUP BY 1 ORDER BY canon""".stripMargin
+
+  // ---------------------------------------------------------------- q229
+
+  /** q229_split_stability — train/val/test assignment stability under
+    * corpus growth: the property that makes content-hash splitting THE
+    * 100 TB discipline, measured against the naive alternative. Docs
+    * are assigned two ways: (a) hash-mod — md5(doc_id) bucket 0–999,
+    * train < 800 ≤ val < 900 ≤ test; (b) positional — the row's rank
+    * percentile in ITS corpus snapshot. Then the corpus "grows" from
+    * yesterday's crawl (even doc_ids) to the full corpus, and the gate
+    * counts docs whose assignment MOVED: hash-mod moves zero by
+    * construction (assignment is a pure function of the doc, not the
+    * corpus); positional reshuffles a third of the corpus — which at
+    * 100 TB means silent train/test contamination on every ingest.
+    *
+    * Scale shape: two scans + one rank window per snapshot (the
+    * positional strategy's cost is itself the lesson: a global
+    * ordering per snapshot), one co-keyed join to compare. */
+  def q229SplitStability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hashSplit(c: Column): Column = {
+      val b = conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+      when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    }
+    def posSplit(rnk: Column, n: Column): Column = {
+      val b = (rnk - 1) * 1000 / n
+      when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    }
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    val old = docs.filter($"doc_id" % 2 === 0)
+    def assigned(snap: DataFrame): DataFrame = {
+      val n = snap.agg(count(lit(1)).as("nn"))
+      snap.withColumn("rnk", row_number().over(Window.orderBy($"doc_id")).cast("long"))
+        .crossJoin(broadcast(n))
+        .select($"doc_id", hashSplit($"doc_id").as("hash_split"),
+          posSplit($"rnk", $"nn").as("pos_split"))
+    }
+    val a = assigned(old).toDF("doc_id", "h_old", "p_old")
+    val b = assigned(docs).toDF("did", "h_new", "p_new")
+    a.join(b, $"doc_id" === $"did")
+      .agg(count(lit(1)).as("n_old"),
+        sum(when($"h_old" =!= $"h_new", 1L).otherwise(0L)).as("moved_hash"),
+        sum(when($"p_old" =!= $"p_new", 1L).otherwise(0L)).as("moved_pos"))
+      .select(lit(1L).as("row"), $"n_old", $"moved_hash", $"moved_pos")
+  }
+
+  /** q229 oracle: identical hash parse (the q215 lane), rank windows,
+    * and move counts. */
+  val q229Sql: String =
+    """WITH docs AS (SELECT doc_id FROM documents),
+      |old AS (SELECT doc_id FROM docs WHERE doc_id % 2 = 0),
+      |ao AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 1000 < 800 THEN 'train'
+      |         WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 1000 < 900 THEN 'val'
+      |         ELSE 'test' END AS h_old,
+      |    CASE WHEN (row_number() OVER (ORDER BY doc_id) - 1) * 1000
+      |              / (SELECT count(*) FROM old) < 800 THEN 'train'
+      |         WHEN (row_number() OVER (ORDER BY doc_id) - 1) * 1000
+      |              / (SELECT count(*) FROM old) < 900 THEN 'val'
+      |         ELSE 'test' END AS p_old
+      |  FROM old),
+      |an AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 1000 < 800 THEN 'train'
+      |         WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 1000 < 900 THEN 'val'
+      |         ELSE 'test' END AS h_new,
+      |    CASE WHEN (row_number() OVER (ORDER BY doc_id) - 1) * 1000
+      |              / (SELECT count(*) FROM docs) < 800 THEN 'train'
+      |         WHEN (row_number() OVER (ORDER BY doc_id) - 1) * 1000
+      |              / (SELECT count(*) FROM docs) < 900 THEN 'val'
+      |         ELSE 'test' END AS p_new
+      |  FROM docs)
+      |SELECT CAST(1 AS BIGINT) AS row, CAST(count(*) AS BIGINT) AS n_old,
+      |  CAST(sum(CASE WHEN h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS moved_hash,
+      |  CAST(sum(CASE WHEN p_old <> p_new THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS moved_pos
+      |FROM ao JOIN an USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_split_stability" -> (q229SplitStability _),
+    "q219_pii_redact" -> (q219PiiRedact _),
+    "q220_decontam" -> (q220Decontam _),
+    "q221_url_canonical" -> (q221UrlCanonical _),
     "q208_calibration" -> (q208Calibration _),
     "q209_ks_test" -> (q209KsTest _),
     "q210_negative_sampling" -> (q210NegativeSampling _),
@@ -4133,6 +4447,10 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q229_split_stability" -> q229Sql,
+    "q219_pii_redact" -> q219Sql,
+    "q220_decontam" -> q220Sql,
+    "q221_url_canonical" -> q221Sql,
     "q208_calibration" -> q208Sql,
     "q209_ks_test" -> q209Sql,
     "q210_negative_sampling" -> q210Sql,
