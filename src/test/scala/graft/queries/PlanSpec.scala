@@ -808,4 +808,67 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("q219/q221: the redaction/canonicalization passes are join-free projections") {
+    for (df <- Seq(TextQueries.q219PiiRedact(spark, dir),
+                   TextQueries.q221UrlCanonical(spark, dir))) {
+      val p = executed(df).toString
+      assert(!p.contains("Join"),
+        "per-row string pipelines must never join:\n" + p)
+    }
+    // q221's dedup partial-aggregates before its one exchange
+    val p21 = executed(TextQueries.q221UrlCanonical(spark, dir)).toString
+    assert("HashAggregate".r.findAllIn(p21).size >= 2)
+  }
+
+  test("q222/q230: the user-keyed window and fold share one user_id exchange") {
+    for (df <- Seq(EventQueries.q222BotScore(spark, dir),
+                   EventQueries.q230Streaks(spark, dir))) {
+      val p = executed(df).toString
+      assert(p.contains("hashpartitioning(user_id"),
+        "corpus rows must exchange on user_id:\n" + p)
+      assert(plan_noCartesian(df))
+    }
+  }
+
+  test("q223: FIFO rides one l_partkey partitioning — window and fold co-keyed") {
+    val p = executed(CoreQueries.q223FifoCost(spark, dir)).toString
+    assert(p.contains("hashpartitioning(pk"),
+      "lot window and fold must share the pk exchange:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q224/q227: iterative graph rounds never cartesian and never rescan the base join") {
+    for (df <- Seq(CoreQueries.q224Khop(spark, dir),
+                   CoreQueries.q227Kcore(spark, dir))) {
+      val plan = executed(df)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+      // the pinned edge relation surfaces as in-memory scans, so the
+      // orders-lineitem base join must not appear once per round
+      assert(!plan.toString.contains("o_orderkey"),
+        "rounds must consume the pinned edges, not re-derive them:\n" + plan)
+    }
+  }
+
+  test("q225: the snapshot diff is one co-partitioned full outer join") {
+    val p = executed(CoreQueries.q225SnapshotDiff(spark, dir)).toString
+    assert(p.contains("FullOuter"), "diff must be a full outer join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q226: candidates ride the block-key equi join, never all pairs") {
+    val plan = executed(CoreQueries.q226EditdistJoin(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the self-join must key on the block prefix")
+  }
+
+  test("q232: the deletion list is the broadcast side of every audit join") {
+    val p = executed(CoreQueries.q232ForgetAudit(spark, dir)).toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "per-table audits must broadcast the tiny deletion list:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  private def plan_noCartesian(df: DataFrame): Boolean =
+    executed(df).collect { case c: CartesianProductExec => c }.isEmpty
+
 }
