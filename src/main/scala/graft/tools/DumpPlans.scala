@@ -76,7 +76,14 @@ object DumpPlans {
     "q190_blocklist" -> "policy list broadcasts on the reversed-suffix block key + residual suffix verify",
     "q192_phrase_query" -> "positional postings; both sides semi-filter on broadcast term lists before the adjacency shuffle",
     "q193_rfm" -> "three domain-bucketed ranks; quintiles are integer arithmetic over broadcast prefix tables",
-    "q196_related_items" -> "audited-part predicate pushed below the within-order pair expansion; per-part top-5 windows")
+    "q196_related_items" -> "audited-part predicate pushed below the within-order pair expansion; per-part top-5 windows",
+    "q220_decontam" -> "eval shingles vs distinct train shingles: one shingle-keyed shuffle, eval-sized join output",
+    "q223_fifo_cost" -> "FIFO closed form: lot window and fold share ONE l_partkey partitioning",
+    "q224_khop" -> "3 frontier hops probe the pinned src-partitioned edges; anti-join keys on node",
+    "q226_editdist_join" -> "block-prefix equi join; 4-cell tail DP via the prefix-stripping lemma",
+    "q227_kcore" -> "3 peel rounds: degree fold + two semi-joins per round over the pinned shrinking edges",
+    "q230_streaks" -> "islands by day - dense_rank: one user_id exchange serves window and both folds",
+    "q232_forget_audit" -> "every audit join broadcasts the deletion list; per-table 1-row folds")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage
