@@ -3761,7 +3761,129 @@ object CoreQueries {
       |FROM events WHERE user_id IN (SELECT k FROM del)
       |ORDER BY tbl""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233_dynamic_overwrite — dynamic partition overwrite (the lakehouse
+    * backfill primitive: INSERT OVERWRITE replaces ONLY the partitions
+    * the batch touches, untouched partitions survive byte-for-byte):
+    * the order ledger lands partitioned by month, a correction batch
+    * rewrites just the pre-1994 months (version 2, prices bumped), and
+    * the gate reads the final table state — months < 1994 must show
+    * the correction, every other month the original load. The failure
+    * mode this guards: static overwrite semantics silently DROP every
+    * partition the batch didn't mention, which at 100 TB is a
+    * table-wipe wearing a backfill's clothes.
+    *
+    * Engine form: `partitionOverwriteMode=dynamic` is set as a WRITE
+    * option (never a session-wide conf — the blast radius of a global
+    * flag is the exact bug class this gate exists to catch). Scale
+    * shape: the correction write moves only the corrected months;
+    * reads prune on the partition column (q120's discipline). */
+  def q233DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q233")
+    val base = Tables.orders(s, dir).select($"o_orderkey".as("k"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("p_e2"),
+      date_format($"o_orderdate", "yyyy-MM").as("mon"))
+    base.withColumn("ver", lit(1L))
+      .write.partitionBy("mon").mode("overwrite").parquet(s"$root/t")
+    base.filter($"mon" < "1994-01")
+      .select($"k", ($"p_e2" + 7).as("p_e2"), $"mon", lit(2L).as("ver"))
+      .write.partitionBy("mon").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$root/t")
+    s.read.parquet(s"$root/t")
+      .groupBy($"mon")
+      .agg(count(lit(1)).as("n_rows"), sum($"p_e2").as("sum_p_e2"),
+        max($"ver").as("ver"))
+      .orderBy($"mon")
+  }
+
+  /** q233 oracle: the expected post-backfill state stated directly. */
+  val q233Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2,
+      |    strftime(o_orderdate, '%Y-%m') AS mon
+      |  FROM orders),
+      |fin AS (
+      |  SELECT mon,
+      |    CASE WHEN mon < '1994-01' THEN p_e2 + 7 ELSE p_e2 END AS p_e2,
+      |    CASE WHEN mon < '1994-01' THEN 2 ELSE 1 END AS ver
+      |  FROM base)
+      |SELECT mon, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(p_e2) AS BIGINT) AS sum_p_e2, CAST(max(ver) AS BIGINT) AS ver
+      |FROM fin GROUP BY mon ORDER BY mon""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+
+  /** q234_predicate_conformance — NULL-handling predicate sweep over a
+    * two-nullable-column relation (a NULL on k≡0 mod 7, b NULL on k≡0
+    * mod 11): `=` vs null-safe `<=>`/IS NOT DISTINCT FROM, IS DISTINCT
+    * FROM, FILTER-clause aggregates, count(col) vs count(*),
+    * NULL-skipping greatest/least (both engines take the largest
+    * NON-NULL argument — the Postgres family's rule, pinned here),
+    * NULLIF round-trips, and a null-safe equi JOIN between the two
+    * grouped sides (NULL keys MUST match under <=>). Completes q159's
+    * NULL-semantics sweep with the join and FILTER clauses it lacked.
+    *
+    * Scale shape: one scan with conditional folds to a single row,
+    * plus a null-safe join of two ≤7-row aggregates. */
+  def q234PredicateConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select($"o_orderkey".as("k"),
+      when($"o_orderkey" % 7 === 0, lit(null).cast("long"))
+        .otherwise($"o_orderkey" % 5).as("a"),
+      when($"o_orderkey" % 11 === 0, lit(null).cast("long"))
+        .otherwise($"o_orderkey" % 5).as("b"))
+    val folds = base.agg(
+      count(lit(1)).as("n"),
+      count($"a").as("n_a"),
+      sum(when($"a" === $"b", 1L).otherwise(0L)).as("eq"),
+      sum(when($"a" <=> $"b", 1L).otherwise(0L)).as("nse"),
+      sum(when(!($"a" <=> $"b"), 1L).otherwise(0L)).as("dist"),
+      sum(when(greatest($"a", $"b") === 4, 1L).otherwise(0L)).as("g4"),
+      sum(when(least($"a", $"b").isNull, 1L).otherwise(0L)).as("l_null"),
+      sum(when(nullif($"a", $"b").isNull, 1L).otherwise(0L)).as("nullif_null"))
+    val ga = base.groupBy($"a").agg(count(lit(1)).as("ca"))
+    val gb = base.groupBy($"b").agg(count(lit(1)).as("cb"))
+    val j = ga.join(gb, $"a" <=> $"b")
+      .agg(count(lit(1)).as("j_rows"), sum($"ca" * $"cb").as("j_mass"))
+    folds.crossJoin(j)
+  }
+
+  /** q234 oracle: identical folds; IS NOT DISTINCT FROM is the SQL
+    * spelling of `<=>`. */
+  val q234Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 5 END AS a,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 5 END AS b
+      |  FROM orders),
+      |folds AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(a) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS eq,
+      |    CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS nse,
+      |    CAST(sum(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS dist,
+      |    CAST(sum(CASE WHEN greatest(a, b) = 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS g4,
+      |    CAST(sum(CASE WHEN least(a, b) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS l_null,
+      |    CAST(sum(CASE WHEN nullif(a, b) IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS nullif_null
+      |  FROM base),
+      |ga AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM base GROUP BY a),
+      |gb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY b),
+      |j AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS j_rows,
+      |    CAST(sum(ca * cb) AS BIGINT) AS j_mass
+      |  FROM ga JOIN gb ON a IS NOT DISTINCT FROM b)
+      |SELECT folds.*, j.* FROM folds CROSS JOIN j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_dynamic_overwrite" -> (q233DynamicOverwrite _),
+    "q234_predicate_conformance" -> (q234PredicateConformance _),
     "q232_forget_audit" -> (q232ForgetAudit _),
     "q231_infogain_stump" -> (q231InfogainStump _),
     "q226_editdist_join" -> (q226EditdistJoin _),
@@ -3838,6 +3960,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_dynamic_overwrite" -> q233Sql,
+    "q234_predicate_conformance" -> q234Sql,
     "q232_forget_audit" -> q232Sql,
     "q231_infogain_stump" -> q231Sql,
     "q226_editdist_join" -> q226Sql,

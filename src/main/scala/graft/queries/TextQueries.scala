@@ -4379,7 +4379,68 @@ object TextQueries {
       |    AS moved_pos
       |FROM ao JOIN an USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+
+  /** q235_filter_funnel — first-failing-rule attribution for the
+    * quality-filter cascade (the "where did my corpus go" report):
+    * every curation pipeline drops documents through an ordered rule
+    * chain, and when 40% of a crawl vanishes the ONLY useful telemetry
+    * is which rule fired first per document. Rules, in their stated
+    * order: too_short (< 5 tokens), low_stop (stop ratio NULL or
+    * < 10%), repetitive (distinct-token ratio < 50% — the integer
+    * cross-multiplication 2·uniq < n, no float), unknown_lang (q21's
+    * langId says 'und'). Survivors report 'pass'.
+    *
+    * The rule columns are the SAME shared fragments q21/q47 score with
+    * (one tokenize pass, [[stopRatioE6]], [[TextFunctions.langId]]), so
+    * this funnel is provably attributing the production rules, not a
+    * parallel reimplementation.
+    *
+    * Scale shape: one narrow codegen pass per document folding
+    * map-side to ≤5 verdict rows. At 100 TB: scan-bound, shuffle is 5
+    * rows per task. */
+  def q235FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("n"),
+        size(array_distinct($"toks")).cast("long").as("uniq"),
+        stopRatioE6($"toks").as("sr"),
+        TextFunctions.langId($"toks").as("lang"))
+    val verdict = when($"n" < 5, "1_too_short")
+      .when($"sr".isNull || $"sr" < 100000, "2_low_stop")
+      .when($"uniq" * 2 < $"n", "3_repetitive")
+      .when($"lang" === "und", "4_unknown_lang")
+      .otherwise("pass")
+    scored.groupBy(verdict.as("verdict"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .orderBy($"verdict")
+  }
+
+  /** q235 oracle: the same rule chain over the shared [[Toks]] /
+    * [[StopRatioSql]] / [[LangCaseSql]] fragments. */
+  val q235Sql: String =
+    s"""WITH tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq,
+       |    $StopRatioSql AS sr,
+       |    $LangCaseSql AS lang
+       |  FROM tok),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n < 5 THEN '1_too_short'
+       |         WHEN sr IS NULL OR sr < 100000 THEN '2_low_stop'
+       |         WHEN uniq * 2 < n THEN '3_repetitive'
+       |         WHEN lang = 'und' THEN '4_unknown_lang'
+       |         ELSE 'pass' END AS verdict
+       |  FROM scored)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_filter_funnel" -> (q235FilterFunnel _),
     "q229_split_stability" -> (q229SplitStability _),
     "q219_pii_redact" -> (q219PiiRedact _),
     "q220_decontam" -> (q220Decontam _),
@@ -4447,6 +4508,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q235_filter_funnel" -> q235Sql,
     "q229_split_stability" -> q229Sql,
     "q219_pii_redact" -> q219Sql,
     "q220_decontam" -> q220Sql,
