@@ -2550,7 +2550,64 @@ object EventQueries {
       |  CAST(sum(len) AS BIGINT) AS active_days
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q236
+
+  /** q236_json_robust — corrupt-record-tolerant JSON ingestion (the
+    * malformed-payload reality of every wire feed): the props column
+    * is parsed under a declared schema with PERMISSIVE semantics —
+    * malformed documents yield NULL, never a failed job — and the gate
+    * accounts for every row: parsed counts, corrupt counts, and the
+    * sum over successfully-extracted values, per event type. Corruption
+    * is PLANTED (event_id ≡ 0 mod 97 loses its closing brace — the
+    * q218/q219 known-ground-truth discipline), so the tolerant path's
+    * recall is provable, not assumed.
+    *
+    * Cross-engine contract: Spark's `from_json` PERMISSIVE mode nulls
+    * the struct on malformed input; the oracle replays that as
+    * json_valid() gating TRY_CAST extraction — the gate proves the two
+    * strictness models agree row-for-row on this corpus.
+    *
+    * Scale shape: one narrow parse pass folding map-side to |types|
+    * rows. At 100 TB: scan-bound; the corrupt rows cost one failed
+    * parse each, not a dead-letter detour. */
+  def q236JsonRobust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Tables.events(s, dir).select($"event_type",
+      when($"event_id" % 97 === 0,
+        $"props".substr(lit(1), length($"props") - 1))
+        .otherwise($"props").as("p"))
+    val parsed = planted.select($"event_type",
+      from_json($"p", "k BIGINT", Map("mode" -> "PERMISSIVE")).getField("k")
+        .as("k"))
+    parsed.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** q236 oracle: json_valid-gated extraction — the PERMISSIVE
+    * equivalence stated row-for-row. */
+  val q236Sql: String =
+    """WITH planted AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 97 = 0
+      |         THEN substr(props, 1, len(props) - 1) ELSE props END AS p
+      |  FROM events),
+      |parsed AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(p)
+      |         THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+      |         END AS k
+      |  FROM planted)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_json_robust" -> (q236JsonRobust _),
     "q230_streaks" -> (q230Streaks _),
     "q228_holt" -> (q228Holt _),
     "q222_bot_score" -> (q222BotScore _),
@@ -2600,6 +2657,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q236_json_robust" -> q236Sql,
     "q230_streaks" -> q230Sql,
     "q228_holt" -> q228Sql,
     "q222_bot_score" -> q222Sql,
