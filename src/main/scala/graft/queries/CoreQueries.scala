@@ -3881,7 +3881,199 @@ object CoreQueries {
       |  FROM ga JOIN gb ON a IS NOT DISTINCT FROM b)
       |SELECT folds.*, j.* FROM folds CROSS JOIN j""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+
+  /** q237_sssp — weighted single-source shortest paths (multi-source
+    * Bellman–Ford, 4 synchronous relaxation rounds) over the q139/q224
+    * bipartite customer–supplier trade graph, edge weight = the
+    * cheapest observed trade (`greatest(1, min(floor(l_quantity)))` per
+    * pair — exact integers, so path sums are exact int64 and both
+    * engines agree bit-for-bit). Seeds are the q224 rule (node ≡ 0 mod
+    * 200). Completes the iterative-graph family: q99 CC (label min),
+    * q139 PageRank (weighted sum), q224 k-hop (unweighted min), q227
+    * k-core (peeling) — this is the WEIGHTED min-plus relaxation,
+    * the routing/cost-propagation primitive none of the others covers.
+    *
+    * Engine form: one round = one co-partitioned hash join of the
+    * pinned src-partitioned edge relation against the O(V) distance
+    * table (SHUFFLE_HASH build side, q139's measured rule) + one
+    * min-fold — relaxation IS `min(d, min over in-edges (d_src + w))`.
+    * Distances after round k are exact min-cost-over-≤k-hop paths, so
+    * fixed-round output is deterministic regardless of shuffle order.
+    *
+    * Scale shape: edges localCheckpoint-pinned once (~O(E) executor
+    * storage); each round is O(E) join + O(V) fold on ONE shared `src`
+    * partitioning; distance state never exceeds O(V). No collects, no
+    * SF-growing broadcasts — a 1000-executor run is 4 shuffle rounds. */
+  def q237Sssp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pw = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_quantity")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
+      .agg(greatest(lit(1L), min(floor($"l_quantity")).cast("long")).as("w"))
+    val edges = pw.select($"cu".as("src"), $"su".as("dst"), $"w")
+      .unionByName(pw.select($"su".as("src"), $"cu".as("dst"), $"w"))
+      .repartition($"src").localCheckpoint()
+    var dist = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 200 === 0)
+      .select($"node", lit(0L).as("d"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(dist.hint("shuffle_hash"),
+          edges("src") === dist("node"))
+        .select($"dst".as("node"), ($"d" + $"w").as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy($"node").agg(min($"d").as("d"))
+    }
+    dist.select($"node", $"d".as("dist")).orderBy($"node")
+  }
+
+  /** q237 oracle: the four relaxation rounds unrolled as CTEs —
+    * identical weight rule, seed rule, and min-plus fold. */
+  val q237Sql: String = {
+    val step = (i: Int, prev: String) =>
+      s"""d$i AS (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.d + e.w AS d
+         |    FROM e JOIN $prev p ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    s"""WITH pw AS (
+       |  SELECT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su,
+       |    greatest(1, CAST(min(floor(l_quantity)) AS BIGINT)) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT cu AS src, su AS dst, w FROM pw
+       |  UNION ALL SELECT su AS src, cu AS dst, w FROM pw),
+       |d0 AS (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+       |  FROM e WHERE src % 200 = 0),
+       |${step(1, "d0")},
+       |${step(2, "d1")},
+       |${step(3, "d2")},
+       |${step(4, "d3")}
+       |SELECT node, d AS dist FROM d4 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q242
+
+  /** q242_fixed_width — fixed-width record round-trip (the mainframe /
+    * COBOL-copybook feed every enterprise CDC pipeline eventually
+    * meets; the reference's JDBC source would hand these over as
+    * opaque lines): orders serialize to 35-byte fixed-offset records
+    * (12-digit zero-padded key, 1-char status, 14-digit e2 price,
+    * 8-digit yyyyMMdd date), then parse back by substring offsets and
+    * typed casts, and the gate hash-matches a per-status rollup of the
+    * PARSED relation against the oracle computed straight from the
+    * table — any formatting or offset drift (a lost digit, a shifted
+    * column, a locale-dependent date) breaks the hash. Completes the
+    * ser/de family: CSV q117, JSONL q126, XML q141, Avro q125, ORC
+    * q116, corrupt-JSON q236 — fixed-width was the one wire format
+    * still ungated.
+    *
+    * Scale shape: serialize and parse are row-local codegen'd string
+    * ops (zero shuffles); the rollup is one map-side-partial fold to
+    * |status| rows. At 100 TB this is a pure scan pipeline. */
+  def q242FixedWidth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.orders(s, dir).select(concat(
+      lpad($"o_orderkey".cast("string"), 12, "0"),
+      $"o_orderstatus",
+      lpad(floor($"o_totalprice" * 100 + 0.5).cast("long").cast("string"),
+        14, "0"),
+      date_format($"o_orderdate", "yyyyMMdd")).as("rec"))
+    val parsed = lines.select(
+      substring($"rec", 1, 12).cast("long").as("k"),
+      substring($"rec", 13, 1).as("st"),
+      substring($"rec", 14, 14).cast("long").as("p_e2"),
+      to_date(substring($"rec", 28, 8), "yyyyMMdd").as("dt"))
+    parsed.groupBy($"st")
+      .agg(count(lit(1)).as("n"), sum($"p_e2").as("sum_e2"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        min($"dt").cast("string").as("min_dt"),
+        max($"dt").cast("string").as("max_dt"))
+      .orderBy($"st")
+  }
+
+  /** q242 oracle: the rollup computed straight from the table — the
+    * round-trip must be lossless for the hashes to meet. */
+  val q242Sql: String =
+    """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_e2,
+      |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+      |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_dt,
+      |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_dt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+
+  /** q245_theil_sen — Theil–Sen robust trend estimator (the median of
+    * all pairwise slopes; Sen 1968, JASA 63): the outlier-immune
+    * answer to q146's grouped OLS — one corrupted day moves OLS
+    * arbitrarily but moves the pairwise-slope median not at all.
+    * Computed per return flag over the daily-revenue series.
+    *
+    * Exactness: slopes are `floor((yb-ya)·1e6 / (db-da))` — identical
+    * IEEE double ops in both engines, so the values (and therefore the
+    * selected median) agree bit-for-bit; the median is the LOWER
+    * median (element at rank ⌈n/2⌉), an exact selection, never an
+    * interpolated average.
+    *
+    * Scale shape: the corpus folds map-side to |flags|·|days| daily
+    * cells BEFORE anything quadratic — the pairwise self-join runs on
+    * the calendar-bounded daily table (O(|days|²) per flag, constant
+    * in corpus size), the q184/q197 time-series discipline. The
+    * rank-selection window sorts only those pair slopes. */
+  def q245TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("rf"),
+        datediff($"l_shipdate".cast("date"),
+          lit("1990-01-01").cast("date")).cast("long").as("d"))
+      .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("y"))
+    val slopes = daily.toDF("rf", "da", "ya")
+      .join(daily.toDF("rf2", "db", "yb"), $"rf" === $"rf2" && $"da" < $"db")
+      .select($"rf",
+        floor(($"yb" - $"ya") * lit(1000000.0) / ($"db" - $"da"))
+          .cast("long").as("slope_e6"))
+    val w = Window.partitionBy($"rf").orderBy($"slope_e6")
+    slopes.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"rf")))
+      .filter($"rn" === expr("(cnt + 1) div 2"))
+      .select($"rf", $"cnt".as("n_pairs"), $"slope_e6".as("slope_med_e6"))
+      .orderBy($"rf")
+  }
+
+  /** q245 oracle: identical daily fold, slope grid, and lower-median
+    * rank selection. */
+  val q245Sql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS d,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |         AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.rf,
+      |    CAST(floor((b.y - a.y) * 1000000.0 / (b.d - a.d)) AS BIGINT)
+      |      AS slope_e6
+      |  FROM daily a JOIN daily b ON a.rf = b.rf AND a.d < b.d),
+      |ranked AS (
+      |  SELECT rf, slope_e6,
+      |    row_number() OVER (PARTITION BY rf ORDER BY slope_e6) AS rn,
+      |    count(*) OVER (PARTITION BY rf) AS cnt
+      |  FROM slopes)
+      |SELECT rf, CAST(cnt AS BIGINT) AS n_pairs, slope_e6 AS slope_med_e6
+      |FROM ranked WHERE rn = (cnt + 1) // 2 ORDER BY rf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_sssp" -> (q237Sssp _),
+    "q242_fixed_width" -> (q242FixedWidth _),
+    "q245_theil_sen" -> (q245TheilSen _),
     "q233_dynamic_overwrite" -> (q233DynamicOverwrite _),
     "q234_predicate_conformance" -> (q234PredicateConformance _),
     "q232_forget_audit" -> (q232ForgetAudit _),
@@ -3960,6 +4152,9 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_sssp" -> q237Sql,
+    "q242_fixed_width" -> q242Sql,
+    "q245_theil_sen" -> q245Sql,
     "q233_dynamic_overwrite" -> q233Sql,
     "q234_predicate_conformance" -> q234Sql,
     "q232_forget_audit" -> q232Sql,

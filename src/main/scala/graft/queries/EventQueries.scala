@@ -2606,7 +2606,313 @@ object EventQueries {
       |  CAST(sum(k) AS BIGINT) AS sum_k
       |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+
+  /** q238_markov_conversion — first-order Markov conversion model (the
+    * chain-based attribution readout of Anderl et al. 2014's framework,
+    * the step past q205's rule-based models): per-user journeys truncate
+    * at the first purchase (absorbing CONV state; journeys that never
+    * convert absorb at END), transitions count into a |states|² matrix,
+    * and the probability of converting within 6 steps from every state
+    * comes from 6 synchronous power-iteration rounds of the absorbing
+    * chain — `p_{k+1}(s) = Σ_t cnt(s,t)·p_k(t) div tot(s)` on the e6
+    * integer grid, exact floor arithmetic both engines replay
+    * bit-for-bit.
+    *
+    * Scale shape: the corpus collapses in ONE user-partitioned pass
+    * (two windows on the same partitioning + one fold) to a transition
+    * matrix of at most (|event types|+1)² rows; the 6 chain rounds run
+    * on that O(1) relation — corpus-size-independent, the q184/q197
+    * "fold before you iterate" discipline applied to journey algebra. */
+  def q238MarkovConversion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id".as("u"),
+      unix_millis($"ts").as("ms"), $"event_id",
+      when($"event_type" === "purchase", lit("CONV"))
+        .otherwise($"event_type").as("st"))
+    val w = Window.partitionBy($"u").orderBy($"ms", $"event_id")
+    val rn = ev.withColumn("rn", row_number().over(w))
+    val cut = rn.groupBy($"u")
+      .agg(min(when($"st" === "CONV", $"rn")).as("cut"))
+    val kept = rn.join(cut, "u").filter($"cut".isNull || $"rn" <= $"cut")
+    val w2 = Window.partitionBy($"u").orderBy($"rn")
+    val steps = kept
+      .withColumn("src", coalesce(lag($"st", 1).over(w2), lit("START")))
+      .withColumn("mx", max($"rn").over(Window.partitionBy($"u")))
+    val tr = steps.select($"src", $"st".as("dst"))
+      .unionByName(steps.filter($"rn" === $"mx" && $"st" =!= "CONV")
+        .select($"st".as("src"), lit("END").as("dst")))
+    val cnt = tr.groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"src").agg(sum($"c").as("t"))
+    def absorbing = Seq(("CONV", 1000000L), ("END", 0L))
+      .toDF("state", "p")
+    var p = tot.select($"src".as("state"), lit(0L).as("p"))
+      .unionByName(absorbing)
+    for (_ <- 1 to 6) {
+      p = cnt.join(p, cnt("dst") === p("state"))
+        .groupBy($"src").agg(sum($"c" * $"p").as("m"))
+        .join(tot, "src")
+        .select($"src".as("state"), expr("m div t").as("p"))
+        .unionByName(absorbing)
+    }
+    p.select($"state", $"p".as("p_conv_e6")).orderBy($"state")
+  }
+
+  /** q238 oracle: journeys, the transition fold, and the six chain
+    * rounds unrolled as CTEs — identical truncation rule, absorbing
+    * states, and e6 floor arithmetic. */
+  val q238Sql: String = {
+    val step = (i: Int, prev: String) =>
+      s"""p$i AS (
+         |  SELECT c.src AS state,
+         |    CAST(sum(c.c * p.p) // max(t.t) AS BIGINT) AS p
+         |  FROM cnt c JOIN $prev p ON c.dst = p.state
+         |  JOIN tot t ON t.src = c.src
+         |  GROUP BY c.src
+         |  UNION ALL SELECT 'CONV', 1000000 UNION ALL SELECT 'END', 0)"""
+        .stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, epoch_ms(ts) AS ms, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |         ELSE event_type END AS st
+       |  FROM events),
+       |rn AS (
+       |  SELECT u, st,
+       |    row_number() OVER (PARTITION BY u ORDER BY ms, event_id) AS rn
+       |  FROM ev),
+       |cut AS (
+       |  SELECT u, min(CASE WHEN st = 'CONV' THEN rn END) AS cut
+       |  FROM rn GROUP BY u),
+       |kept AS (
+       |  SELECT rn.u, rn.st, rn.rn,
+       |    max(rn.rn) OVER (PARTITION BY rn.u) AS mx
+       |  FROM rn JOIN cut ON rn.u = cut.u
+       |  WHERE cut.cut IS NULL OR rn.rn <= cut.cut),
+       |steps AS (
+       |  SELECT coalesce(
+       |      lag(st, 1) OVER (PARTITION BY u ORDER BY rn), 'START') AS src,
+       |    st AS dst, rn, mx, st
+       |  FROM kept),
+       |tr AS (
+       |  SELECT src, dst FROM steps
+       |  UNION ALL
+       |  SELECT st AS src, 'END' AS dst FROM steps
+       |  WHERE rn = mx AND st <> 'CONV'),
+       |cnt AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |p0 AS (
+       |  SELECT src AS state, CAST(0 AS BIGINT) AS p FROM tot
+       |  UNION ALL SELECT 'CONV', 1000000 UNION ALL SELECT 'END', 0),
+       |${step(1, "p0")},
+       |${step(2, "p1")},
+       |${step(3, "p2")},
+       |${step(4, "p3")},
+       |${step(5, "p4")},
+       |${step(6, "p5")}
+       |SELECT state, p AS p_conv_e6 FROM p6 ORDER BY state""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q239
+
+  /** q239_ips_eval — offline (counterfactual) policy evaluation by
+    * inverse propensity scoring over the logged event stream (the
+    * Horvitz–Thompson estimator; Li et al. WSDM'11's replay setting):
+    * context = user decile, logged action = event type, reward =
+    * value ≥ 10, behavior propensities are the empirical action
+    * frequencies per context, and the TARGET policy (even deciles →
+    * click, odd → view) is evaluated without ever deploying it —
+    * IPS = Σ_{a=π(x)} r·(n_x/n_xa) / n_x and the self-normalized
+    * SNIPS variant, both on the e6 floor grid so the distributed fold
+    * and DuckDB agree exactly. The estimator every recsys/RLHF data
+    * pipeline runs before an online test.
+    *
+    * Scale shape: ONE (context, action) fold produces the propensity
+    * and reward tables (≤ |deciles|·|types| rows); everything after is
+    * algebra on that O(1) relation. A 100 TB log is one map-side
+    * partial aggregation. */
+  def q239IpsEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(($"user_id" % 10).as("x"),
+      $"event_type".as("a"),
+      when($"value" >= 10.0, 1L).otherwise(0L).as("r"))
+    val nxa = ev.groupBy($"x", $"a")
+      .agg(count(lit(1)).as("n_xa"), sum($"r").as("r_xa"))
+    val nx = nxa.groupBy($"x").agg(sum($"n_xa").as("n_x"))
+    val m = nxa.join(nx, "x")
+      .filter($"a" === when($"x" % 2 === 0, "click").otherwise("view"))
+      .select($"x", $"n_x", $"n_xa", $"r_xa",
+        expr("(1000000 * n_x) div n_xa").as("w_e6"))
+    val per = m.select($"x", $"n_x", $"n_xa",
+      expr("(r_xa * w_e6) div n_x").as("ips_e6"),
+      expr("(r_xa * 1000000) div n_xa").as("snips_e6"))
+    val overall = m.agg(sum($"n_x").as("n_x"), sum($"n_xa").as("n_xa"),
+        sum(expr("r_xa * w_e6")).as("sw"),
+        sum(expr("n_xa * w_e6")).as("tw"),
+        sum(expr("r_xa * 1000000")).as("sr"))
+      .select(lit(-1L).as("x"), $"n_x", $"n_xa",
+        expr("sw div n_x").as("ips_e6"),
+        expr("(sr * 1000000) div tw").as("snips_e6"))
+    per.unionByName(overall).orderBy($"x")
+  }
+
+  /** q239 oracle: identical propensity fold, target-policy match, and
+    * e6 floor estimators. */
+  val q239Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 10 AS x, event_type AS a,
+      |    CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS r
+      |  FROM events),
+      |nxa AS (
+      |  SELECT x, a, CAST(count(*) AS BIGINT) AS n_xa,
+      |    CAST(sum(r) AS BIGINT) AS r_xa
+      |  FROM ev GROUP BY 1, 2),
+      |nx AS (SELECT x, CAST(sum(n_xa) AS BIGINT) AS n_x FROM nxa GROUP BY 1),
+      |m AS (
+      |  SELECT nxa.x, n_x, n_xa, r_xa,
+      |    CAST((1000000 * n_x) // n_xa AS BIGINT) AS w_e6
+      |  FROM nxa JOIN nx ON nxa.x = nx.x
+      |  WHERE a = CASE WHEN nxa.x % 2 = 0 THEN 'click' ELSE 'view' END),
+      |per AS (
+      |  SELECT x, n_x, n_xa,
+      |    CAST((r_xa * w_e6) // n_x AS BIGINT) AS ips_e6,
+      |    CAST((r_xa * 1000000) // n_xa AS BIGINT) AS snips_e6
+      |  FROM m),
+      |overall AS (
+      |  SELECT CAST(-1 AS BIGINT) AS x,
+      |    CAST(sum(n_x) AS BIGINT) AS n_x, CAST(sum(n_xa) AS BIGINT) AS n_xa,
+      |    CAST(CAST(sum(r_xa * w_e6) AS BIGINT) // CAST(sum(n_x) AS BIGINT)
+      |         AS BIGINT) AS ips_e6,
+      |    CAST((CAST(sum(r_xa * 1000000) AS BIGINT) * 1000000)
+      |         // CAST(sum(n_xa * w_e6) AS BIGINT) AS BIGINT) AS snips_e6
+      |  FROM m)
+      |SELECT * FROM per UNION ALL SELECT * FROM overall ORDER BY x"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q241
+
+  /** q241_ohlc_bars — OHLC candlestick bars (the market-data / metrics
+    * downsampling primitive): per (event type, hour) the open (first
+    * value by event time), high, low, close (last value), trade count,
+    * and volume — first/last resolved by the total order (ts,
+    * event_id), so the bars are deterministic under any shuffle. Values
+    * ride the e2 grid.
+    *
+    * Engine form: ONE (type, hour)-partitioned sort serves the
+    * row_number that marks open and close rows (count-over-partition
+    * finds the close without a second descending sort); the bar itself
+    * is one fold over the marked relation — one exchange total.
+    *
+    * Scale shape: bars are |types|·|hours| — output is calendar-
+    * bounded; per-partition input is an hour of one type's events, the
+    * natural parallel unit at any corpus size. */
+  def q241OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type".as("tp"),
+      expr("unix_millis(ts) div 3600000").as("hr"),
+      floor($"value" * 100 + 0.5).cast("long").as("v_e2"),
+      unix_millis($"ts").as("ms"), $"event_id")
+    val w = Window.partitionBy($"tp", $"hr").orderBy($"ms", $"event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"tp", $"hr")))
+      .groupBy($"tp", $"hr")
+      .agg(max(when($"rn" === 1, $"v_e2")).as("open_e2"),
+        max($"v_e2").as("high_e2"), min($"v_e2").as("low_e2"),
+        max(when($"rn" === $"n", $"v_e2")).as("close_e2"),
+        count(lit(1)).as("n_trades"), sum($"v_e2").as("vol_e2"))
+      .orderBy($"tp", $"hr")
+  }
+
+  /** q241 oracle: identical bar grid, total order, and folds. */
+  val q241Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS tp, epoch_ms(ts) // 3600000 AS hr,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+      |    epoch_ms(ts) AS ms, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT tp, hr, v_e2,
+      |    row_number() OVER (PARTITION BY tp, hr ORDER BY ms, event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY tp, hr) AS n
+      |  FROM ev)
+      |SELECT tp, hr, max(CASE WHEN rn = 1 THEN v_e2 END) AS open_e2,
+      |  max(v_e2) AS high_e2, min(v_e2) AS low_e2,
+      |  max(CASE WHEN rn = n THEN v_e2 END) AS close_e2,
+      |  CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(sum(v_e2) AS BIGINT) AS vol_e2
+      |FROM m GROUP BY tp, hr ORDER BY tp, hr""".stripMargin
+
+  // ---------------------------------------------------------------- q243
+
+  /** q243_variant_shred — semi-structured shredding through Spark 4's
+    * VARIANT type (the open-format answer to BigQuery's JSON type the
+    * reference's sink tables would hold): each event's `props` JSON
+    * plus its relational columns compose into a NESTED document
+    * (object-in-object + array), `parse_json` binary-encodes it, and
+    * typed `variant_get` paths ($.u, $.m.t, $.m.v, $.tags[1], $.k)
+    * shred it back to columns that a rollup hash-matches against
+    * DuckDB's json_extract on the same documents. What the gate pins:
+    * path navigation, array indexing, and typed extraction survive the
+    * VARIANT encode/decode round-trip losslessly.
+    *
+    * Scale shape: compose/parse/extract are row-local codegen'd
+    * expressions (VARIANT's binary encoding exists precisely so 100 TB
+    * scans don't re-parse JSON text per path); the fold is map-side to
+    * |types| rows. Zero shuffles before the final fold. */
+  def q243VariantShred(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type",
+      $"props", floor($"value" * 100 + 0.5).cast("long").as("v_e2"))
+    val doc = ev.withColumn("j", concat(
+      lit("{\"u\":"), $"user_id",
+      lit(",\"m\":{\"t\":\""), $"event_type",
+      lit("\",\"v\":"), $"v_e2",
+      lit("},\"tags\":[\""), $"event_type", lit("\",\"x\"],\"k\":"),
+      expr("variant_get(parse_json(props), '$.k', 'long')"), lit("}")))
+    val sh = doc.select(
+      expr("variant_get(parse_json(j), '$.u', 'long')").as("u"),
+      expr("variant_get(parse_json(j), '$.m.t', 'string')").as("t"),
+      expr("variant_get(parse_json(j), '$.m.v', 'long')").as("v_e2"),
+      expr("variant_get(parse_json(j), '$.tags[1]', 'string')").as("tag1"),
+      expr("variant_get(parse_json(j), '$.k', 'long')").as("k"))
+    sh.groupBy($"t")
+      .agg(count(lit(1)).as("n"), sum($"v_e2").as("sum_v_e2"),
+        sum($"k").as("sum_k"), max($"tag1").as("tag1"),
+        sum($"u").as("sum_u"))
+      .orderBy($"t")
+  }
+
+  /** q243 oracle: the same documents composed as text, shredded with
+    * DuckDB's JSON path functions. */
+  val q243Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |doc AS (
+      |  SELECT '{"u":' || user_id || ',"m":{"t":"' || event_type ||
+      |    '","v":' || v_e2 || '},"tags":["' || event_type ||
+      |    '","x"],"k":' || k || '}' AS j
+      |  FROM ev),
+      |sh AS (
+      |  SELECT CAST(json_extract(j, '$.u') AS BIGINT) AS u,
+      |    json_extract_string(j, '$.m.t') AS t,
+      |    CAST(json_extract(j, '$.m.v') AS BIGINT) AS v_e2,
+      |    json_extract_string(j, '$.tags[1]') AS tag1,
+      |    CAST(json_extract(j, '$.k') AS BIGINT) AS k
+      |  FROM doc)
+      |SELECT t, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v_e2) AS BIGINT) AS sum_v_e2,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, max(tag1) AS tag1,
+      |  CAST(sum(u) AS BIGINT) AS sum_u
+      |FROM sh GROUP BY t ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_markov_conversion" -> (q238MarkovConversion _),
+    "q239_ips_eval" -> (q239IpsEval _),
+    "q241_ohlc_bars" -> (q241OhlcBars _),
+    "q243_variant_shred" -> (q243VariantShred _),
     "q236_json_robust" -> (q236JsonRobust _),
     "q230_streaks" -> (q230Streaks _),
     "q228_holt" -> (q228Holt _),
@@ -2657,6 +2963,10 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_markov_conversion" -> q238Sql,
+    "q239_ips_eval" -> q239Sql,
+    "q241_ohlc_bars" -> q241Sql,
+    "q243_variant_shred" -> q243Sql,
     "q236_json_robust" -> q236Sql,
     "q230_streaks" -> q230Sql,
     "q228_holt" -> q228Sql,

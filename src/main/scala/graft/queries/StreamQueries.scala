@@ -1322,7 +1322,86 @@ object StreamQueries {
       |SELECT hr, rank, event_type, n
       |FROM rk WHERE rank <= 3 ORDER BY hr, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+
+  /** q244_stream_outer_join — the LEFT OUTER stream-stream interval join
+    * ([[graft.streaming.EventStream.purchasesWithRecentClicksOuter]])
+    * under the driver gate: q89 gates the INNER flavor's two-sided state
+    * machine; what outer adds — and what this row certifies — is
+    * WATERMARK-DRIVEN NULL EMISSION: an unmatched purchase's null row may
+    * only appear once the click-side watermark proves no qualifying click
+    * can still arrive, the same instant its buffered state is evicted.
+    * Completeness and bounded state are one mechanism, and the oracle is
+    * exactly q56's batch LEFT JOIN — so the gate pins that the
+    * stream-evicted result IS the batch result.
+    *
+    * Harness: ms-truncated time-sorted input (q89's grid note), then two
+    * far-future sentinel waves (a click AND a purchase per wave —
+    * BOTH branch watermarks must advance; EventStreamSpec's rule) in
+    * later micro-batches so every real row falls behind the final
+    * watermark and all remaining outer rows flush; sentinels carry
+    * user_id −1 and are dropped at read-back. Delay 0 s is sound on
+    * in-order input — a row is never late to its own batch.
+    *
+    * Scale shape: per-side state is one watermark horizon of one user's
+    * events per key; eviction is the output path, so state cannot
+    * outlive the horizon no matter how long the stream runs (the q163
+    * bounded-state contract applied to joins). */
+  def q244StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q244")
+    val ev = graft.Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        $"event_id", $"value")
+    // bounded driver-side scalar (one long), the IncrementalAgg rule
+    val maxMs = ev.agg(max($"ms")).as[Long].head()
+    def jsonRows(df: DataFrame): DataFrame =
+      df.select(to_json(struct($"ms", $"user_id", $"event_type",
+        $"event_id", $"value")).as("value"))
+    jsonRows(ev.orderBy($"ms", $"event_id"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b1")
+    def sentinels(off: Long): DataFrame = Seq(
+      (maxMs + off, -1L, "click", -1L, 0.0),
+      (maxMs + off + 7200000L, -1L, "purchase", -2L, 0.0))
+      .toDF("ms", "user_id", "event_type", "event_id", "value")
+    Thread.sleep(1100) // file source orders batches by modification time
+    jsonRows(sentinels(864000000L))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
+    Thread.sleep(1100)
+    jsonRows(sentinels(1728000000L))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
+    val src = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/src/*")
+      .select(from_json($"value", schema).as("e"))
+      .select(timestamp_millis($"e.ms").as("ts"), $"e.user_id".as("user_id"),
+        $"e.event_type".as("event_type"), $"e.event_id".as("event_id"),
+        $"e.value".as("value"))
+    withStreamPartitions(s) {
+      graft.streaming.EventStream
+        .purchasesWithRecentClicksOuter(src, watermarkDelay = "0 seconds")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read
+      .schema("user_id LONG, purchase_id LONG, click_id LONG, " +
+        "purchase_ms LONG, click_ms LONG, value DOUBLE")
+      .parquet(s"$root/out")
+      .filter($"user_id" >= 0)
+      .orderBy($"purchase_id", $"click_id".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_stream_outer_join" -> (q244StreamOuterJoin _),
     "q200_stream_topk" -> (q200StreamTopk _),
     "q163_stream_dedup_ttl" -> (q163StreamDedupTtl _),
     "q150_stream_anomaly" -> (q150StreamAnomaly _),
@@ -1345,6 +1424,9 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    // the stream-evicted outer result must BE the batch left join — one
+    // source of truth with the q56 batch twin
+    "q244_stream_outer_join" -> EventQueries.q56Sql,
     "q200_stream_topk" -> q200Sql,
     "q163_stream_dedup_ttl" -> q163Sql,
     "q150_stream_anomaly" -> q150Sql,

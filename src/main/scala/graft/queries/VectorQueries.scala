@@ -1223,7 +1223,63 @@ object VectorQueries {
       s"FROM ($union) z ORDER BY label, step"
   }
 
+  // ---------------------------------------------------------------- q240
+
+  /** q240_embed_gram — embedding co-moment (Gram) statistics: for the
+    * first 8 dimensions, every upper-triangle cell (i ≤ j) emits n,
+    * Σxᵢ, Σxⱼ, Σxᵢxⱼ — the sufficient statistics from which covariance,
+    * correlation, and (driver-side, d×d) PCA all derive. This is the
+    * distributed half of embedding-space diagnostics done right at
+    * 100 TB: the CORPUS pass produces only O(d²) numbers; eigen-work
+    * happens on that tiny matrix afterwards, never on the corpus.
+    *
+    * Exactness: elements land on the e6 integer grid (float32 widened
+    * exactly to float64, one IEEE multiply, one floor — bit-identical
+    * in both engines), so all three sums are exact int64 and
+    * partial-aggregation order cannot matter.
+    *
+    * Scale shape: one narrow explode (36 cells/row) feeding a map-side
+    * partial aggregation — each partition collapses to 36 rows before
+    * the single tiny exchange. No joins, no corpus-sized shuffle.
+    * (Σxᵢxⱼ per cell is ≤ 1e12 per row; int64 overflows past ~9M rows
+    * per STATISTIC only at ~9e18 — beyond that, shard the fold by a
+    * row-bucket column and sum the shards as DECIMAL, same plan.) */
+  def q240EmbedGram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 8
+    val x = Tables.embeddings(s, dir).select(
+      (1 to d).map(i => floor(element_at($"embedding", i).cast("double")
+        * lit(1000000.0)).cast("long").as(s"x$i")): _*)
+    val cells = for { i <- 1 to d; j <- i to d } yield
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        col(s"x$i").as("xi"), col(s"x$j").as("xj"),
+        (col(s"x$i") * col(s"x$j")).as("xy"))
+    x.select(explode(array(cells: _*)).as("c"))
+      .groupBy($"c.i".as("i"), $"c.j".as("j"))
+      .agg(count(lit(1)).as("n"), sum($"c.xi").as("sum_i"),
+        sum($"c.xj").as("sum_j"), sum($"c.xy").as("sum_ij"))
+      .orderBy($"i", $"j")
+  }
+
+  /** q240 oracle: the 36 cells as an explicit union — same e6 grid,
+    * same exact integer sums. */
+  val q240Sql: String = {
+    val d = 8
+    val base = (1 to d).map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT) " +
+        s"AS x$i").mkString(", ")
+    val cells = (for { i <- 1 to d; j <- i to d } yield
+      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+        s"CAST(count(*) AS BIGINT) AS n, CAST(sum(x$i) AS BIGINT) AS sum_i, " +
+        s"CAST(sum(x$j) AS BIGINT) AS sum_j, " +
+        s"CAST(sum(x$i * x$j) AS BIGINT) AS sum_ij FROM b")
+      .mkString("\nUNION ALL ")
+    s"WITH b AS (SELECT $base FROM embeddings)\n" +
+      s"SELECT * FROM (\n$cells\n) z ORDER BY i, j"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_embed_gram" -> (q240EmbedGram _),
     "q189_mmr" -> (q189Mmr _),
     "q151_label_centroid_cosine" -> (q151LabelCentroidCosine _),
     "q135_ivf_delta_insert" -> (q135IvfDeltaInsert _),
@@ -1240,6 +1296,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q240_embed_gram" -> q240Sql,
     "q189_mmr" -> q189Sql,
     "q151_label_centroid_cosine" -> q151Sql,
     "q135_ivf_delta_insert" -> q135Sql,

@@ -871,4 +871,63 @@ class PlanSpec extends SparkSpec {
   private def plan_noCartesian(df: DataFrame): Boolean =
     executed(df).collect { case c: CartesianProductExec => c }.isEmpty
 
+  test("q237: relaxation rounds consume the pinned weighted edges, never the base join") {
+    val plan = executed(CoreQueries.q237Sssp(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(!plan.toString.contains("o_orderkey"),
+      "rounds must consume the pinned edges, not re-derive them:\n" + plan)
+    // the O(V) distance table must probe as the hash build side each round
+    assert("ShuffledHashJoin".r.findAllIn(plan.toString).size >= 4,
+      "every relaxation round is a SHUFFLE_HASH join (the q139 rule):\n" + plan)
+  }
+
+  test("q238/q239: the corpus folds to the matrix/propensity tables before any iteration") {
+    // both plans: corpus-side scans feed aggregations; the chain/estimator
+    // algebra must never join back to the events scan
+    for (df <- Seq(EventQueries.q238MarkovConversion(spark, dir),
+                   EventQueries.q239IpsEval(spark, dir))) {
+      val plan = executed(df)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+      val scans = plan.collectLeaves().map(_.toString)
+        .count(_.contains("events.parquet"))
+      assert(scans <= 1, s"the corpus must be scanned once, saw $scans")
+    }
+  }
+
+  test("q240: the Gram fold is one narrow explode + map-side partial aggregation") {
+    val p = executed(VectorQueries.q240EmbedGram(spark, dir)).toString
+    assert(!p.contains("Join"), "the co-moment pass has no joins:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "cells must partially aggregate map-side before the exchange:\n" + p)
+  }
+
+  test("q241: open/close marking and the bar fold share one (type,hour) exchange") {
+    val p = executed(EventQueries.q241OhlcBars(spark, dir)).toString
+    // one shuffle keyed on the bar: the window sort and the aggregation
+    // reuse it — no second corpus-sized exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "window and fold must share the bar partitioning:\n" + p)
+  }
+
+  test("q245: the pairwise slope join runs on the daily fold, not the corpus") {
+    val plan = executed(CoreQueries.q245TheilSen(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "pair generation must key on the flag")
+    val scans = plan.collectLeaves().map(_.toString)
+      .count(_.contains("lineitem.parquet"))
+    // two branches of the self-join each fold the corpus map-side first;
+    // the quadratic work happens after both folds
+    assert(scans <= 2, s"only the daily folds may scan the corpus, saw $scans")
+    assert("HashAggregate".r.findAllIn(plan.toString).size >= 2,
+      "the daily fold must partially aggregate map-side")
+  }
+
+  test("q242/q243: the ser/de passes are join-free scan pipelines") {
+    for (df <- Seq(CoreQueries.q242FixedWidth(spark, dir),
+                   EventQueries.q243VariantShred(spark, dir))) {
+      val p = executed(df).toString
+      assert(!p.contains("Join"), "ser/de must stay row-local:\n" + p)
+    }
+  }
+
 }
