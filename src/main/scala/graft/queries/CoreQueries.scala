@@ -4070,7 +4070,146 @@ object CoreQueries {
       |SELECT rf, CAST(cnt AS BIGINT) AS n_pairs, slope_e6 AS slope_med_e6
       |FROM ranked WHERE rn = (cnt + 1) // 2 ORDER BY rf""".stripMargin
 
+  // ---------------------------------------------------------------- q246
+
+  /** q246_string_conformance — deep string-function sweep past q10's
+    * basics: translate, split_part, repeat, reverse, lpad/rpad, left/
+    * right, instr/strpos, replace, ascii, trim-with-charset — the
+    * functions ETL rewrites lean on, each applied so any semantic drift
+    * (0- vs 1-based positions, pad truncation, empty-separator rules)
+    * breaks the row hash. Row-level output over the filtered part
+    * table; everything is codegen'd row-local — a pure scan pipeline
+    * at any scale. */
+  def q246StringConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".like("%a%"))
+      .select($"p_partkey",
+        translate($"p_type", "AEIOU", "aeiou").as("t_translate"),
+        split($"p_name", " ").getItem(0).as("t_word1"),
+        expr("repeat(p_brand, 2)").as("t_repeat"),
+        reverse($"p_name").as("t_reverse"),
+        lpad($"p_name", 15, ".").as("t_lpad"),
+        rpad($"p_brand", 12, "*").as("t_rpad"),
+        expr("left(p_name, 4)").as("t_left"),
+        expr("right(p_type, 3)").as("t_right"),
+        expr("instr(p_name, 'dg')").cast("long").as("t_instr"),
+        regexp_replace($"p_name", "widget", "W").as("t_replace"),
+        ascii($"p_name").cast("long").as("t_ascii"),
+        expr("trim(BOTH 'dlo' FROM p_name)").as("t_trim"))
+      .orderBy($"p_partkey")
+  }
+
+  /** q246 oracle: the same sweep in DuckDB's spellings (strpos ≡ instr,
+    * string_split ≡ split). */
+  val q246Sql: String =
+    """SELECT p_partkey,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS t_translate,
+      |  string_split(p_name, ' ')[1] AS t_word1,
+      |  repeat(p_brand, 2) AS t_repeat,
+      |  reverse(p_name) AS t_reverse,
+      |  lpad(p_name, 15, '.') AS t_lpad,
+      |  rpad(p_brand, 12, '*') AS t_rpad,
+      |  left(p_name, 4) AS t_left,
+      |  right(p_type, 3) AS t_right,
+      |  CAST(strpos(p_name, 'dg') AS BIGINT) AS t_instr,
+      |  replace(p_name, 'widget', 'W') AS t_replace,
+      |  CAST(ascii(p_name) AS BIGINT) AS t_ascii,
+      |  trim(p_name, 'dlo') AS t_trim
+      |FROM part WHERE p_name LIKE '%a%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+
+  /** q247_bitwise_agg — bitwise aggregate + scalar conformance
+    * (bit_and/bit_or/bit_xor folds, shifts, masks — the bitmap/flag
+    * algebra behind bloom lanes, permission masks, and feature-flag
+    * rollups): per order status over the key stream. Everything is
+    * exact int64 bit algebra — associative and commutative, so a
+    * 1000-way partial fold and DuckDB's serial one agree bit-for-bit.
+    * One map-side-partial fold to |status| rows. */
+  def q247BitwiseAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderstatus".as("st"), $"o_orderkey".as("k"))
+      .groupBy($"st")
+      .agg(expr("bit_and(k & 1023)").as("band"),
+        expr("bit_or(k & 1023)").as("bor"),
+        expr("bit_xor(k)").as("bxor"),
+        sum(expr("k & 255")).as("sum_mask"),
+        sum(expr("shiftright(k, 3)")).as("sum_shr"),
+        sum(expr("shiftleft(k & 255, 2)")).as("sum_shl"),
+        count(when(expr("(k & 7) = 0"), 1)).as("n_aligned"))
+      .orderBy($"st")
+  }
+
+  /** q247 oracle: DuckDB's operator spellings (>> << are the shifts). */
+  val q247Sql: String =
+    """SELECT o_orderstatus AS st,
+      |  bit_and(o_orderkey & 1023) AS band,
+      |  bit_or(o_orderkey & 1023) AS bor,
+      |  bit_xor(o_orderkey) AS bxor,
+      |  CAST(sum(o_orderkey & 255) AS BIGINT) AS sum_mask,
+      |  CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr,
+      |  CAST(sum((o_orderkey & 255) << 2) AS BIGINT) AS sum_shl,
+      |  CAST(count(CASE WHEN (o_orderkey & 7) = 0 THEN 1 END) AS BIGINT)
+      |    AS n_aligned
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q248
+
+  /** q248_regex_extract — regex extraction conformance on patterns both
+    * engines' regex dialects (Java util.regex vs RE2) interpret
+    * identically (character classes + quantifiers, no lookaround):
+    * digit-run extraction from customer names — count of runs, the
+    * runs' integer sum (leading zeros exercised: 'Customer#000000042'),
+    * plus match counting and a class-based regexp_replace, folded per
+    * market segment. Row-local codegen'd regex; one map-side fold. */
+  def q248RegexExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_mktsegment".as("seg"),
+        expr("regexp_extract_all(c_name, '[0-9]+', 0)").as("runs"),
+        expr("regexp_replace(c_name, '[aeiou]', '_')").as("devoweled"),
+        when(expr("c_name rlike '^[A-Za-z]+#[0-9]+$'"), 1L).otherwise(0L)
+          .as("well_formed"))
+      .select($"seg", size($"runs").cast("long").as("n_runs"),
+        expr("aggregate(transform(runs, r -> cast(r as bigint)), " +
+          "0L, (a, x) -> a + x)").as("run_sum"),
+        length($"devoweled").as("dlen"), $"well_formed")
+      .groupBy($"seg")
+      .agg(sum($"n_runs").as("n_runs"), sum($"run_sum").as("run_sum"),
+        sum($"dlen").as("sum_dlen"), sum($"well_formed").as("n_wellformed"),
+        count(lit(1)).as("n"))
+      .orderBy($"seg")
+  }
+
+  /** q248 oracle: DuckDB's RE2 spellings of the identical patterns. */
+  val q248Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg,
+      |    regexp_extract_all(c_name, '[0-9]+') AS runs,
+      |    regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled,
+      |    CASE WHEN regexp_full_match(c_name, '[A-Za-z]+#[0-9]+')
+      |         THEN 1 ELSE 0 END AS well_formed
+      |  FROM customer),
+      |p AS (
+      |  SELECT seg, CAST(len(runs) AS BIGINT) AS n_runs,
+      |    CAST(list_sum(list_transform(runs, r -> CAST(r AS BIGINT)))
+      |         AS BIGINT) AS run_sum,
+      |    CAST(length(devoweled) AS BIGINT) AS dlen, well_formed
+      |  FROM c)
+      |SELECT seg, CAST(sum(n_runs) AS BIGINT) AS n_runs,
+      |  CAST(sum(run_sum) AS BIGINT) AS run_sum,
+      |  CAST(sum(dlen) AS BIGINT) AS sum_dlen,
+      |  CAST(sum(well_formed) AS BIGINT) AS n_wellformed,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_string_conformance" -> (q246StringConformance _),
+    "q247_bitwise_agg" -> (q247BitwiseAgg _),
+    "q248_regex_extract" -> (q248RegexExtract _),
     "q237_sssp" -> (q237Sssp _),
     "q242_fixed_width" -> (q242FixedWidth _),
     "q245_theil_sen" -> (q245TheilSen _),
@@ -4152,6 +4291,9 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_string_conformance" -> q246Sql,
+    "q247_bitwise_agg" -> q247Sql,
+    "q248_regex_extract" -> q248Sql,
     "q237_sssp" -> q237Sql,
     "q242_fixed_width" -> q242Sql,
     "q245_theil_sen" -> q245Sql,

@@ -1400,7 +1400,102 @@ object StreamQueries {
       .orderBy($"purchase_id", $"click_id".asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- q249
+
+  /** q249_late_data_audit — the DROP side of watermarks, pinned exactly.
+    * Every other streaming gate arranges in-order arrival so nothing is
+    * late; real deployments get stragglers, and the contract that makes
+    * watermarked state bounded is that a late row into an already-closed
+    * window is DISCARDED — deterministically, by the rule
+    * `window_end <= watermark ⇒ dropped`. This gate feeds the engine
+    * out-of-order ON PURPOSE (wave A = even event_ids spanning the full
+    * time range, then wave B = odd ids spanning the same range, so every
+    * B row older than A's horizon is late) and hash-matches the
+    * surviving hourly aggregate against an oracle that states the drop
+    * rule in closed form: B kept iff its window end exceeds
+    * `max(A.ts) − 2h`. If Spark's late-row boundary ever drifted (≤ vs
+    * <, end vs start), the hash breaks.
+    *
+    * Scale shape: one watermarked windowed aggregation — state is
+    * O(open windows); the audit costs nothing beyond the aggregation
+    * it certifies. The flush sentinel is the q244/EventStreamSpec rule. */
+  def q249LateDataAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q249")
+    val ev = graft.Tables.events(s, dir)
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        $"event_id", $"value")
+    val maxA = ev.filter($"event_id" % 2 === 0).agg(max($"ms")).as[Long].head()
+    def jsonRows(df: DataFrame): DataFrame =
+      df.select(to_json(struct($"ms", $"user_id", $"event_type",
+        $"event_id", $"value")).as("value"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
+    // Wave boundaries are DRAIN boundaries (the q128 discipline), not file
+    // boundaries: a single AvailableNow pass may batch every file together,
+    // and a batch's rows are never late to the watermark they themselves
+    // establish — the checkpoint carries the watermark BETWEEN drains, so
+    // wave B provably meets wave A's horizon.
+    def drain(): Unit = {
+      val src = s.readStream.schema("value STRING")
+        .text(s"$root/src/*")
+        .select(from_json($"value", schema).as("e"))
+        .select(timestamp_millis($"e.ms").as("ts"),
+          $"e.event_type".as("event_type"), $"e.value".as("value"))
+      withStreamPartitions(s) {
+        src.withWatermark("ts", "2 hours")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"value" * 100 + 0.5).cast("long")).as("sum_e2"))
+          .select(unix_millis($"window.start").as("start_ms"), $"event_type",
+            $"n", $"sum_e2")
+          .writeStream
+          .format("parquet")
+          .outputMode("append")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+    }
+    jsonRows(ev.filter($"event_id" % 2 === 0).orderBy($"ms", $"event_id"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b1")
+    drain()
+    jsonRows(ev.filter($"event_id" % 2 === 1).orderBy($"ms", $"event_id"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
+    drain()
+    jsonRows(Seq((maxA + 864000000L, -1L, "__flush", -1L, 0.0))
+      .toDF("ms", "user_id", "event_type", "event_id", "value"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
+    drain()
+    s.read
+      .schema("start_ms LONG, event_type STRING, n LONG, sum_e2 LONG")
+      .parquet(s"$root/out")
+      .filter($"event_type" =!= "__flush")
+      .orderBy($"start_ms", $"event_type")
+  }
+
+  /** q249 oracle: the drop rule in closed form — wave B survives iff its
+    * hour-window END clears wave A's watermark horizon. */
+  val q249Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_ms(ts) AS ms, event_type, value, event_id
+      |  FROM events),
+      |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      |wm AS (SELECT max(ms) - 7200000 AS w FROM a),
+      |b AS (
+      |  SELECT ev.* FROM ev, wm
+      |  WHERE event_id % 2 = 1 AND (ms // 3600000 + 1) * 3600000 > wm.w),
+      |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT (ms // 3600000) * 3600000 AS start_ms, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_e2
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_late_data_audit" -> (q249LateDataAudit _),
     "q244_stream_outer_join" -> (q244StreamOuterJoin _),
     "q200_stream_topk" -> (q200StreamTopk _),
     "q163_stream_dedup_ttl" -> (q163StreamDedupTtl _),
@@ -1424,6 +1519,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q249_late_data_audit" -> q249Sql,
     // the stream-evicted outer result must BE the batch left join — one
     // source of truth with the q56 batch twin
     "q244_stream_outer_join" -> EventQueries.q56Sql,

@@ -83,7 +83,12 @@ object DumpPlans {
     "q226_editdist_join" -> "block-prefix equi join; 4-cell tail DP via the prefix-stripping lemma",
     "q227_kcore" -> "3 peel rounds: degree fold + two semi-joins per round over the pinned shrinking edges",
     "q230_streaks" -> "islands by day - dense_rank: one user_id exchange serves window and both folds",
-    "q232_forget_audit" -> "every audit join broadcasts the deletion list; per-table 1-row folds")
+    "q232_forget_audit" -> "every audit join broadcasts the deletion list; per-table 1-row folds",
+    "q237_sssp" -> "4 min-plus relaxation rounds: SHUFFLE_HASH O(V) distance probes of the pinned weighted edges",
+    "q238_markov_conversion" -> "corpus folds to the transition matrix on ONE user_id partitioning; 6 chain rounds on the O(1) matrix",
+    "q240_embed_gram" -> "join-free: 36-cell narrow explode + map-side partial agg, one tiny exchange",
+    "q241_ohlc_bars" -> "open/close marking and the bar fold share one (type,hour) exchange",
+    "q245_theil_sen" -> "daily fold map-side FIRST; the quadratic pair join sees only calendar-bounded cells")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage

@@ -930,4 +930,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q246/q247/q248: conformance sweeps are join-free single-fold pipelines") {
+    val q246 = executed(CoreQueries.q246StringConformance(spark, dir)).toString
+    assert(!q246.contains("Join"), "string sweep is row-local:\n" + q246)
+    for (df <- Seq(CoreQueries.q247BitwiseAgg(spark, dir),
+                   CoreQueries.q248RegexExtract(spark, dir))) {
+      val p = executed(df).toString
+      assert(!p.contains("Join"), "fold pipelines have no joins:\n" + p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        "the fold must partially aggregate map-side:\n" + p)
+    }
+  }
+
 }
