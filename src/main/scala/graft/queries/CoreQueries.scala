@@ -3916,15 +3916,35 @@ object CoreQueries {
     val edges = pw.select($"cu".as("src"), $"su".as("dst"), $"w")
       .unionByName(pw.select($"su".as("src"), $"cu".as("dst"), $"w"))
       .repartition($"src").localCheckpoint()
+    // Dirty-set Bellman–Ford: round k relaxes only edges leaving nodes
+    // IMPROVED in round k-1 — a relaxation through an unchanged node was
+    // already applied the round after it last improved, so the fixed-round
+    // result is IDENTICAL to full synchronous relaxation (the oracle's
+    // form; FinalOpsReferenceSpec pins the equivalence against a naive
+    // full-relaxation loop). Per-round work drops from O(|E|) to
+    // O(|frontier adjacency|) — on this graph the frontier collapses
+    // after round 2 (measured ×10: 28.9 s full-edge → see SCALE.md).
     var dist = edges.select($"src".as("node")).distinct()
       .filter($"node" % 200 === 0)
-      .select($"node", lit(0L).as("d"))
+      .select($"node", lit(0L).as("d")).localCheckpoint()
+    var frontier = dist
     for (_ <- 1 to 4) {
-      val relaxed = edges.join(dist.hint("shuffle_hash"),
-          edges("src") === dist("node"))
-        .select($"dst".as("node"), ($"d" + $"w").as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy($"node").agg(min($"d").as("d"))
+      val relaxed = edges.join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("node"))
+        .groupBy($"dst").agg(min($"d" + $"w").as("nd"))
+      // pin each round's O(V) state: two consumers next round (the
+      // relaxation join reads the frontier slice, the merge reads dist —
+      // the q224 frontier-pin rule)
+      val merged = dist.join(relaxed, dist("node") === relaxed("dst"),
+          "full_outer")
+        .select(coalesce(dist("node"), relaxed("dst")).as("node"),
+          least(coalesce($"d", lit(Long.MaxValue)),
+            coalesce($"nd", lit(Long.MaxValue))).as("d2"),
+          ($"nd".isNotNull && ($"d".isNull || $"nd" < $"d")).as("improved"))
+        .localCheckpoint()
+      frontier = merged.filter($"improved")
+        .select($"node", $"d2".as("d"))
+      dist = merged.select($"node", $"d2".as("d"))
     }
     dist.select($"node", $"d".as("dist")).orderBy($"node")
   }

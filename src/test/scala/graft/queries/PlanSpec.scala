@@ -871,14 +871,17 @@ class PlanSpec extends SparkSpec {
   private def plan_noCartesian(df: DataFrame): Boolean =
     executed(df).collect { case c: CartesianProductExec => c }.isEmpty
 
-  test("q237: relaxation rounds consume the pinned weighted edges, never the base join") {
+  test("q237: the final pass consumes only the pinned distance state") {
+    // the per-round relaxation joins execute INSIDE the localCheckpoint
+    // materializations (the q70 plan-cut effect), so the final plan must
+    // be a scan of the pinned O(V) state — no cartesian, no re-derivation
+    // of the base orders-lineitem join, nothing corpus-sized left to run
     val plan = executed(CoreQueries.q237Sssp(spark, dir))
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
     assert(!plan.toString.contains("o_orderkey"),
-      "rounds must consume the pinned edges, not re-derive them:\n" + plan)
-    // the O(V) distance table must probe as the hash build side each round
-    assert("ShuffledHashJoin".r.findAllIn(plan.toString).size >= 4,
-      "every relaxation round is a SHUFFLE_HASH join (the q139 rule):\n" + plan)
+      "the output must consume the pinned state, not re-derive it:\n" + plan)
+    assert(plan.toString.contains("ExistingRDD"),
+      "the distance table must be localCheckpoint-pinned:\n" + plan)
   }
 
   test("q238/q239: the corpus folds to the matrix/propensity tables before any iteration") {
