@@ -4226,7 +4226,94 @@ object CoreQueries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q250
+
+  /** q250_partition_expiry — partition-level retention (BigQuery's
+    * partition expiration / the lakehouse `delete where partition <
+    * horizon` maintenance job; the reference's sink tables are
+    * time-partitioned for exactly this): the order ledger lands
+    * partitioned by month, an expiry sweep physically drops every
+    * partition older than the retention horizon, and the gate reads
+    * the final table state — expired months gone, retained months
+    * byte-for-byte intact. Completes the lifecycle family: q16/q34
+    * merge, q233 dynamic overwrite, q136 time travel, O16 table
+    * expiration — partition expiry was the one lifecycle primitive
+    * still ungated.
+    *
+    * Scale shape: the sweep is O(|expired partitions|) METADATA ops —
+    * no data is read or rewritten (contrast a DELETE, which rewrites
+    * survivors); reads after expiry prune on the partition column. */
+  def q250PartitionExpiry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q250")
+    Tables.orders(s, dir).select($"o_orderkey".as("k"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("p_e2"),
+        date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .write.partitionBy("mon").mode("overwrite").parquet(s"$root/t")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/t")).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("mon=") && name.stripPrefix("mon=") < "1995-07")
+        fs.delete(st.getPath, true)
+    }
+    s.read.parquet(s"$root/t")
+      .groupBy($"mon")
+      .agg(count(lit(1)).as("n"), sum($"p_e2").as("sum_e2"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"mon")
+  }
+
+  /** q250 oracle: the retained months stated directly. */
+  val q250Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2,
+      |    strftime(o_orderdate, '%Y-%m') AS mon
+      |  FROM orders)
+      |SELECT mon, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p_e2) AS BIGINT) AS sum_e2,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM base WHERE mon >= '1995-07'
+      |GROUP BY mon ORDER BY mon""".stripMargin
+
+  // ---------------------------------------------------------------- q252
+
+  /** q252_sort_limit_offset — ORDER BY semantics conformance: mixed
+    * ascending/descending multi-key sort with explicit NULL placement
+    * (DESC NULLS LAST on a nullable key), then pagination via
+    * LIMIT + OFFSET — the keyset/offset paging shape every API backend
+    * runs. A unique trailing key makes the total order (and therefore
+    * the exact page) deterministic in both engines.
+    *
+    * Scale shape: Spark executes sort-limit as TakeOrderedAndProject —
+    * each partition keeps only offset+limit rows, the driver merges
+    * O(partitions·(offset+limit)); no global sort materializes. Deep
+    * offsets at 100 TB want keyset pagination instead — the gate's
+    * fixed offset is the honest version of the pattern. */
+  def q252SortLimitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey".as("k"),
+        when($"c_custkey" % 7 === 0, lit(null).cast("long"))
+          .otherwise($"c_custkey" % 5).as("grp"),
+        $"c_mktsegment".as("seg"))
+      .orderBy($"grp".desc_nulls_last, $"seg".asc, $"k".desc)
+      .offset(100).limit(50)
+  }
+
+  /** q252 oracle: identical ordering spec and page. */
+  val q252Sql: String =
+    """SELECT c_custkey AS k,
+      |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END AS grp,
+      |  c_mktsegment AS seg
+      |FROM customer
+      |ORDER BY grp DESC NULLS LAST, seg ASC, k DESC
+      |LIMIT 50 OFFSET 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_partition_expiry" -> (q250PartitionExpiry _),
+    "q252_sort_limit_offset" -> (q252SortLimitOffset _),
     "q246_string_conformance" -> (q246StringConformance _),
     "q247_bitwise_agg" -> (q247BitwiseAgg _),
     "q248_regex_extract" -> (q248RegexExtract _),
@@ -4311,6 +4398,8 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q250_partition_expiry" -> q250Sql,
+    "q252_sort_limit_offset" -> q252Sql,
     "q246_string_conformance" -> q246Sql,
     "q247_bitwise_agg" -> q247Sql,
     "q248_regex_extract" -> q248Sql,

@@ -4439,7 +4439,54 @@ object TextQueries {
        |  CAST(min(doc_id) AS BIGINT) AS first_doc
        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
 
+  // ---------------------------------------------------------------- q251
+
+  /** q251_dataset_card — the per-source dataset card (the summary table
+    * a curated-corpus release ships: HuggingFace dataset cards, data
+    * statements): per source, document and character volume, token
+    * volume under the engine's own tokenizer, language spread and
+    * English share, and the exact-duplicate count (docs beyond the
+    * first per md5(text)). One pass composes the signals the corpus
+    * operators compute separately (q21 stats, q23 fingerprints) into
+    * the release-audit artifact.
+    *
+    * Scale shape: ONE scan, one (source)-keyed fold; the two DISTINCT
+    * aggregates (langs, fingerprints) ride the same exchange via
+    * Spark's multi-distinct Expand. Output is |sources| rows. */
+  def q251DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", $"lang", $"n_chars",
+        size(TextFunctions.tokens($"text")).cast("long").as("n_toks"),
+        md5($"text").as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"n_toks").as("sum_toks"),
+        countDistinct($"lang").as("n_langs"),
+        count(when($"lang" === "en", 1)).as("n_en"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup_docs"))
+      .orderBy($"source")
+  }
+
+  /** q251 oracle: identical tokenizer fragment (the q21 idiom) and
+    * md5 fingerprints. */
+  val q251Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars,
+       |    CAST(len($Toks) AS BIGINT) AS n_toks,
+       |    md5(text) AS fp
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+       |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_dataset_card" -> (q251DatasetCard _),
     "q235_filter_funnel" -> (q235FilterFunnel _),
     "q229_split_stability" -> (q229SplitStability _),
     "q219_pii_redact" -> (q219PiiRedact _),
@@ -4508,6 +4555,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q251_dataset_card" -> q251Sql,
     "q235_filter_funnel" -> q235Sql,
     "q229_split_stability" -> q229Sql,
     "q219_pii_redact" -> q219Sql,

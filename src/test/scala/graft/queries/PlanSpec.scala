@@ -933,6 +933,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q251: both distinct aggregates ride one source-keyed exchange (multi-distinct Expand)") {
+    val p = executed(TextQueries.q251DatasetCard(spark, dir)).toString
+    assert(!p.contains("Join"), "the dataset card is one scan + one fold:\n" + p)
+    assert(p.contains("Expand"),
+      "two distincts must share the exchange via Expand, not two passes:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "one fold exchange (plus Expand's distinct exchange) at most:\n" + p)
+  }
+
+  test("q252: pagination executes as TakeOrdered, never a global sort") {
+    val p = executed(CoreQueries.q252SortLimitOffset(spark, dir)).toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "sort+offset+limit must run as per-partition top-(offset+limit):\n" + p)
+  }
+
   test("q246/q247/q248: conformance sweeps are join-free single-fold pipelines") {
     val q246 = executed(CoreQueries.q246StringConformance(spark, dir)).toString
     assert(!q246.contains("Join"), "string sweep is row-local:\n" + q246)
