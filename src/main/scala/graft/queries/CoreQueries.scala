@@ -4311,7 +4311,55 @@ object CoreQueries {
       |ORDER BY grp DESC NULLS LAST, seg ASC, k DESC
       |LIMIT 50 OFFSET 100""".stripMargin
 
+  // ---------------------------------------------------------------- q255
+
+  /** q255_csv_malformed — corrupt-record-tolerant CSV ingestion (q236's
+    * JSON twin; the daily reality of file feeds): order records
+    * serialize to CSV lines with a deterministic corruption planted in
+    * the numeric column of every 97th key, `from_csv` parses in
+    * PERMISSIVE mode — well-formed fields of a bad row still land,
+    * only the malformed field nulls out — and the per-status rollup
+    * counts survivors vs casualties. The oracle states the planted
+    * outcome in closed form, so any drift in the tolerance contract
+    * (row-level rejection, silent zero-fill) breaks the hash.
+    *
+    * Scale shape: serialize/parse row-local; one map-side fold. */
+  def q255CsvMalformed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.orders(s, dir).select($"o_orderstatus".as("st0"),
+      concat($"o_orderkey", lit(","), $"o_orderstatus", lit(","),
+        when($"o_orderkey" % 97 === 0, lit("oops"))
+          .otherwise(floor($"o_totalprice" * 100 + 0.5).cast("long")
+            .cast("string")),
+        lit(","), date_format($"o_orderdate", "yyyy-MM-dd")).as("line"))
+    val parsed = lines.select($"st0", from_csv($"line",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, st STRING, p_e2 BIGINT, dt DATE"),
+      Map("mode" -> "PERMISSIVE")).as("r"))
+    parsed.select($"st0".as("st"), $"r.k", $"r.p_e2", $"r.dt")
+      .groupBy($"st")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"p_e2".isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum($"p_e2").as("sum_e2"),
+        min($"dt").cast("string").as("min_dt"),
+        max($"dt").cast("string").as("max_dt"))
+      .orderBy($"st")
+  }
+
+  /** q255 oracle: the planted corruption stated in closed form. */
+  val q255Sql: String =
+    """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |       ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+      |       AS BIGINT) AS sum_e2,
+      |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_dt,
+      |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_dt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_csv_malformed" -> (q255CsvMalformed _),
     "q250_partition_expiry" -> (q250PartitionExpiry _),
     "q252_sort_limit_offset" -> (q252SortLimitOffset _),
     "q246_string_conformance" -> (q246StringConformance _),
@@ -4398,6 +4446,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q255_csv_malformed" -> q255Sql,
     "q250_partition_expiry" -> q250Sql,
     "q252_sort_limit_offset" -> q252Sql,
     "q246_string_conformance" -> q246Sql,

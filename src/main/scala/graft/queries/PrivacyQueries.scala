@@ -229,7 +229,60 @@ object PrivacyQueries {
       |    AS l_div_3
       |FROM g ORDER BY seg, nat, bal_b""".stripMargin
 
+  // ---------------------------------------------------------------- q256
+
+  /** q256_dp_contrib_bound — per-user CONTRIBUTION BOUNDING before a
+    * DP release (the preprocessing step q170's noise assumes: Laplace
+    * (sensitivity/ε) is only ε-DP if one user moves each count by at
+    * most `sensitivity`, and raw event streams violate that — a bot
+    * user contributes thousands of rows). Each user's contribution to
+    * each event-type count is capped at 3 (deterministic keep-first by
+    * event time, a user-keyed row_number), the histogram is released
+    * with Laplace(3/ε) noise at ε=1, and the oracle re-derives cap AND
+    * draw in closed form.
+    *
+    * Scale shape: the cap is one (user, type)-partitioned window over
+    * the q20 user partitioning; the DP release is one scalar
+    * expression per OUTPUT group — zero extra shuffles beyond the
+    * histogram's own fold. */
+  def q256DpContribBound(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy(unix_millis($"ts"), $"event_id")
+    val capped = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    val g = capped.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    graft.privacy.DifferentialPrivacy.dpCount(
+      g, $"event_type", epsilon = 1.0, seed = "q256", sensitivity = 3.0)
+      .select($"event_type", $"noisy_n_e2")
+      .orderBy($"event_type")
+  }
+
+  /** q256 oracle: the cap window + the replayable Laplace(3) draw. */
+  val q256Sql: String =
+    """WITH capped AS (
+      |  SELECT event_type FROM (
+      |    SELECT event_type, row_number() OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_ms(ts), event_id) AS rn
+      |    FROM events) t
+      |  WHERE rn <= 3),
+      |g AS (SELECT event_type, count(*) AS n FROM capped GROUP BY 1),
+      |u AS (
+      |  SELECT event_type, n,
+      |    (CAST('0x' || substr(md5('q256:' || event_type), 1, 15)
+      |          AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(floor((n + (-3.0) * sign(u - 0.5)
+      |              * ln(1.0 - 2.0 * abs(u - 0.5))) * 100 + 0.5) AS BIGINT)
+      |    AS noisy_n_e2
+      |FROM u ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_dp_contrib_bound" -> (q256DpContribBound _),
     "q187_k_anonymity" -> (q187KAnonymity _),
     "q167_masked_view" -> (q167MaskedView _),
     "q168_join_restriction" -> (q168JoinRestriction _),
@@ -237,6 +290,7 @@ object PrivacyQueries {
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q256_dp_contrib_bound" -> q256Sql,
     "q187_k_anonymity" -> q187Sql,
     "q167_masked_view" -> q167Sql,
     "q168_join_restriction" -> q168Sql,

@@ -1494,7 +1494,60 @@ object StreamQueries {
       |    AS sum_e2
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q253
+
+  /** q253_stream_upsert — streaming UPSERT maintenance via
+    * `foreachBatch` + [[graft.merge.MergeSink]] (the Datastream →
+    * BigQuery merge path run AS A STREAM, the composition q31's
+    * append sink and q16/q34's batch merges each gate half of): three
+    * change waves drain through a checkpointed foreachBatch whose body
+    * is the bucketed latest-wins merge, and the gate hash-matches the
+    * FINAL TABLE STATE against q16's plain latest-per-key SQL — stream
+    * batching, wave order, and restart boundaries must all be
+    * invisible in the converged table.
+    *
+    * Scale shape: each micro-batch rewrites only the key buckets it
+    * touches (change-volume cost, the MergeSink contract); foreachBatch
+    * makes the sink transactional per batch with the checkpoint as the
+    * exactly-once ledger — the merge itself is idempotent, so a
+    * replayed batch after a crash converges to the same state. */
+  def q253StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q253")
+    val ev = graft.Tables.events(s, dir)
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        $"event_id", $"value")
+    val sink = new graft.merge.MergeSink(s, s"$root/table", "user_id",
+      Seq("ms", "event_id"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
+    def drain(): Unit = {
+      val src = s.readStream.schema("value STRING").text(s"$root/src/*")
+        .select(from_json($"value", schema).as("e")).select($"e.*")
+      withStreamPartitions(s) {
+        src.writeStream
+          .foreachBatch((batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) => sink.merge(batch.toDF()))
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+    }
+    for (wave <- 0 to 2) {
+      ev.filter($"event_id" % 3 === wave).orderBy($"ms", $"event_id")
+        .select(to_json(struct($"ms", $"user_id", $"event_type",
+          $"event_id", $"value")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$root/src/w$wave")
+      drain()
+    }
+    sink.read()
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_stream_upsert" -> (q253StreamUpsert _),
     "q249_late_data_audit" -> (q249LateDataAudit _),
     "q244_stream_outer_join" -> (q244StreamOuterJoin _),
     "q200_stream_topk" -> (q200StreamTopk _),
@@ -1519,6 +1572,8 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    // the converged upsert table must BE the batch latest-per-key answer
+    "q253_stream_upsert" -> EventQueries.q16Sql,
     "q249_late_data_audit" -> q249Sql,
     // the stream-evicted outer result must BE the batch left join — one
     // source of truth with the q56 batch twin

@@ -1278,7 +1278,61 @@ object VectorQueries {
       s"SELECT * FROM (\n$cells\n) z ORDER BY i, j"
   }
 
+  // ---------------------------------------------------------------- q254
+
+  /** q254_ann_filtered — FILTERED vector search (the metadata-
+    * constrained top-k every production vector store serves: "nearest
+    * neighbors among documents with this license/language/label"):
+    * q25's brute-force cosine top-3, with candidates restricted to the
+    * QUERY's own label. The filter composes into the join predicate, so
+    * selectivity applies BEFORE any distance arithmetic — the
+    * pre-filtering strategy (vs post-filtering, which under-fills k
+    * when the filter is selective; the gate's exact per-label top-3
+    * proves no candidate was lost to post-filter truncation).
+    *
+    * Scale shape: identical to q25 (queries broadcast into one corpus
+    * scan) with the label equality as an extra join key — at 100 TB
+    * with a label-partitioned layout this prunes whole partitions. */
+  def q254AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", dvec($"embedding").as("v"))
+      .select($"vec_id", $"label", $"v", norm($"v").as("nrm"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_r".desc, $"neighbor_id")
+    e.join(broadcast(q),
+        $"vec_id" =!= $"q_id" && $"label" === $"q_label")
+      .select($"q_id", $"q_label".cast("long").as("q_label"),
+        $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 4).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"q_label", $"rank", $"neighbor_id", $"cos_r")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q254 oracle: q25's pairing with the label constraint in the join. */
+  val q254Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v
+       |  FROM embeddings),
+       |prs AS (
+       |  SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+       |    n.vec_id AS neighbor_id,
+       |    round(${duckCos("q.v", "n.v")}, 4) AS cos_r
+       |  FROM e q JOIN e n
+       |    ON q.vec_id < 5 AND n.vec_id <> q.vec_id AND n.label = q.label)
+       |SELECT q_id, q_label, rank, neighbor_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_r DESC, neighbor_id) AS rank
+       |  FROM prs) t
+       |WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_ann_filtered" -> (q254AnnFiltered _),
     "q240_embed_gram" -> (q240EmbedGram _),
     "q189_mmr" -> (q189Mmr _),
     "q151_label_centroid_cosine" -> (q151LabelCentroidCosine _),
@@ -1296,6 +1350,7 @@ object VectorQueries {
     "q64_semdedup"      -> (q64SemDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q254_ann_filtered" -> q254Sql,
     "q240_embed_gram" -> q240Sql,
     "q189_mmr" -> q189Sql,
     "q151_label_centroid_cosine" -> q151Sql,

@@ -948,6 +948,29 @@ class PlanSpec extends SparkSpec {
       "sort+offset+limit must run as per-partition top-(offset+limit):\n" + p)
   }
 
+  test("q254: the label filter composes into the broadcast join, never post-filters scored pairs") {
+    val plan = executed(VectorQueries.q254AnnFiltered(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "queries broadcast into one corpus scan (the q25 shape):\n" + p)
+    // label equality must be a JOIN key (pre-filter), not a Filter above
+    // the join output — scored-pair count stays k-bounded per label
+    assert(p.contains("label"),
+      "the label constraint must appear in the join:\n" + p)
+  }
+
+  test("q255/q256: malformed-CSV fold and the capped DP release stay single-exchange") {
+    val p255 = executed(CoreQueries.q255CsvMalformed(spark, dir)).toString
+    assert(!p255.contains("Join"), "ser/de tolerance is row-local:\n" + p255)
+    val p256 = executed(
+      PrivacyQueries.q256DpContribBound(spark, dir)).toString
+    assert(!p256.contains("Join"),
+      "cap + histogram + noise need no joins:\n" + p256)
+    assert("HashAggregate".r.findAllIn(p256).size >= 2,
+      "the histogram must partially aggregate map-side:\n" + p256)
+  }
+
   test("q246/q247/q248: conformance sweeps are join-free single-fold pipelines") {
     val q246 = executed(CoreQueries.q246StringConformance(spark, dir)).toString
     assert(!q246.contains("Join"), "string sweep is row-local:\n" + q246)
