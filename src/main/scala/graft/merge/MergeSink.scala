@@ -49,10 +49,18 @@ final class MergeSink(
 
     val existingOpt =
       if (new java.io.File(tableDir).exists())
-        Some(spark.read.parquet(tableDir)
+        // mergeSchema: earlier generations may lack columns a later batch
+        // introduced (schema evolution on the merge path — q257's gate);
+        // the footer-merged read null-fills them
+        Some(spark.read.option("mergeSchema", "true").parquet(tableDir)
           .filter(col(partCol).isin(touched.toSeq: _*)))
       else None
-    val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
+    // allowMissingColumns both ways: a batch may ADD a column (old rows
+    // null-fill) or OMIT one the table already has (new rows null-fill) —
+    // the lakehouse evolution contract, never a hard failure mid-stream
+    val all = existingOpt
+      .map(_.unionByName(newPart, allowMissingColumns = true))
+      .getOrElse(newPart)
 
     // column order fixed by name so the hash is layout-independent; map-typed
     // columns are excluded (unhashable — their iteration order is undefined,
@@ -94,7 +102,10 @@ final class MergeSink(
     * column is NULL (a feed that only stamps deletes, a schema-evolved
     * union) — live rows silently hidden. `<=>` keeps them. */
   def read(): DataFrame = {
-    val t = spark.read.parquet(tableDir).drop(partCol)
+    // mergeSchema: generations written before a column was added lack it
+    // in their footers — the merged read null-fills (q257's contract)
+    val t = spark.read.option("mergeSchema", "true").parquet(tableDir)
+      .drop(partCol)
     tombstoneCol.map(c => t.filter(!(col(c) <=> "true"))).getOrElse(t)
   }
 

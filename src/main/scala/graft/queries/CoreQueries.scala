@@ -4358,7 +4358,47 @@ object CoreQueries {
       |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_dt
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q259
+
+  /** q259_explode_outer — generator NULL/empty semantics: `explode`
+    * silently DELETES rows whose array is empty or NULL (the classic
+    * lost-rows bug in flattening ETL); `explode_outer` keeps them as a
+    * single null-element row. The gate plants all three shapes (NULL
+    * array on k≡0 mod 7, empty on k≡0 mod 4, 1–3 elements otherwise)
+    * and hash-matches per-status row/null/element accounting against
+    * an oracle that states the outer contract in closed form.
+    *
+    * Scale shape: generators are row-local (no shuffle); the fold is
+    * map-side to |status| rows. */
+  def q259ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir).select($"o_orderstatus".as("st"),
+      when($"o_orderkey" % 7 === 0, lit(null))
+        .otherwise(slice(array(lit(1L), lit(2L), lit(3L)), lit(1),
+          ($"o_orderkey" % 4).cast("int"))).as("arr"))
+    base.select($"st", explode_outer($"arr").as("e"))
+      .groupBy($"st")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"e".isNull, 1L).otherwise(0L)).as("n_null_rows"),
+        sum($"e").as("sum_e"))
+      .orderBy($"st")
+  }
+
+  /** q259 oracle: the outer-generator contract in closed form — a
+    * NULL/empty array contributes exactly one null-element row. */
+  val q259Sql: String =
+    """SELECT o_orderstatus AS st,
+      |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 4 = 0
+      |       THEN 1 ELSE o_orderkey % 4 END) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 4 = 0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+      |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE ((o_orderkey % 4) * (o_orderkey % 4 + 1)) // 2 END)
+      |       AS BIGINT) AS sum_e
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_explode_outer" -> (q259ExplodeOuter _),
     "q255_csv_malformed" -> (q255CsvMalformed _),
     "q250_partition_expiry" -> (q250PartitionExpiry _),
     "q252_sort_limit_offset" -> (q252SortLimitOffset _),
@@ -4446,6 +4486,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q259_explode_outer" -> q259Sql,
     "q255_csv_malformed" -> q255Sql,
     "q250_partition_expiry" -> q250Sql,
     "q252_sort_limit_offset" -> q252Sql,

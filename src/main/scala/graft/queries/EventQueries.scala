@@ -2908,7 +2908,51 @@ object EventQueries {
       |  CAST(sum(u) AS BIGINT) AS sum_u
       |FROM sh GROUP BY t ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------- q258
+
+  /** q258_range_interval_frame — RANGE frames bounded by CALENDAR
+    * INTERVALS (`RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT
+    * ROW` over a DATE ordering): the trailing-week rolling metric as
+    * SQL text, the conformance corner q51's millisecond rangeBetween
+    * can't reach — interval arithmetic against date ordering is its
+    * own semantics (month/day boundaries, not fixed ms spans), and
+    * both engines must draw identical frame edges for the hash to
+    * meet. Window AND count run on the calendar-bounded daily table.
+    *
+    * Scale shape: the corpus folds map-side to |types|·|days| cells
+    * before the window — the q184/q197 time-series discipline. */
+  def q258RangeIntervalFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type".as("tp"), to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView("daily_q258")
+    s.sql(
+      """SELECT tp, CAST(day AS STRING) AS day, n,
+        |  sum(n) OVER w AS n_7d,
+        |  count(*) OVER w AS d_7d
+        |FROM daily_q258
+        |WINDOW w AS (PARTITION BY tp ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY tp, day""".stripMargin)
+  }
+
+  /** q258 oracle: the identical interval-bounded frame in DuckDB. */
+  val q258Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS tp, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT tp, CAST(day AS VARCHAR) AS day, n,
+      |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+      |  CAST(count(*) OVER w AS BIGINT) AS d_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY tp ORDER BY day
+      |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY tp, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_range_interval_frame" -> (q258RangeIntervalFrame _),
     "q238_markov_conversion" -> (q238MarkovConversion _),
     "q239_ips_eval" -> (q239IpsEval _),
     "q241_ohlc_bars" -> (q241OhlcBars _),
@@ -2963,6 +3007,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q258_range_interval_frame" -> q258Sql,
     "q238_markov_conversion" -> q238Sql,
     "q239_ips_eval" -> q239Sql,
     "q241_ohlc_bars" -> q241Sql,

@@ -1546,7 +1546,64 @@ object StreamQueries {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- q257
+
+  /** q257_merge_evolve — schema evolution ON THE MERGE PATH (the third
+    * leg of the evolution triad: q155 proves the file layer, q128 the
+    * wire; this proves the UPSERT sink): wave 1 merges the base shape,
+    * wave 2 merges rows that ADD a `segment` column (old generations
+    * null-fill through the footer-merged read), and wave 3 merges a
+    * correction batch that OMITS it (new rows null-fill through the
+    * two-way `unionByName(allowMissingColumns)`) — the add-column and
+    * drop-column directions of the lakehouse evolution contract, under
+    * one latest-wins hash gate.
+    *
+    * Wave 3 is a synthetic correction: for every 5th user, the current
+    * winner re-lands 1 ms later with value+1000 and no segment — so the
+    * oracle can state each user's final row in closed form.
+    *
+    * Scale shape: identical to q34 (touched-bucket rewrites); the
+    * footer-merge costs per-file planning only on touched buckets. */
+  def q257MergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q257")
+    val ev = graft.Tables.events(s, dir)
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type",
+        $"event_id", $"value")
+    val sink = new graft.merge.MergeSink(s, s"$root/table", "user_id",
+      Seq("ms", "event_id"))
+    sink.merge(ev.filter($"event_id" % 2 === 0))
+    sink.merge(ev.filter($"event_id" % 2 === 1)
+      .withColumn("segment", $"user_id" % 10))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ms".desc, $"event_id".desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"user_id" % 5 === 0)
+    sink.merge(latest.select(($"ms" + 1).as("ms"), $"user_id",
+      $"event_type", $"event_id", ($"value" + 1000).as("value")))
+    sink.read()
+      .select($"user_id", $"event_id", $"event_type", $"value", $"segment")
+      .orderBy($"user_id")
+  }
+
+  /** q257 oracle: the three waves' winners in closed form. */
+  val q257Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    CASE WHEN event_id % 2 = 1 THEN user_id % 10 END AS segment
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |    FROM events) t
+      |  WHERE rn = 1)
+      |SELECT user_id, event_id, event_type,
+      |  CASE WHEN user_id % 5 = 0 THEN value + 1000 ELSE value END AS value,
+      |  CASE WHEN user_id % 5 = 0 THEN NULL ELSE segment END AS segment
+      |FROM latest ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_merge_evolve" -> (q257MergeEvolve _),
     "q253_stream_upsert" -> (q253StreamUpsert _),
     "q249_late_data_audit" -> (q249LateDataAudit _),
     "q244_stream_outer_join" -> (q244StreamOuterJoin _),
@@ -1572,6 +1629,7 @@ object StreamQueries {
     "q86_stream_prep" -> (q86StreamPrep _))
 
   val oracles: Map[String, String] = Map(
+    "q257_merge_evolve" -> q257Sql,
     // the converged upsert table must BE the batch latest-per-key answer
     "q253_stream_upsert" -> EventQueries.q16Sql,
     "q249_late_data_audit" -> q249Sql,

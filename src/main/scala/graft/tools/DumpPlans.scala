@@ -88,7 +88,11 @@ object DumpPlans {
     "q238_markov_conversion" -> "corpus folds to the transition matrix on ONE user_id partitioning; 6 chain rounds on the O(1) matrix",
     "q240_embed_gram" -> "join-free: 36-cell narrow explode + map-side partial agg, one tiny exchange",
     "q241_ohlc_bars" -> "open/close marking and the bar fold share one (type,hour) exchange",
-    "q245_theil_sen" -> "daily fold map-side FIRST; the quadratic pair join sees only calendar-bounded cells")
+    "q245_theil_sen" -> "daily fold map-side FIRST; the quadratic pair join sees only calendar-bounded cells",
+    "q251_dataset_card" -> "one scan; both distincts ride one source-keyed exchange via Expand",
+    "q252_sort_limit_offset" -> "TakeOrderedAndProject: offset+limit rows per partition, no global sort",
+    "q254_ann_filtered" -> "label equality INSIDE the broadcast join — pre-filter, scored pairs k-bounded per label",
+    "q256_dp_contrib_bound" -> "user-keyed cap window + map-side histogram; noise is one scalar per output group")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage

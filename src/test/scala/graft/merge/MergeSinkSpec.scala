@@ -171,4 +171,26 @@ class MergeSinkSpec extends SparkSpec {
     sink.merge(delChanges((1L, "a-new", 20L, "false")))
     assert(sink.read().collect().map(_.getString(1)).toSeq === Seq("a-new"))
   }
+
+  test("schema evolution on the merge path: batches may add or omit columns") {
+    val s = spark
+    import s.implicits._
+    val sink = new MergeSink(spark, tmpDir("merge-evolve") + "/t", "id",
+      Seq("ts"), numBuckets = 4)
+    sink.merge(changes((1L, "a1", 10L), (2L, "b1", 10L)))
+    // ADD a column: old generations must null-fill through the merged read
+    sink.merge(Seq((2L, "b2", 20L, "gold"), (3L, "c1", 20L, "silver"))
+      .toDF("id", "name", "ts", "tier"))
+    val s1 = sink.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[String]("tier"))))
+    assert(s1.toSeq === Seq((1L, "a1", None), (2L, "b2", Some("gold")),
+      (3L, "c1", Some("silver"))))
+    // OMIT the column: the new winner's tier is NULL, not a failure and
+    // not a stale carry-over
+    sink.merge(changes((3L, "c2", 30L)))
+    val s2 = sink.read().filter("id = 3").collect()
+      .map(r => (r.getString(1), Option(r.getAs[String]("tier"))))
+    assert(s2.toSeq === Seq(("c2", None)))
+  }
 }
