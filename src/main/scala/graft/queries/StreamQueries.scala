@@ -1335,13 +1335,15 @@ object StreamQueries {
     * exactly q56's batch LEFT JOIN — so the gate pins that the
     * stream-evicted result IS the batch result.
     *
-    * Harness: ms-truncated time-sorted input (q89's grid note), then two
-    * far-future sentinel waves (a click AND a purchase per wave —
-    * BOTH branch watermarks must advance; EventStreamSpec's rule) in
-    * later micro-batches so every real row falls behind the final
-    * watermark and all remaining outer rows flush; sentinels carry
-    * user_id −1 and are dropped at read-back. Delay 0 s is sound on
-    * in-order input — a row is never late to its own batch.
+    * Harness: ms-truncated time-sorted input (q89's grid note), plus two
+    * far-future sentinel waves (a click AND a purchase per wave — BOTH
+    * branch watermarks must advance; EventStreamSpec's rule). However the
+    * file source batches the files, the sentinels push the post-batch
+    * watermark past every real row, and the trailing no-data micro-batch
+    * evicts + emits the remaining outer rows before AvailableNow
+    * terminates (q249 demonstrates the batching caveat directly).
+    * Sentinels carry user_id −1 and are dropped at read-back. Delay 0 s
+    * is sound on in-order input — a row is never late to its own batch.
     *
     * Scale shape: per-side state is one watermark horizon of one user's
     * events per key; eviction is the output path, so state cannot
