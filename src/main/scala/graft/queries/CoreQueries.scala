@@ -4397,7 +4397,41 @@ object CoreQueries {
       |       AS BIGINT) AS sum_e
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q260
+
+  /** q260_sql_udf — SQL scalar functions (`CREATE FUNCTION … RETURN
+    * expr`, the SQL-standard UDF surface BigQuery users write instead
+    * of code UDFs): a discounted-price function defined in SQL text,
+    * invoked inside an aggregate. The engine INLINES the body into the
+    * calling plan (no serialization wall, full codegen — the reason
+    * this surface beats code UDFs at 100 TB), which is exactly what the
+    * oracle proves: DuckDB runs the body textually inlined and the
+    * hashes must meet.
+    *
+    * Scale shape: after inlining this is q1's shape — one map-side
+    * partial fold. */
+  def q260SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_e4(p DOUBLE, d DOUBLE)
+        |RETURNS BIGINT
+        |RETURN CAST(floor(p * (1.0 - d) * 10000 + 0.5) AS BIGINT)"""
+        .stripMargin)
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q260")
+    s.sql(
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  sum(graft_disc_e4(l_extendedprice, l_discount)) AS sum_disc_e4
+        |FROM li_q260 GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q260 oracle: the function body textually inlined. */
+  val q260Sql: String =
+    """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000
+      |       + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e4
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_sql_udf" -> (q260SqlUdf _),
     "q259_explode_outer" -> (q259ExplodeOuter _),
     "q255_csv_malformed" -> (q255CsvMalformed _),
     "q250_partition_expiry" -> (q250PartitionExpiry _),
@@ -4486,6 +4520,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q260_sql_udf" -> q260Sql,
     "q259_explode_outer" -> q259Sql,
     "q255_csv_malformed" -> q255Sql,
     "q250_partition_expiry" -> q250Sql,

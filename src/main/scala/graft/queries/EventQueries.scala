@@ -2951,7 +2951,77 @@ object EventQueries {
       |  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
       |ORDER BY tp, day""".stripMargin
 
+  // ---------------------------------------------------------------- q262
+
+  /** q262_asof_ttl — point-in-time lookup with a STALENESS BOUND (the
+    * feature-store contract: "the feature value as of T, but only if
+    * refreshed within the last 2 hours" — an unboundedly old value is
+    * worse than none for training-serving parity): q44's single-shuffle
+    * carry-forward AS-OF composition, with matches older than the TTL
+    * nulled AFTER the carry — the carry itself must stay unbounded or
+    * a fresh-enough click hiding behind a stale one would be missed
+    * (there is none by construction: the carried click is the LATEST
+    * ≤ T, so TTL-filtering after the carry is exact, not approximate).
+    *
+    * Scale shape: identical to q44 — ONE user-keyed exchange, linear
+    * carry state; the TTL is a row-local predicate. */
+  def q262AsofTtl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ttlMs = 7200000L
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_millis($"ts").as("ms"), $"event_id")
+      .groupBy($"user_id", $"ms").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("ms"),
+        $"event_id".as("purchase_id"), $"value")
+    val tagged = clicks.select($"user_id", $"ms", lit(0).as("side"),
+        $"click_id", lit(null).cast("long").as("purchase_id"),
+        lit(null).cast("double").as("value"))
+      .unionByName(purchases.select($"user_id", $"ms", lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), $"purchase_id", $"value"))
+    val carry = Window.partitionBy($"user_id").orderBy($"ms", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("cid", last($"click_id", ignoreNulls = true).over(carry))
+      .withColumn("cms",
+        last(when($"click_id".isNotNull, $"ms"), ignoreNulls = true)
+          .over(carry))
+      .filter($"side" === 1)
+      .withColumn("fresh", $"cms".isNotNull && $"ms" - $"cms" <= ttlMs)
+      .select($"purchase_id", $"user_id", $"ms".as("purchase_ms"),
+        when($"fresh", $"cid").as("click_id"),
+        when($"fresh", $"cms").as("click_ms"),
+        when($"fresh", $"ms" - $"cms").as("staleness_ms"), $"value")
+      .orderBy($"purchase_id")
+  }
+
+  /** q262 oracle: DuckDB's native ASOF LEFT JOIN with the TTL applied
+    * to the matched row. */
+  val q262Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts)),
+      |purchases AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, p.ms AS purchase_ms,
+      |    c.click_id, c.ms AS click_ms, p.value
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND c.ms <= p.ms)
+      |SELECT purchase_id, user_id, purchase_ms,
+      |  CASE WHEN purchase_ms - click_ms <= 7200000 THEN click_id END
+      |    AS click_id,
+      |  CASE WHEN purchase_ms - click_ms <= 7200000 THEN click_ms END
+      |    AS click_ms,
+      |  CASE WHEN purchase_ms - click_ms <= 7200000
+      |       THEN purchase_ms - click_ms END AS staleness_ms,
+      |  value
+      |FROM j ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_asof_ttl" -> (q262AsofTtl _),
     "q258_range_interval_frame" -> (q258RangeIntervalFrame _),
     "q238_markov_conversion" -> (q238MarkovConversion _),
     "q239_ips_eval" -> (q239IpsEval _),
@@ -3007,6 +3077,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q262_asof_ttl" -> q262Sql,
     "q258_range_interval_frame" -> q258Sql,
     "q238_markov_conversion" -> q238Sql,
     "q239_ips_eval" -> q239Sql,

@@ -4485,7 +4485,50 @@ object TextQueries {
        |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q261
+
+  /** q261_class_rebalance — class-balanced downsampling (the label-
+    * rebalancing step before training a classifier on skewed data):
+    * every language class is cut to the MINORITY class's size by
+    * deterministic keep-first (lowest doc_id — reproducible builds, no
+    * RNG), the standard undersampling baseline. The gate audits the
+    * selection itself (per-class kept count, id range, id checksum),
+    * not just the sizes, so a different keep rule can't pass.
+    *
+    * Scale shape: one |classes|-row size fold broadcasts back into a
+    * class-partitioned row_number — one corpus exchange; the quota
+    * compare is an integer predicate. */
+  def q261ClassRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"lang")
+    val mn = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .agg(min($"n").as("mn"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    d.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(mn))
+      .filter($"rn" <= $"mn")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"), sum($"doc_id").as("sum_id"))
+      .orderBy($"lang")
+  }
+
+  /** q261 oracle: identical quota (scalar subquery) and keep rule. */
+  val q261Sql: String =
+    """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |mn AS (SELECT min(n) AS mn FROM sizes),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+      |FROM ranked, mn WHERE rn <= mn
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_class_rebalance" -> (q261ClassRebalance _),
     "q251_dataset_card" -> (q251DatasetCard _),
     "q235_filter_funnel" -> (q235FilterFunnel _),
     "q229_split_stability" -> (q229SplitStability _),
@@ -4555,6 +4598,7 @@ object TextQueries {
     "q38_normalize"         -> (q38Normalize _))
 
   val oracles: Map[String, String] = Map(
+    "q261_class_rebalance" -> q261Sql,
     "q251_dataset_card" -> q251Sql,
     "q235_filter_funnel" -> q235Sql,
     "q229_split_stability" -> q229Sql,

@@ -971,6 +971,28 @@ class PlanSpec extends SparkSpec {
       "the histogram must partially aggregate map-side:\n" + p256)
   }
 
+  test("q260: the SQL function body inlines — no UDF call survives in the physical plan") {
+    val p = executed(CoreQueries.q260SqlUdf(spark, dir)).toString
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "a SQL function must inline, never execute as a code UDF:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "after inlining this is q1's map-side-partial shape:\n" + p)
+  }
+
+  test("q261/q262: quota broadcast and single user-keyed carry exchange") {
+    val p261 = executed(TextQueries.q261ClassRebalance(spark, dir)).toString
+    assert(p261.contains("Broadcast"),
+      "the 1-row quota must broadcast, never shuffle the corpus against it:\n" + p261)
+    val p262 = executed(EventQueries.q262AsofTtl(spark, dir)).toString
+    // two exchanges total: the click-side (user, ms) dedup fold and the
+    // user-keyed carry window — never a third, and never a range join
+    assert("Exchange hashpartitioning".r.findAllIn(p262).size <= 2,
+      "the AS-OF carry adds no exchange beyond dedup + carry (q44's shape):\n" + p262)
+    assert(!p262.contains("CartesianProduct") &&
+      !p262.contains("BroadcastNestedLoop"),
+      "the TTL AS-OF must never degenerate to a range join:\n" + p262)
+  }
+
   test("q246/q247/q248: conformance sweeps are join-free single-fold pipelines") {
     val q246 = executed(CoreQueries.q246StringConformance(spark, dir)).toString
     assert(!q246.contains("Join"), "string sweep is row-local:\n" + q246)
