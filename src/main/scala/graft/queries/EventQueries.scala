@@ -3020,7 +3020,123 @@ object EventQueries {
       |  value
       |FROM j ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q263
+
+  /** q263_interval_coverage — merge overlapping intervals into coverage
+    * spans (the classic islands-over-ranges problem: ad viewability,
+    * machine uptime, incident windows — q191's day-grid concurrency
+    * can't answer "how much time was covered at all" when intervals
+    * overlap arbitrarily): per user, sessions [ms, ms + 1–30 min)
+    * merge wherever they touch, via the cumulative-max-of-end rule —
+    * a span breaks exactly where a start clears every previous end.
+    * Output per user: span count, covered ms, longest span.
+    *
+    * Scale shape: TWO windows + two folds, all on ONE user_id
+    * partitioning (running max-of-end, then the island prefix sum);
+    * per-partition state is a scalar. Never an interval self-join —
+    * the naive overlap join is quadratic per user. */
+  def q263IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, dir).select($"user_id",
+      unix_millis($"ts").as("st"),
+      (unix_millis($"ts") + ($"event_id" % 30 + 1) * 60000L).as("en"),
+      $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val prevMax = max($"en").over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv
+      .withColumn("brk", when(prevMax.isNull || $"st" > prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("island",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy($"user_id", $"island")
+      .agg(min($"st").as("s0"), max($"en").as("e1"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e1" - $"s0").as("covered_ms"),
+        max($"e1" - $"s0").as("max_span_ms"))
+      .orderBy($"user_id")
+  }
+
+  /** q263 oracle: identical cumulative-max island rule. */
+  val q263Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ms(ts) AS st,
+      |    epoch_ms(ts) + (event_id % 30 + 1) * 60000 AS en, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, st, en,
+      |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m),
+      |spans AS (
+      |  SELECT user_id, island, min(st) AS s0, max(en) AS e1
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(e1 - s0) AS BIGINT) AS covered_ms,
+      |  CAST(max(e1 - s0) AS BIGINT) AS max_span_ms
+      |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+
+  /** q264_iso_week — ISO-8601 week calendar conformance (the corner
+    * q160's civil-calendar sweep leaves open: early-January days can
+    * belong to the PREVIOUS iso-year's week 52/53, late-December days
+    * to the NEXT year's week 1 — off-by-one-week bugs in weekly
+    * reporting live exactly here): weekly order rollups keyed by
+    * (iso_year, iso_week), with the iso-year derived by the Thursday
+    * rule (the year of the week's Thursday) spelled identically in
+    * both engines, and the week number from each engine's NATIVE ISO
+    * week function — so a drift in either native implementation
+    * breaks the hash.
+    *
+    * Scale shape: one map-side fold to |weeks| rows. */
+  def q264IsoWeek(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir).select(to_date($"o_orderdate").as("day"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("p_e2"))
+    // Thursday rule: ISO year = calendar year of this week's Thursday;
+    // Monday-based dow via (dayofweek + 5) % 7 (Mon=0 … Sun=6)
+    val thu = date_add($"day", (lit(3) - (dayofweek($"day") + 5) % 7)
+      .cast("int"))
+    d.select($"day", $"p_e2", year(thu).as("iso_year"),
+        weekofyear($"day").cast("long").as("iso_week"))
+      .groupBy($"iso_year", $"iso_week")
+      .agg(count(lit(1)).as("n"), sum($"p_e2").as("sum_e2"),
+        min($"day").cast("string").as("first_day"),
+        max($"day").cast("string").as("last_day"))
+      .orderBy($"iso_year", $"iso_week")
+  }
+
+  /** q264 oracle: DuckDB's native ISO week + the same Thursday rule. */
+  val q264Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2
+      |  FROM orders),
+      |k AS (
+      |  SELECT day, p_e2,
+      |    CAST(year(day + INTERVAL (3 - CAST(isodow(day) - 1 AS INTEGER)) DAY)
+      |         AS BIGINT) AS iso_year,
+      |    CAST(weekofyear(day) AS BIGINT) AS iso_week
+      |  FROM d)
+      |SELECT iso_year, iso_week, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p_e2) AS BIGINT) AS sum_e2,
+      |  CAST(min(day) AS VARCHAR) AS first_day,
+      |  CAST(max(day) AS VARCHAR) AS last_day
+      |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_interval_coverage" -> (q263IntervalCoverage _),
+    "q264_iso_week" -> (q264IsoWeek _),
     "q262_asof_ttl" -> (q262AsofTtl _),
     "q258_range_interval_frame" -> (q258RangeIntervalFrame _),
     "q238_markov_conversion" -> (q238MarkovConversion _),
@@ -3077,6 +3193,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q263_interval_coverage" -> q263Sql,
+    "q264_iso_week" -> q264Sql,
     "q262_asof_ttl" -> q262Sql,
     "q258_range_interval_frame" -> q258Sql,
     "q238_markov_conversion" -> q238Sql,

@@ -993,6 +993,15 @@ class PlanSpec extends SparkSpec {
       "the TTL AS-OF must never degenerate to a range join:\n" + p262)
   }
 
+  test("q263: both island windows and both folds share one user_id exchange — never an interval self-join") {
+    val plan = executed(EventQueries.q263IntervalCoverage(spark, dir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = plan.toString
+    assert(!p.contains("Join"), "coverage merge is window algebra, not an overlap join:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "windows and folds must reuse the user_id partitioning:\n" + p)
+  }
+
   test("q246/q247/q248: conformance sweeps are join-free single-fold pipelines") {
     val q246 = executed(CoreQueries.q246StringConformance(spark, dir)).toString
     assert(!q246.contains("Join"), "string sweep is row-local:\n" + q246)
