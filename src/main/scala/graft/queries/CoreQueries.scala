@@ -4046,8 +4046,16 @@ object CoreQueries {
     * Scale shape: the corpus folds map-side to |flags|·|days| daily
     * cells BEFORE anything quadratic — the pairwise self-join runs on
     * the calendar-bounded daily table (O(|days|²) per flag, constant
-    * in corpus size), the q184/q197 time-series discipline. The
-    * rank-selection window sorts only those pair slopes. */
+    * in corpus size), the q184/q197 time-series discipline. The median
+    * selection is bucket-decomposed (the q182/q152 rank discipline):
+    * a per-flag global rank would sort ~|days|²/2 slopes in ONE task
+    * per flag (|flags| of 32 cores busy); instead slopes land in 1024
+    * value-domain buckets whose bounds come from the daily extents
+    * (|slope| ≤ span(y)·1e6, attained at adjacent days), the tiny
+    * bucket-count relation locates the bucket holding rank ⌈n/2⌉, and
+    * only THAT bucket's ~n/1024 rows meet a sort. The daily fold is
+    * pinned once (localCheckpoint, the q139 discipline) for its three
+    * consumers, so the corpus is scanned exactly once. */
   def q245TheilSen(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.lineitem(s, dir)
@@ -4055,15 +4063,39 @@ object CoreQueries {
         datediff($"l_shipdate".cast("date"),
           lit("1990-01-01").cast("date")).cast("long").as("d"))
       .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("y"))
+      .localCheckpoint()
     val slopes = daily.toDF("rf", "da", "ya")
       .join(daily.toDF("rf2", "db", "yb"), $"rf" === $"rf2" && $"da" < $"db")
       .select($"rf",
         floor(($"yb" - $"ya") * lit(1000000.0) / ($"db" - $"da"))
           .cast("long").as("slope_e6"))
-    val w = Window.partitionBy($"rf").orderBy($"slope_e6")
-    slopes.withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"rf")))
-      .filter($"rn" === expr("(cnt + 1) div 2"))
+      .localCheckpoint() // two consumers: bucket counts + target-bucket sort
+    val nb = 1024
+    // slope bounds from the daily extents; n_pairs = nd·(nd−1)/2 exactly
+    val ext = daily.groupBy($"rf")
+      .agg(count(lit(1)).as("nd"), min($"y").as("ymin"), max($"y").as("ymax"))
+      .select($"rf", expr("nd * (nd - 1) div 2").as("cnt"),
+        (($"ymin" - $"ymax") * 1000000L).as("lo"),
+        (($"ymax" - $"ymin") * 1000000L + 1L).as("hix"))
+    // monotone bucket map (double rounding near the extremes only ever
+    // shifts a boundary slope one bucket over — hence the clamps)
+    val b = slopes.join(broadcast(ext), "rf")
+      .withColumn("bucket", greatest(lit(0L), least(lit(nb - 1L),
+        floor(($"slope_e6" - $"lo").cast("double")
+          / ($"hix" - $"lo").cast("double") * nb).cast("long"))))
+      .select($"rf", $"slope_e6", $"bucket")
+    val wB = Window.partitionBy($"rf").orderBy($"bucket")
+    val tgt = b.groupBy($"rf", $"bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("nBefore", coalesce(sum($"bn").over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(ext.select($"rf", $"cnt")), "rf")
+      .withColumn("t", expr("(cnt + 1) div 2"))
+      .filter($"nBefore" < $"t" && $"t" <= $"nBefore" + $"bn")
+      .select($"rf", $"bucket", $"nBefore", $"t", $"cnt")
+    val wIn = Window.partitionBy($"rf", $"bucket").orderBy($"slope_e6")
+    b.join(broadcast(tgt), Seq("rf", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter($"nBefore" + $"rn" === $"t")
       .select($"rf", $"cnt".as("n_pairs"), $"slope_e6".as("slope_med_e6"))
       .orderBy($"rf")
   }

@@ -2747,11 +2747,10 @@ object EventQueries {
       expr("(r_xa * 1000000) div n_xa").as("snips_e6"))
     val overall = m.agg(sum($"n_x").as("n_x"), sum($"n_xa").as("n_xa"),
         sum(expr("r_xa * w_e6")).as("sw"),
-        sum(expr("n_xa * w_e6")).as("tw"),
-        sum(expr("r_xa * 1000000")).as("sr"))
+        sum(expr("n_xa * w_e6")).as("tw"))
       .select(lit(-1L).as("x"), $"n_x", $"n_xa",
         expr("sw div n_x").as("ips_e6"),
-        expr("(sr * 1000000) div tw").as("snips_e6"))
+        expr("(sw * 1000000) div tw").as("snips_e6"))
     per.unionByName(overall).orderBy($"x")
   }
 
@@ -2782,7 +2781,7 @@ object EventQueries {
       |    CAST(sum(n_x) AS BIGINT) AS n_x, CAST(sum(n_xa) AS BIGINT) AS n_xa,
       |    CAST(CAST(sum(r_xa * w_e6) AS BIGINT) // CAST(sum(n_x) AS BIGINT)
       |         AS BIGINT) AS ips_e6,
-      |    CAST((CAST(sum(r_xa * 1000000) AS BIGINT) * 1000000)
+      |    CAST((CAST(sum(r_xa * w_e6) AS BIGINT) * 1000000)
       |         // CAST(sum(n_xa * w_e6) AS BIGINT) AS BIGINT) AS snips_e6
       |  FROM m)
       |SELECT * FROM per UNION ALL SELECT * FROM overall ORDER BY x"""
@@ -3065,7 +3064,7 @@ object EventQueries {
       |    epoch_ms(ts) + (event_id % 30 + 1) * 60000 AS en, event_id
       |  FROM events),
       |m AS (
-      |  SELECT user_id, st, en,
+      |  SELECT user_id, st, en, event_id,
       |    CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
       |         OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
@@ -3074,7 +3073,7 @@ object EventQueries {
       |  FROM iv),
       |isl AS (
       |  SELECT user_id, st, en,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       |  FROM m),
       |spans AS (

@@ -1367,12 +1367,16 @@ object StreamQueries {
       (maxMs + off, -1L, "click", -1L, 0.0),
       (maxMs + off + 7200000L, -1L, "purchase", -2L, 0.0))
       .toDF("ms", "user_id", "event_type", "event_id", "value")
-    Thread.sleep(1100) // file source orders batches by modification time
     jsonRows(sentinels(864000000L))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
-    Thread.sleep(1100)
     jsonRows(sentinels(1728000000L))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
+    // The file source orders batches by mtime; pin explicit monotonic
+    // stamps so batch order never depends on filesystem mtime granularity
+    // or write speed (wall-clock sleeps are a flaky substitute).
+    graft.util.FsUtil.pinMtimes(s"$root/src/b1", 1000000L)
+    graft.util.FsUtil.pinMtimes(s"$root/src/b2", 2000000L)
+    graft.util.FsUtil.pinMtimes(s"$root/src/b3", 3000000L)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
     val src = s.readStream.schema("value STRING")

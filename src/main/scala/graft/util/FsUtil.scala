@@ -11,4 +11,16 @@ object FsUtil {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** Pin the modification time of every regular file under `dir` to `ts`
+    * (epoch ms). The file stream source orders batches by mtime; explicit
+    * monotonic stamps make multi-batch harness inputs deterministic on any
+    * filesystem (coarse-mtime or fast writers would otherwise tie). */
+  def pinMtimes(dir: String, ts: Long): Unit = {
+    def walk(f: File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else { f.setLastModified(ts); () }
+    walk(new File(dir))
+  }
 }

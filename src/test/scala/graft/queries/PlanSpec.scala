@@ -916,13 +916,20 @@ class PlanSpec extends SparkSpec {
     val plan = executed(CoreQueries.q245TheilSen(spark, dir))
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
       "pair generation must key on the flag")
-    val scans = plan.collectLeaves().map(_.toString)
-      .count(_.contains("lineitem.parquet"))
-    // two branches of the self-join each fold the corpus map-side first;
-    // the quadratic work happens after both folds
-    assert(scans <= 2, s"only the daily folds may scan the corpus, saw $scans")
-    assert("HashAggregate".r.findAllIn(plan.toString).size >= 2,
-      "the daily fold must partially aggregate map-side")
+    val p = plan.toString
+    // the corpus is scanned exactly once, behind the daily checkpoint —
+    // the final plan's leaves are the pinned daily/slope relations
+    assert(!plan.collectLeaves().map(_.toString)
+        .exists(_.contains("lineitem.parquet")),
+      "the corpus scan must be pinned behind the daily localCheckpoint")
+    // the median sort is bucket-decomposed: the row_number window
+    // partitions by (rf, bucket), never by the flag alone
+    assert("""windowspecdefinition\(rf#\d+, bucket#\d+""".r
+        .findFirstIn(p).isDefined,
+      "median selection must rank within (rf, bucket):\n" + p)
+    assert(!("""windowspecdefinition\(rf#\d+, slope_e6#\d+""".r
+        .findFirstIn(p).isDefined),
+      "no per-flag global rank over all slopes may remain:\n" + p)
   }
 
   test("q242/q243: the ser/de passes are join-free scan pipelines") {
