@@ -4462,8 +4462,48 @@ object CoreQueries {
       |       + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_e4
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q265
+
+  /** q265_recursive_cte — native `WITH RECURSIVE` SQL conformance (the
+    * engine's own SQL surface running the declarative transitive
+    * closure the reference's interface exposes — `bq query` at
+    * /root/reference/README.md:201 — rather than a hand-rolled loop):
+    * q172's BOM tree stated as a recursive CTE and executed by Spark's
+    * recursion operator, hash-gated against the SAME DuckDB recursive
+    * CTE that oracles q172. q172 stays the production plan (the
+    * level-synchronous checkpointed BFS a 1000-executor job actually
+    * wants — bounded lineage, pinned edge partitioning); this entry
+    * pins that the ENGINE's recursion semantics (anchor/step typing,
+    * path algebra, termination) agree with the standard.
+    *
+    * Scale shape: Spark executes the recursion as iterated union-loop
+    * steps over the same O(V+E) frontier joins; depth = O(log₁₀ |parts|).
+    * The anchor/step relation is the derived arithmetic tree, so the
+    * corpus is scanned once per level from the pruned part projection. */
+  def q265RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).select("p_partkey")
+      .createOrReplaceTempView("part_q265")
+    s.sql(
+      """WITH RECURSIVE bom(node, root, depth, path_qty) AS (
+        |  SELECT p_partkey, p_partkey, 0, CAST(1 AS BIGINT)
+        |  FROM part_q265 WHERE p_partkey <= 9
+        |  UNION ALL
+        |  SELECT c.p_partkey, b.root, b.depth + 1,
+        |         b.path_qty * (c.p_partkey % 5 + 1)
+        |  FROM bom b
+        |  JOIN part_q265 c ON CAST(floor(c.p_partkey / 10) AS BIGINT) = b.node
+        |                  AND c.p_partkey >= 10)
+        |SELECT node, root, depth, path_qty FROM bom ORDER BY node"""
+        .stripMargin)
+  }
+
+  /** q265 oracle: q172's recursive CTE verbatim — both engines state the
+    * identical declarative closure. */
+  val q265Sql: String = q172Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_sql_udf" -> (q260SqlUdf _),
+    "q265_recursive_cte" -> (q265RecursiveCte _),
     "q259_explode_outer" -> (q259ExplodeOuter _),
     "q255_csv_malformed" -> (q255CsvMalformed _),
     "q250_partition_expiry" -> (q250PartitionExpiry _),
@@ -4553,6 +4593,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q260_sql_udf" -> q260Sql,
+    "q265_recursive_cte" -> q265Sql,
     "q259_explode_outer" -> q259Sql,
     "q255_csv_malformed" -> q255Sql,
     "q250_partition_expiry" -> q250Sql,

@@ -1608,8 +1608,76 @@ object StreamQueries {
       |  CASE WHEN user_id % 5 = 0 THEN NULL ELSE segment END AS segment
       |FROM latest ORDER BY user_id""".stripMargin
 
+  /** q266_stream_coverage — [[graft.streaming.EventStream.coverageSpans]]
+    * under the driver gate: the streaming twin of q263's interval-coverage
+    * merge (open-span state per user, watermark-finalized spans — the
+    * uptime/viewability monitor as it deploys). Events become the same
+    * [st, st + 1–30 min) intervals as q263, stream through in three
+    * mtime-pinned waves (real data, then two far-future sentinel waves,
+    * the q244 recipe: wave k's watermark finalizes wave k−1's spans and
+    * the trailing no-data batch flushes the rest via state timeout), and
+    * the emitted span rows aggregate at read-back to exactly q263's
+    * per-user output — oracle = q263's batch SQL, one source of truth
+    * (the q89/q103 batch-twin discipline).
+    *
+    * Scale shape: one user_id-keyed exchange; per-key state is the OPEN
+    * spans only (arrival rate × watermark horizon, never stream history) —
+    * every span leaves the store the batch the watermark clears it. */
+  def q266StreamCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q266")
+    val iv = graft.Tables.events(s, dir).select(
+      unix_millis($"ts").as("st"),
+      (unix_millis($"ts") + ($"event_id" % 30 + 1) * 60000L).as("en"),
+      $"user_id")
+    // bounded driver-side scalar (one long), the IncrementalAgg rule
+    val maxEn = iv.agg(max($"en")).as[Long].head()
+    def jsonRows(df: DataFrame): DataFrame =
+      df.select(to_json(struct($"st", $"en", $"user_id")).as("value"))
+    jsonRows(iv.orderBy($"st", $"en"))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b1")
+    def sentinel(off: Long): DataFrame =
+      Seq((maxEn + off, maxEn + off + 1L, -1L)).toDF("st", "en", "user_id")
+    jsonRows(sentinel(864000000L))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
+    jsonRows(sentinel(1728000000L))
+      .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
+    graft.util.FsUtil.pinMtimes(s"$root/src/b1", 1000000L)
+    graft.util.FsUtil.pinMtimes(s"$root/src/b2", 2000000L)
+    graft.util.FsUtil.pinMtimes(s"$root/src/b3", 3000000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "st LONG, en LONG, user_id LONG")
+    val src = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/src/*")
+      .select(from_json($"value", schema).as("e"))
+      .select(timestamp_millis($"e.st").as("ts"), $"e.user_id".as("user_id"),
+        $"e.st".as("st"), $"e.en".as("en"))
+    withStreamPartitions(s) {
+      graft.streaming.EventStream.coverageSpans(
+          src.withWatermark("ts", "0 seconds")
+            .as[graft.streaming.EventStream.SpanRow])
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read.schema("user_id LONG, s0 LONG, e1 LONG").parquet(s"$root/out")
+      .filter($"user_id" >= 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"e1" - $"s0").as("covered_ms"),
+        max($"e1" - $"s0").as("max_span_ms"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q257_merge_evolve" -> (q257MergeEvolve _),
+    "q266_stream_coverage" -> (q266StreamCoverage _),
     "q253_stream_upsert" -> (q253StreamUpsert _),
     "q249_late_data_audit" -> (q249LateDataAudit _),
     "q244_stream_outer_join" -> (q244StreamOuterJoin _),
@@ -1636,6 +1704,9 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q257_merge_evolve" -> q257Sql,
+    // the flushed span stream must aggregate to the batch coverage merge —
+    // one source of truth with the q263 batch twin
+    "q266_stream_coverage" -> EventQueries.q263Sql,
     // the converged upsert table must BE the batch latest-per-key answer
     "q253_stream_upsert" -> EventQueries.q16Sql,
     "q249_late_data_audit" -> q249Sql,

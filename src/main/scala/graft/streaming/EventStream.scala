@@ -186,6 +186,59 @@ object EventStream {
       }
   }
 
+  final case class SpanRow(ts: java.sql.Timestamp, user_id: Long,
+                           st: Long, en: Long)
+  final case class SpanState(spans: List[(Long, Long)])
+  final case class SpanOut(user_id: Long, s0: Long, e1: Long)
+
+  /** Streaming interval-coverage merge — the stateful twin of the batch
+    * `q263_interval_coverage` (the uptime/viewability monitor as it
+    * actually deploys): per-key state is the OPEN coverage spans (the
+    * touch-closed union of every interval seen so far whose span the
+    * watermark has not yet passed), each batch's intervals merge into
+    * that set with one sorted sweep, and a span row is emitted exactly
+    * when the watermark clears its end — at that point no future
+    * interval (whose start is ≥ the watermark) can extend or merge it,
+    * so the emission is final. Coverage of a SET of intervals is
+    * order-independent (it is the union), so out-of-order arrival
+    * within the watermark is harmless by construction.
+    *
+    * State is O(open spans) per key — arrival rate × watermark delay,
+    * never stream history (the q163 bounded-state contract): every
+    * closed span leaves the store the batch the watermark passes it. */
+  def coverageSpans(intervals: Dataset[SpanRow]): Dataset[SpanOut] = {
+    import intervals.sparkSession.implicits._
+    intervals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpanState, SpanOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SpanRow], state: GroupState[SpanState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.spans).getOrElse(Nil)
+          val fresh = rows.map(r => (r.st, r.en)).toSeq.sortBy(identity)
+          // touch-closed union sweep ([a,b) ∪ [b,c) = [a,c), q263's
+          // st > prevMax break rule) over the already-disjoint prior
+          // spans and the batch's sorted intervals
+          val merged = List.newBuilder[(Long, Long)]
+          var cur: Option[(Long, Long)] = None
+          for ((s0, e1) <- (prior ++ fresh).sortBy(identity)) cur match {
+            case Some((cs, ce)) if s0 <= ce => cur = Some((cs, math.max(ce, e1)))
+            case Some(c) => merged += c; cur = Some((s0, e1))
+            case None => cur = Some((s0, e1))
+          }
+          cur.foreach(merged += _)
+          // a span whose end the watermark passed can never be touched
+          // again (future starts are ≥ wm > end) — emit and drop it
+          val (done, open) = merged.result().partition(_._2 < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SpanState(open))
+            state.setTimeoutTimestamp(math.max(open.head._2, wm + 1))
+          }
+          done.iterator.map { case (s0, e1) => SpanOut(uid, s0, e1) }
+      }
+  }
+
   final case class FunnelEvent(ts: java.sql.Timestamp, user_id: Long,
                                event_type: String)
   /** -1 = stage not reached (case-class state must be flat for the
