@@ -6,8 +6,30 @@ import org.apache.spark.sql.SparkSession
   * run with the same scale-aware defaults. */
 object GraftSession {
 
+  /** Streaming state store backend. `hdfs` (default) is the in-memory
+    * HDFS-backed provider — state lives on the JVM heap, fine for the
+    * gate/bench corpora. `rocksdb` is the 100 TB/day production dial:
+    * `RocksDBStateStoreProvider` keeps state off-heap in a local RocksDB
+    * instance (bounded memory, spills to local disk) with changelog
+    * checkpointing so per-batch checkpoint cost is the CHANGE volume, not
+    * a full SST upload. Every stateful gate is hash-identical under both
+    * (see SCALE.md) — the dial changes residency, never semantics. */
+  def stateStore(b: SparkSession.Builder, backend: String): SparkSession.Builder =
+    backend match {
+      case "rocksdb" => b
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case "hdfs" => b
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_STORE must be hdfs or rocksdb, got: $other")
+    }
+
   /** Configs that must be on every session running this engine. */
-  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = b
+  def tune(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder = stateStore(b,
+      sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs"))
     .config("spark.sql.extensions", "graft.privacy.GraftExtensions")
     .config("spark.sql.shuffle.partitions", shufflePartitions)
     .config("spark.sql.adaptive.enabled", "true")

@@ -103,6 +103,19 @@ object ScaleUp {
           val full = if (i < 64) rotExpr
             else s"transform($rotExpr, x -> -x)"
           shifted.withColumn("embedding", expr(full))
+        case "customer" =>
+          // q226/q164 key on c_name CONTENT; verbatim copies would create
+          // ×C(N,2) cross-copy distance-0 name pairs — an adversarial
+          // duplicate density no organic corpus has. Fixed-width per-copy
+          // prefix ("Custom<ii>#" for "Customer#"): length 18 and the '#'
+          // at char 9 are preserved, within-copy blocks/tails/distances
+          // are exactly the base corpus's (levenshtein(P+a, P+b) =
+          // levenshtein(a, b) for a shared equal-length prefix), and
+          // cross-copy q226 blocks are disjoint (the copy digits sit
+          // inside the 16-char block key) — name-pair output scales ×N,
+          // not ×N².
+          shifted.withColumn("c_name",
+            concat(lit(f"Custom$i%02d#"), substring(col("c_name"), 10, 9)))
         case _ => shifted
       }
     }.reduce(_ unionByName _)

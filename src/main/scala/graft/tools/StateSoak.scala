@@ -44,7 +44,7 @@ import graft.streaming.EventStream
 object StateSoak {
 
   private final case class Tick(batch: Long, inputRows: Long, stateRows: Long,
-                                watermark: String)
+                                stateBytes: Long, watermark: String)
 
   private def runOne(spark: SparkSession, name: String, feed: String,
                      batches: Int, op: DataFrame => DataFrame): Seq[Tick] = {
@@ -64,6 +64,7 @@ object StateSoak {
           ticks += Tick(e.progress.batchId,
             e.progress.numInputRows,
             e.progress.stateOperators.map(_.numRowsTotal).sum,
+            e.progress.stateOperators.map(_.memoryUsedBytes).sum,
             Option(e.progress.eventTime.get("watermark")).getOrElse(""))
         }
     }
@@ -125,6 +126,15 @@ object StateSoak {
       "sessions" -> (df => EventStream.gapSessions(df)),
       "windows" -> (df => EventStream.hourlyStats(df)),
       "dedup_ttl" -> (df => EventStream.dedupById(df)),
+      "coverage" -> (df => {
+        val ss = df.sparkSession; import ss.implicits._
+        EventStream.coverageSpans(df
+          .withColumn("st", col("ms"))
+          .withColumn("en", col("ms") + (col("event_id") % 30 + 1) * 60000L)
+          .withWatermark("ts", "2 hours")
+          .select($"ts", $"user_id", $"st", $"en")
+          .as[EventStream.SpanRow]).toDF()
+      }),
       "dedup_unbounded" -> (df => df.dropDuplicates("event_id")))
 
     val results = ops.map { case (name, op) =>
@@ -138,10 +148,12 @@ object StateSoak {
 
     val json = results.map { case (name, ticks, peak, midMax, lastMax, flat) =>
       val curve = ticks.map(t =>
-        s"""{"batch":${t.batch},"input":${t.inputRows},"state":${t.stateRows},"wm":"${t.watermark}"}""")
+        s"""{"batch":${t.batch},"input":${t.inputRows},"state":${t.stateRows},"state_bytes":${t.stateBytes},"wm":"${t.watermark}"}""")
         .mkString("[", ",", "]")
       s""""$name":{"peak":$peak,"mid_max":$midMax,"last_quarter_max":$lastMax,"flat":$flat,"curve":$curve}"""
-    }.mkString("{", ",", s""","batches":$batches,"rows":$total,"sf":"$sfDir"}""")
+    }.mkString("{", ",",
+      s""","batches":$batches,"rows":$total,"sf":"$sfDir","state_store":"${
+        sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")}"}""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("state_soak.json"), json)
     println(json.take(512) + (if (json.length > 512) "..." else ""))
     spark.stop()
