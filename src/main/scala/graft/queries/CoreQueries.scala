@@ -4064,25 +4064,47 @@ object CoreQueries {
           lit("1990-01-01").cast("date")).cast("long").as("d"))
       .agg(sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("y"))
       .localCheckpoint()
+    // block-decomposed pair GENERATION: a join keyed on rf alone would
+    // expand all ~|days|²/2 pairs per flag in ONE task per flag (|flags|
+    // of 32 cores busy); day-mod-G blocks give (rf, block) join keys —
+    // |flags|·G of them — with each (ga, gb) block pair produced exactly
+    // once, so the same pair set materializes across every core. The
+    // left side replicates ×G against the constant block-pair relation
+    // (|days|·G rows — trivial next to the pair output itself).
+    val G = 64
+    val pairsIdx = broadcast((for { i <- 0 until G; j <- 0 until G }
+      yield (i, j)).toDF("ga", "gbp"))
     val slopes = daily.toDF("rf", "da", "ya")
-      .join(daily.toDF("rf2", "db", "yb"), $"rf" === $"rf2" && $"da" < $"db")
+      .withColumn("ga", pmod($"da", lit(G)).cast("int"))
+      .join(pairsIdx, "ga")
+      .join(daily.toDF("rf2", "db", "yb")
+          .withColumn("gb", pmod($"db", lit(G)).cast("int")),
+        $"rf" === $"rf2" && $"gbp" === $"gb" && $"da" < $"db")
       .select($"rf",
         floor(($"yb" - $"ya") * lit(1000000.0) / ($"db" - $"da"))
           .cast("long").as("slope_e6"))
       .localCheckpoint() // two consumers: bucket counts + target-bucket sort
     val nb = 1024
-    // slope bounds from the daily extents; n_pairs = nd·(nd−1)/2 exactly
+    // slope bounds from the daily extents; n_pairs = nd·(nd−1)/2 exactly.
+    // The bucket map is SIGNED-LOG, not uniform-width: slopes concentrate
+    // near 0 (typical divisor db−da ≈ hundreds of days) while the domain
+    // bound ±span(y)·1e6 is attained only at adjacent days — uniform
+    // buckets over that range put ~half the mass in the central bucket
+    // (measured: 4.5M of 9.4M rows at sf0.1), un-decomposing the sort.
+    // sign(s)·log1p(|s|) is strictly monotone in s (so prefix counts and
+    // rank selection are unchanged) and spreads the heavy-centered
+    // distribution: max bucket ≈ 48k rows at sf0.1, 94× smaller.
     val ext = daily.groupBy($"rf")
       .agg(count(lit(1)).as("nd"), min($"y").as("ymin"), max($"y").as("ymax"))
       .select($"rf", expr("nd * (nd - 1) div 2").as("cnt"),
-        (($"ymin" - $"ymax") * 1000000L).as("lo"),
-        (($"ymax" - $"ymin") * 1000000L + 1L).as("hix"))
+        log1p(($"ymax" - $"ymin").cast("double") * 1000000.0).as("vmax"))
     // monotone bucket map (double rounding near the extremes only ever
-    // shifts a boundary slope one bucket over — hence the clamps)
+    // shifts a boundary slope one bucket over — hence the clamps; the
+    // +1e-9 keeps the all-slopes-equal degenerate flag off NaN)
     val b = slopes.join(broadcast(ext), "rf")
+      .withColumn("v", signum($"slope_e6") * log1p(abs($"slope_e6")))
       .withColumn("bucket", greatest(lit(0L), least(lit(nb - 1L),
-        floor(($"slope_e6" - $"lo").cast("double")
-          / ($"hix" - $"lo").cast("double") * nb).cast("long"))))
+        floor(($"v" + $"vmax") / ($"vmax" * 2 + 1e-9) * nb).cast("long"))))
       .select($"rf", $"slope_e6", $"bucket")
     val wB = Window.partitionBy($"rf").orderBy($"bucket")
     val tgt = b.groupBy($"rf", $"bucket").agg(count(lit(1)).as("bn"))

@@ -88,7 +88,7 @@ object DumpPlans {
     "q238_markov_conversion" -> "corpus folds to the transition matrix on ONE user_id partitioning; 6 chain rounds on the O(1) matrix",
     "q240_embed_gram" -> "join-free: 36-cell narrow explode + map-side partial agg, one tiny exchange",
     "q241_ohlc_bars" -> "open/close marking and the bar fold share one (type,hour) exchange",
-    "q245_theil_sen" -> "daily fold map-side FIRST; the quadratic pair join sees only calendar-bounded cells",
+    "q245_theil_sen" -> "daily fold map-side FIRST (checkpoint-pinned); bucket-decomposed median selection — the rank window partitions by (rf, bucket), never one task per flag",
     "q251_dataset_card" -> "one scan; both distincts ride one source-keyed exchange via Expand",
     "q252_sort_limit_offset" -> "TakeOrderedAndProject: offset+limit rows per partition, no global sort",
     "q254_ann_filtered" -> "label equality INSIDE the broadcast join — pre-filter, scored pairs k-bounded per label",

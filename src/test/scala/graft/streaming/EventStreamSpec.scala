@@ -326,4 +326,62 @@ class EventStreamSpec extends SparkSpec {
     assert(out === Seq((7L, 1L), (7L, 1L), (7L, 2L), (8L, 1L)),
       s"got $out — after the TTL drop, user 7 restarts at a fresh stage-1 view")
   }
+
+  test("coverageSpans: overlap/touch merges, cross-batch extension, watermark finalization") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("covspans")
+    val min = 60000L
+    val base = 1700000000000L
+    def write(name: String, mtime: Long, rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.map { case (uid, st, en) =>
+        s"""{"user_id":$uid,"st":$st,"en":$en}"""
+      }.toDF("value").coalesce(1).write.mode("append").text(s"$root/src/$name")
+      graft.util.FsUtil.pinMtimes(s"$root/src/$name", mtime)
+    }
+    // b1: user 1 — overlapping pair + a touching interval (one span), then
+    // a disjoint later interval; user 2 — one interval. Deliberately NOT
+    // sorted: coverage is a function of the interval SET.
+    write("b1", 1000000L, Seq(
+      (1L, base + 5 * min, base + 20 * min),
+      (1L, base, base + 10 * min),
+      (1L, base + 20 * min, base + 30 * min), // touch: [a,b) ∪ [b,c) merges
+      (1L, base + 60 * min, base + 70 * min),
+      (2L, base, base + 5 * min)))
+    // b2: extends user 1's open second span ACROSS the batch boundary; its
+    // own watermark (max b1 ts = base+60m) finalizes the earlier spans
+    write("b2", 2000000L, Seq(
+      (1L, base + 68 * min, base + 80 * min),
+      (99L, base + 10000 * min, base + 10000 * min + 1)))
+    // b3: pushes the watermark past b2's rows so the extended span flushes
+    write("b3", 3000000L, Seq(
+      (99L, base + 20000 * min, base + 20000 * min + 1)))
+
+    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id LONG, st LONG, en LONG")).as("e"))
+      .select(expr("timestamp_millis(e.st)").as("ts"),
+        $"e.user_id", $"e.st", $"e.en")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.SpanRow]
+
+    val q = EventStream.coverageSpans(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$root/out")
+      .as[EventStream.SpanOut].collect()
+      .filter(_.user_id <= 2).sortBy(r => (r.user_id, r.s0))
+    assert(out.toSeq === Seq(
+      EventStream.SpanOut(1L, base, base + 30 * min),
+      EventStream.SpanOut(1L, base + 60 * min, base + 80 * min),
+      EventStream.SpanOut(2L, base, base + 5 * min)),
+      s"got: ${out.mkString(" / ")}")
+  }
 }
