@@ -1088,6 +1088,64 @@ object StreamQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q267_stream_dedup_wm — Spark's NATIVE `dropDuplicatesWithinWatermark`
+    * (the built-in TTL'd dedup operator) under the driver gate. q107 gates
+    * the unbounded native dedup (state = every key ever seen, the
+    * documented contrast line in the soak); q163 gates a CUSTOM
+    * bounded-state dedup (mapGroupsWithState with explicit TTL). This row
+    * completes the family with the ENGINE's own bounded-state operator:
+    * state holds a key only within the watermark horizon of its first
+    * arrival, which is the production dedup for at-least-once sources
+    * whose duplicates cluster in time (checkpoint replays, unacked
+    * redeliveries) — exactly the Pub/Sub redelivery window of the
+    * reference's subscription (/root/reference/terraform/main.tf:389-415).
+    *
+    * Gate arrangement: the horizon (60 days) exceeds the corpus's
+    * event-time span (~30 days), so every duplicate provably falls inside its key's
+    * retention window and the emitted set is EXACTLY one row per distinct
+    * key — `SELECT DISTINCT` as the oracle, the q107 discipline (only key
+    * columns exported, so the gate is immune to which arrival is kept).
+    * The horizon dial is the deployment's duplicate-window bound, like
+    * q103's watermark delay; state is O(keys within horizon) — the q163
+    * bound — which the soak instrument demonstrates for the family.
+    *
+    * Scale shape: one key-hashed exchange into the state store; unlike
+    * q107 the store EVICTS keys as the watermark passes their horizon, so
+    * a 100 TB/day stream holds arrival-rate × horizon keys, not history. */
+  def q267StreamDedupWm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.HarnessDirs.newDir("q267")
+
+    val ev = graft.Tables.events(s, dir)
+      .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type")
+    ev.select(to_json(struct($"ms", $"user_id", $"event_type")).as("value"))
+      .repartition(8)
+      .write.mode("overwrite").text(s"$root/src")
+
+    val src = s.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$root/src")
+      .select(from_json($"value", org.apache.spark.sql.types.StructType
+        .fromDDL("ms LONG, user_id LONG, event_type STRING")).as("e"))
+      .select(timestamp_millis($"e.ms").as("ts"), $"e.user_id".as("user_id"),
+        $"e.event_type".as("event_type"))
+    withStreamPartitions(s) {
+      src.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    s.read.schema("user_id LONG, event_type STRING").parquet(s"$root/out")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** q110_stream_window — the NATIVE watermarked tumbling-window
     * aggregation (append mode) under the driver gate: per (hour-window,
     * event_type) counts and grid-exact value sums, emitted only when the
@@ -1689,6 +1747,7 @@ object StreamQueries {
     "q114_stream_enrich" -> (q114StreamEnrich _),
     "q110_stream_window" -> (q110StreamWindow _),
     "q107_stream_dedup" -> (q107StreamDedup _),
+    "q267_stream_dedup_wm" -> (q267StreamDedupWm _),
     "q103_stream_sessions" -> (q103StreamSessions _),
     "q31_stream_e2e"  -> (q31StreamE2e _),
     "q122_sink_compact" -> (q122SinkCompact _),
@@ -1721,6 +1780,9 @@ object StreamQueries {
     "q114_stream_enrich" -> q114Sql,
     "q110_stream_window" -> q110Sql,
     "q107_stream_dedup" -> q107Sql,
+    // the TTL'd native dedup under a horizon covering the corpus: the
+    // emitted set must BE the distinct key set, same oracle as q107
+    "q267_stream_dedup_wm" -> q107Sql,
     "q103_stream_sessions" -> q103Sql,
     "q31_stream_e2e"  -> q31Sql,
     "q122_sink_compact" -> q122Sql,
