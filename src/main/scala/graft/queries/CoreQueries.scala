@@ -4523,8 +4523,82 @@ object CoreQueries {
     * identical declarative closure. */
   val q265Sql: String = q172Sql
 
+  // ---------------------------------------------------------------- q268
+
+  /** q268_array_conformance — array/set-function sweep (the collection
+    * surface q213's higher-order functions and q246's string sweep leave
+    * ungated): distinct, intersect, union, except, overlap, position,
+    * remove, flatten, contains, cardinality over word arrays split from
+    * part names/types. Multiset-order-sensitive results are wrapped in
+    * `array_sort` on BOTH engines, so the gate pins the SET semantics
+    * each function promises (dedup behavior, 1-based/0-absent position,
+    * remove-all-occurrences) rather than engine-internal element order —
+    * the honest cross-engine statement, spelled with list_* equivalents
+    * in the oracle.
+    *
+    * Scale shape: row-local codegen'd collection ops, zero shuffles — a
+    * pure scan pipeline at any scale. */
+  def q268ArrayConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // a2 shares a1's 2nd-3rd words (plus the lowercased type words), so
+    // the set operations have real content: intersections are non-empty,
+    // differences non-trivial, and overlap of a1's FIRST word varies with
+    // whether a name repeats a word
+    Tables.part(s, dir)
+      .select($"p_partkey", split($"p_name", " ").as("a1"),
+        split(lower($"p_type"), " ").as("tw"))
+      .select($"p_partkey", $"a1",
+        concat(slice($"a1", 2, 2), $"tw").as("a2"))
+      .select($"p_partkey",
+        array_join(array_sort(array_distinct($"a1")), ",").as("t_distinct"),
+        array_join(array_sort(array_intersect($"a1", $"a2")), ",")
+          .as("t_intersect"),
+        array_join(array_sort(array_union($"a1", $"a2")), ",").as("t_union"),
+        array_join(array_sort(array_except($"a1", $"a2")), ",").as("t_except"),
+        arrays_overlap(slice($"a1", 1, 1), $"a2").as("t_overlap"),
+        array_position($"a1", "red").cast("long").as("t_pos"),
+        array_join(array_sort(array_remove($"a1", "red")), ",")
+          .as("t_remove"),
+        array_join(array_sort(flatten(array($"a1", $"a2"))), ",")
+          .as("t_flatten"),
+        array_contains($"a2", "small").as("t_contains"),
+        size(array_union($"a1", $"a2")).cast("long").as("t_card"))
+      .orderBy($"p_partkey")
+  }
+
+  /** q268 oracle: DuckDB's list_* spellings of the same set semantics
+    * (intersect/union/except via distinct+filter — the set definitions
+    * stated explicitly; list_position is NULL-absent where Spark is
+    * 0-absent, hence the coalesce). */
+  val q268Sql: String =
+    """SELECT p_partkey,
+      |  coalesce(array_to_string(list_sort(list_distinct(a1)), ','), '')
+      |    AS t_distinct,
+      |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a1),
+      |      x -> list_contains(a2, x))), ','), '') AS t_intersect,
+      |  coalesce(array_to_string(
+      |      list_sort(list_distinct(list_concat(a1, a2))), ','), '')
+      |    AS t_union,
+      |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a1),
+      |      x -> NOT list_contains(a2, x))), ','), '') AS t_except,
+      |  len(list_filter(a1[1:1], x -> list_contains(a2, x))) > 0
+      |    AS t_overlap,
+      |  CAST(coalesce(list_position(a1, 'red'), 0) AS BIGINT) AS t_pos,
+      |  coalesce(array_to_string(
+      |      list_sort(list_filter(a1, x -> x <> 'red')), ','), '')
+      |    AS t_remove,
+      |  coalesce(array_to_string(list_sort(list_concat(a1, a2)), ','), '')
+      |    AS t_flatten,
+      |  list_contains(a2, 'small') AS t_contains,
+      |  CAST(len(list_distinct(list_concat(a1, a2))) AS BIGINT) AS t_card
+      |FROM (SELECT p_partkey, a1, list_concat(a1[2:3], tw) AS a2
+      |      FROM (SELECT p_partkey, string_split(p_name, ' ') AS a1,
+      |              string_split(lower(p_type), ' ') AS tw FROM part))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_sql_udf" -> (q260SqlUdf _),
+    "q268_array_conformance" -> (q268ArrayConformance _),
     "q265_recursive_cte" -> (q265RecursiveCte _),
     "q259_explode_outer" -> (q259ExplodeOuter _),
     "q255_csv_malformed" -> (q255CsvMalformed _),
@@ -4616,6 +4690,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q260_sql_udf" -> q260Sql,
     "q265_recursive_cte" -> q265Sql,
+    "q268_array_conformance" -> q268Sql,
     "q259_explode_outer" -> q259Sql,
     "q255_csv_malformed" -> q255Sql,
     "q250_partition_expiry" -> q250Sql,
