@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // extra per-run JVM flags (e.g. SPARK_GRAFT_JAVA_OPTS="-Xlog:gc:file=…"
   // for the scale runs' GC telemetry) — space-separated, optional
-  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
+  // filter blanks: an empty/whitespace value would otherwise inject a
+  // single "" javaOption ("".split returns Array("")) and break the fork
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

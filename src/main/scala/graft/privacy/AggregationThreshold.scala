@@ -418,6 +418,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.functions.expressions.{DotProduct, IntersectSize, MinHashSignature, NearestCentroid, RepetitionStats, Shingles, SimHash16, Winnow, ZOrder}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // authorization (WHO) before policy (HOW): a rejected principal learns
+    // nothing about the view's policy shape from the error it gets
+    ext.injectPostHocResolutionRule(s => new ViewAclRule(s))
     ext.injectPostHocResolutionRule(s => new AggregationThresholdRule(s))
     ext.injectPostHocResolutionRule(s => new JoinRestrictionRule(s))
     ext.injectFunction((

@@ -114,8 +114,13 @@ object ScaleUp {
           // cross-copy q226 blocks are disjoint (the copy digits sit
           // inside the 16-char block key) — name-pair output scales ×N,
           // not ×N².
-          shifted.withColumn("c_name",
-            concat(lit(f"Custom$i%02d#"), substring(col("c_name"), 10, 9)))
+          // the %02d prefix is width-correct only for i < 100; at i >= 100
+          // it widens to 3 digits and silently breaks the fixed-width-18 /
+          // '#'-at-char-9 invariant the block keys depend on — fail loudly
+          shifted.withColumn("c_name", {
+            require(i < 100, s"c_name salt scheme supports copy index < 100, got $i")
+            concat(lit(f"Custom$i%02d#"), substring(col("c_name"), 10, 9))
+          })
         case _ => shifted
       }
     }.reduce(_ unionByName _)

@@ -20,7 +20,7 @@ object FsUtil {
     def walk(f: File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
-      else { f.setLastModified(ts); () }
+      else require(f.setLastModified(ts), s"failed to pin mtime on $f")
     walk(new File(dir))
   }
 }

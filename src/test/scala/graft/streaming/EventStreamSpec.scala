@@ -34,14 +34,18 @@ class EventStreamSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     sentinels.toDF("value").coalesce(1).write.mode("append").text(s"$root/src/b2")
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+    // maxFilesPerTrigger is a file-SOURCE option: on writeStream it is
+    // silently ignored, all mtime-pinned waves collapse into ONE
+    // AvailableNow batch, and the cross-batch state-merge path these
+    // tests exist to pin is never exercised
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1").text(s"$root/src/*")
       .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
     val q = f(src).writeStream
       .format("parquet")
       .outputMode("append")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -164,7 +168,12 @@ class EventStreamSpec extends SparkSpec {
     write("b2", Seq((base + 10000 * min, 99L, "view", 0.0)))
     write("b3", Seq((base + 20000 * min, 99L, "view", 0.0)))
 
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+    // maxFilesPerTrigger is a file-SOURCE option: on writeStream it is
+    // silently ignored, all mtime-pinned waves collapse into ONE
+    // AvailableNow batch, and the cross-batch state-merge path these
+    // tests exist to pin is never exercised
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1").text(s"$root/src/*")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
         "ts_ms LONG, user_id LONG, event_type STRING, value DOUBLE")).as("e"))
       .select(expr("timestamp_millis(e.ts_ms)").as("ts"),
@@ -177,7 +186,6 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -203,14 +211,18 @@ class EventStreamSpec extends SparkSpec {
     Thread.sleep(1100) // file source orders batches by modification time
     asJson(ev.orderBy("event_id").limit(200)).write.mode("append").text(s"$root/src/b2")
 
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+    // maxFilesPerTrigger is a file-SOURCE option: on writeStream it is
+    // silently ignored, all mtime-pinned waves collapse into ONE
+    // AvailableNow batch, and the cross-batch state-merge path these
+    // tests exist to pin is never exercised
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1").text(s"$root/src/*")
       .select(from_json(col("value"), ev.schema).as("e")).select("e.*")
     EventStream.dedupById(src).writeStream
       .format("parquet")
       .outputMode("append")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
@@ -246,7 +258,12 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Files.setLastModifiedTime(f.toPath,
         java.nio.file.attribute.FileTime.fromMillis(t0 + 10000)))
 
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+    // maxFilesPerTrigger is a file-SOURCE option: on writeStream it is
+    // silently ignored, all mtime-pinned waves collapse into ONE
+    // AvailableNow batch, and the cross-batch state-merge path these
+    // tests exist to pin is never exercised
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1").text(s"$root/src/*")
       .select(from_json(col("value"), ev.schema).as("e"))
       .select(col("e.ts"), col("e.user_id"), col("e.event_type"))
       .as[EventStream.FunnelEvent]
@@ -255,7 +272,6 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
       .awaitTermination()
@@ -357,7 +373,12 @@ class EventStreamSpec extends SparkSpec {
     write("b3", 3000000L, Seq(
       (99L, base + 20000 * min, base + 20000 * min + 1)))
 
-    val src = spark.readStream.schema("value STRING").text(s"$root/src/*")
+    // maxFilesPerTrigger is a file-SOURCE option: on writeStream it is
+    // silently ignored, all mtime-pinned waves collapse into ONE
+    // AvailableNow batch, and the cross-batch state-merge path these
+    // tests exist to pin is never exercised
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", "1").text(s"$root/src/*")
       .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
         "user_id LONG, st LONG, en LONG")).as("e"))
       .select(expr("timestamp_millis(e.st)").as("ts"),
@@ -370,7 +391,6 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .option("path", s"$root/out")
       .option("checkpointLocation", s"$root/ckpt")
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
