@@ -26,8 +26,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - a subquery alias sharing the view's name is not a [[View]] node and
   *     carries no properties — never enforced against;
   *   - enforcement composes with the policy rules: authorization is checked
-  *     first (a rejected principal learns nothing, not even whether the
-  *     view aggregates), then the surviving plan still passes the
+  *     first (a rejected principal's QUERY returns nothing, not even whether
+  *     the view aggregates — see "Scope of concealment" below for the
+  *     metadata-command caveat), then the surviving plan still passes the
   *     aggregation-threshold / join-restriction walks.
   *
   * The caller's identity is session-tagged (`spark.graft.principal` in the
@@ -35,6 +36,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * authenticated identity; on a multi-tenant cluster each SparkSession is
   * one principal). Enforcement is analysis-time only: zero runtime cost,
   * and a denial is an [[PolicyViolationException]] before any task runs.
+  *
+  * TRUST BOUNDARY — what this rule does and does not defend: the principal
+  * is an ordinary session conf, and nothing here prevents the query author
+  * from running `SET spark.graft.principal=alice`. Within this package's
+  * own threat model ("the query author is the adversary") the ACL is
+  * therefore NOT a defense by itself — it is the enforcement half of a
+  * deployment where the session broker sets the conf from an authenticated
+  * identity and the SQL gateway strips `SET` on the `spark.graft.*`
+  * namespace (exactly as a real cluster injects, and pins, its IAM
+  * identity). ViewAclSpec pins the current behavior (a SQL `SET` IS
+  * honored) so the boundary stays explicit rather than assumed.
+  *
+  * Scope of concealment: a rejected principal learns nothing FROM QUERY
+  * RESULTS — not even whether the view aggregates — because denial
+  * precedes the policy rules. Metadata commands (`SHOW CREATE TABLE`,
+  * `DESCRIBE EXTENDED`, `SHOW TBLPROPERTIES`) contain no [[View]] node and
+  * are not intercepted: the view's SQL text and policy properties remain
+  * catalog-readable, as they are in BigQuery's authorized-view model
+  * (authorization gates the DATA, catalog metadata visibility is governed
+  * separately).
   *
   * Semantics:
   *   - no ACL property on the view → the view is not access-controlled
@@ -78,14 +99,20 @@ object ViewAcl {
       props + (PrincipalsProp -> encode((existing ++ principals).toSeq))
     })
 
-  /** Remove `principals` from the view's ACL. The ACL property REMAINS
-    * (possibly empty = locked): revoking the last grant must not silently
-    * re-open the view — dropping access control entirely is [[clear]]. */
+  /** Remove `principals` from the view's ACL. On a view that HAS an ACL the
+    * property REMAINS after the call (possibly empty = locked): revoking the
+    * last grant must not silently re-open the view — dropping access control
+    * entirely is [[clear]]. On a view with NO ACL the call is a no-op:
+    * revoking from an uncontrolled view must not stamp an empty ACL and
+    * lock out everyone including the owner. */
   def revoke(spark: SparkSession, viewName: String, principals: Seq[String]): Unit =
-    PolicyCatalog.updatePropertiesOf(spark, viewName, props => {
-      val existing = props.get(PrincipalsProp).map(decode).getOrElse(Set.empty)
-      props + (PrincipalsProp -> encode((existing -- principals.map(_.trim)).toSeq))
-    })
+    PolicyCatalog.updatePropertiesOf(spark, viewName, props =>
+      props.get(PrincipalsProp) match {
+        case None => props // uncontrolled view: revoke is a no-op, never a lock
+        case Some(aclStr) =>
+          props + (PrincipalsProp ->
+            encode((decode(aclStr) -- principals.map(_.trim)).toSeq))
+      })
 
   /** Drop access control from the view (back to not-access-controlled). */
   def clear(spark: SparkSession, viewName: String): Unit =

@@ -4523,6 +4523,62 @@ object CoreQueries {
     * identical declarative closure. */
   val q265Sql: String = q172Sql
 
+  // ---------------------------------------------------------------- q269
+
+  /** q269_deep_recursion — the DEPTH axis of the native-recursion envelope
+    * (q265 pins a depth-4/fanout-10 tree; this pins a 120-level LINEAR
+    * chain): a key-successor walk over `customer` carrying a running
+    * e2-grid balance sum, deep enough that the engine's DEFAULT depth cap
+    * (`spark.sql.cteRecursionLevelLimit` = 100 — exceeded ⇒ the query
+    * FAILS, it never silently loops; RecursionEnvelopeSpec pins that
+    * failure, plus the row cap and cycle behavior) must be RAISED for the
+    * query to complete. The gate therefore proves the raised-limit path
+    * end-to-end: 121 rows, every level's running sum hash-matched against
+    * DuckDB executing the identical declarative chain.
+    *
+    * Scale shape: each level is one join of a 1-row frontier against the
+    * key-pruned scan (`c_custkey <= 121` pushed to parquet) — depth-bound,
+    * not corpus-bound; the production form for million-level chains is
+    * q172's level-synchronous checkpointed BFS (bounded lineage), exactly
+    * as q265's scaladoc divides the labor. */
+  def q269DeepRecursion(s: SparkSession, dir: String): DataFrame = {
+    // raised for the session: the cap is read at execution time, and the
+    // default (100) is below this chain's 120 levels by design
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "600")
+    Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+      .createOrReplaceTempView("customer_q269")
+    s.sql(
+      """WITH RECURSIVE chain(k, depth, bal_e2, path_bal_e2) AS (
+        |  SELECT c_custkey, 0,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM customer_q269 WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.depth + 1,
+        |         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT),
+        |         ch.path_bal_e2 + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+        |  FROM chain ch JOIN customer_q269 c ON c.c_custkey = ch.k + 1
+        |  WHERE ch.depth < 120)
+        |SELECT k, depth, bal_e2, path_bal_e2 FROM chain ORDER BY k"""
+        .stripMargin)
+  }
+
+  /** q269 oracle: the identical declarative chain (DuckDB enforces no
+    * default depth cap; the SQL is engine-portable as written). */
+  val q269Sql: String =
+    """WITH RECURSIVE chain(k, depth, bal_e2, path_bal_e2) AS (
+      |  SELECT c_custkey, 0,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, ch.depth + 1,
+      |         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT),
+      |         ch.path_bal_e2 + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+      |  FROM chain ch JOIN customer c ON c.c_custkey = ch.k + 1
+      |  WHERE ch.depth < 120)
+      |SELECT k, depth, bal_e2, path_bal_e2 FROM chain ORDER BY k""".stripMargin
+
   // ---------------------------------------------------------------- q268
 
   /** q268_array_conformance — array/set-function sweep (the collection
@@ -4600,6 +4656,7 @@ object CoreQueries {
     "q260_sql_udf" -> (q260SqlUdf _),
     "q268_array_conformance" -> (q268ArrayConformance _),
     "q265_recursive_cte" -> (q265RecursiveCte _),
+    "q269_deep_recursion" -> (q269DeepRecursion _),
     "q259_explode_outer" -> (q259ExplodeOuter _),
     "q255_csv_malformed" -> (q255CsvMalformed _),
     "q250_partition_expiry" -> (q250PartitionExpiry _),
@@ -4690,6 +4747,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q260_sql_udf" -> q260Sql,
     "q265_recursive_cte" -> q265Sql,
+    "q269_deep_recursion" -> q269Sql,
     "q268_array_conformance" -> q268Sql,
     "q259_explode_outer" -> q259Sql,
     "q255_csv_malformed" -> q255Sql,

@@ -281,7 +281,57 @@ object PrivacyQueries {
       |    AS noisy_n_e2
       |FROM u ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+
+  /** q270_view_acl — the WHO axis of the clean room gated end-to-end:
+    * a publisher shares `orders` as a view ACL'd to the `subscriber`
+    * principal AND carrying the q22 aggregation-threshold policy (the HOW).
+    * The gate first EXECUTES the deny paths on the real view — an
+    * unauthorized principal and an anonymous session are both rejected at
+    * analysis time with the authorization error (never the policy error:
+    * WHO is checked before HOW, so a rejected principal learns nothing
+    * about the view's aggregation policy) — then runs the subscriber's
+    * thresholded daily aggregate, hash-matched against the oracle's
+    * explicit HAVING rewrite. Mirrors the reference's principal-scoped
+    * sharing (`/root/reference/terraform/main.tf:437-440` IAM grants;
+    * `/root/reference/sql/sp_demo_cleanroom.sql:20-27`).
+    *
+    * Scale shape: enforcement is an analysis-time plan walk — zero runtime
+    * cost; the surviving plan is q22's (one aggregation pass, the
+    * distinct-unit suppression folded into the same shuffle). */
+  def q270ViewAcl(s: SparkSession, dir: String): DataFrame = {
+    import graft.privacy.{PolicyViolationException, ViewAcl}
+    Tables.orders(s, dir).createOrReplaceTempView("orders_acl_base_q270")
+    s.sql("CREATE OR REPLACE TEMP VIEW orders_acl_q270 AS " +
+      "SELECT * FROM orders_acl_base_q270")
+    ViewAcl.grant(s, "orders_acl_q270", Seq("subscriber"))
+    PolicyCatalog.setPolicy(s, "orders_acl_q270",
+      AggregationThresholdPolicy("o_custkey", 2))
+    val q =
+      """SELECT o_orderdate, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_acl_q270
+        |GROUP BY o_orderdate
+        |ORDER BY o_orderdate""".stripMargin
+    def deniedWith(frag: String): Boolean =
+      try { s.sql(q).collect(); false }
+      catch { case e: PolicyViolationException => e.getMessage.contains(frag) }
+    s.conf.set(ViewAcl.PrincipalConf, "mallory")
+    require(deniedWith("not authorized"),
+      "an unauthorized principal must be denied")
+    s.conf.set(ViewAcl.PrincipalConf, "")
+    require(deniedWith("no principal is set"),
+      "an anonymous session must be denied (fail-closed)")
+    s.conf.set(ViewAcl.PrincipalConf, "subscriber")
+    s.sql(q)
+  }
+
+  /** q270 oracle: the subscriber's view of the data — the ACL admits them,
+    * the threshold policy's documented rewrite is stated explicitly. */
+  val q270Sql: String = q22Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_view_acl" -> (q270ViewAcl _),
     "q256_dp_contrib_bound" -> (q256DpContribBound _),
     "q187_k_anonymity" -> (q187KAnonymity _),
     "q167_masked_view" -> (q167MaskedView _),
@@ -290,6 +340,7 @@ object PrivacyQueries {
     "q22_privacy_agg" -> (q22PrivacyAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q270_view_acl" -> q270Sql,
     "q256_dp_contrib_bound" -> q256Sql,
     "q187_k_anonymity" -> q187Sql,
     "q167_masked_view" -> q167Sql,

@@ -14,10 +14,20 @@ the driver's hash compare: any representation difference (decimal scale,
 int vs float, timestamp precision) is a FAIL here too, so local green
 predicts driver green.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 import numpy as np
+
+# Per-query watchdog: a DuckDB query that runs past this is interrupted and
+# recorded as a FAIL instead of wedging the whole sweep (a stuck all-pairs
+# oracle blocked two consecutive bench windows before this existed). The
+# slowest legitimate sf0.1 oracle finishes well under this.
+QUERY_TIMEOUT_S = int(os.environ.get("ORACLE_QUERY_TIMEOUT_S", "300"))
+
+# progress must be visible while a long sweep runs (stdout is usually piped)
+import functools
+print = functools.partial(print, flush=True)
 
 
 def canon(v):
@@ -82,7 +92,12 @@ def main(sf_dir, out_dir, only=None):
         spark_dir = os.path.join(out_dir, q)
         try:
             got = pd.read_parquet(spark_dir)
-            want = con.execute(oracles[q]).fetchdf()
+            watchdog = threading.Timer(QUERY_TIMEOUT_S, con.interrupt)
+            watchdog.start()
+            try:
+                want = con.execute(oracles[q]).fetchdf()
+            finally:
+                watchdog.cancel()
             gcols, g, gn = canon_frame(got)
             wcols, w, wn = canon_frame(want)
             if gcols != wcols:
