@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStream
+
+/** Sustained-stream THROUGHPUT for the stateful operators — the price axis
+  * of the state-store dial. STATE_SOAK_* proved the two providers hold the
+  * same row curves (semantics + residency); this measures what the RocksDB
+  * backend costs in rows/s on the same work, so the 100 TB sizing trade
+  * (heap-proportional HDFS state vs fixed-cache native RocksDB state) has
+  * both sides quantified.
+  *
+  * Method: the full events table, event-time-ordered and pre-split into
+  * `batches` single-file slices (mod-time monotone, exactly StateSoak's
+  * feed — built ONCE and reused across operators and providers when the
+  * feed dir is passed), drained through each stateful operator family
+  * under `maxFilesPerTrigger=1` + `Trigger.AvailableNow`, timed wall-clock
+  * over the whole drain. Per-batch overhead (offset log, state commit,
+  * provider load/unload) is therefore IN the number, amortized over
+  * `batches` micro-batches — the sustained regime, not one giant batch.
+  *
+  * Operators = the soak's five families, spanning every state access
+  * pattern in the gated surface: mapGroupsWithState (sessions), windowed
+  * agg (windows), dropDuplicatesWithinWatermark (dedup_ttl),
+  * flatMapGroupsWithState (coverage), unbounded dropDuplicates (the
+  * contrast). The provider comes from `SPARK_GRAFT_STATE_STORE` exactly as
+  * in production (`GraftSession.stateStore`) — run once per provider.
+  *
+  * Usage:
+  *   `sbt "runMain graft.tools.StateThroughputBench [sfDir] [batches] [feedDir]"`
+  * Prints one JSON line: per-operator wall seconds + rows/s, provider,
+  * corpus. Pass the same `feedDir` to both provider runs so the input
+  * bytes are identical.
+  */
+object StateThroughputBench {
+
+  private def drain(spark: SparkSession, name: String, feed: String,
+                    op: DataFrame => DataFrame): Double = {
+    val root = graft.util.HarnessDirs.newDir(s"stp-$name")
+    val src = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ms LONG")
+      .option("maxFilesPerTrigger", "1")
+      .json(feed)
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val t0 = System.nanoTime()
+    op(src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val batches = args.lift(1).map(_.toInt).getOrElse(50)
+    val spark = graft.GraftSession.local(appName = "graft-state-throughput")
+    import spark.implicits._
+
+    val (feed, total) = args.lift(2) match {
+      case Some(dir) =>
+        (dir, spark.read.schema(
+          "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ms LONG")
+          .json(dir).count())
+      case None =>
+        val f = graft.util.HarnessDirs.newDir("stp-feed")
+        val sliced = graft.Tables.events(spark, sfDir)
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            unix_millis($"ts").as("ms"))
+          .withColumn("slice",
+            ntile(batches).over(org.apache.spark.sql.expressions.Window
+              .orderBy($"ms", $"event_id")))
+          .cache()
+        val n = sliced.count()
+        for (i <- 1 to batches) {
+          sliced.filter($"slice" === i).drop("slice")
+            .coalesce(1).write.mode("append").json(f)
+        }
+        sliced.unpersist()
+        (f, n)
+    }
+    System.err.println(s"[stp] feed: $total rows, $batches slices at $feed")
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "sessions" -> (df => EventStream.gapSessions(df)),
+      "windows" -> (df => EventStream.hourlyStats(df)),
+      "dedup_ttl" -> (df => EventStream.dedupById(df)),
+      "coverage" -> (df => {
+        val ss = df.sparkSession; import ss.implicits._
+        EventStream.coverageSpans(df
+          .withColumn("st", col("ms"))
+          .withColumn("en", col("ms") + (col("event_id") % 30 + 1) * 60000L)
+          .withWatermark("ts", "2 hours")
+          .select($"ts", $"user_id", $"st", $"en")
+          .as[EventStream.SpanRow]).toDF()
+      }),
+      "dedup_unbounded" -> (df => df.dropDuplicates("event_id")))
+
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+    val timed = ops.map { case (name, op) =>
+      System.err.println(s"[stp] $name ...")
+      val s = drain(spark, name, feed, op)
+      System.err.println(f"[stp] $name%-16s ${s}%8.2f s  ${total / s}%10.0f rows/s")
+      (name, s)
+    }
+    val body = timed.map { case (n, s) =>
+      f""""$n":{"wall_s":$s%.2f,"rows_per_s":${total / s}%.0f}""" }.mkString(",")
+    println(s"""{"metric":"state_throughput","provider":"$provider","rows":$total,"batches":$batches,"sf":"$sfDir","feed":"$feed",$body}""")
+    spark.stop()
+  }
+}
