@@ -1526,13 +1526,14 @@ object CoreQueries {
     * Scale shape: the pair generation is a CO-PARTITIONED self-join on
     * l_orderkey (basket-bounded: C(lines-per-order, 2) pairs per order —
     * at unbounded basket sizes, cap per-basket items first, the q104
-    * discipline); the edge, ORIENTED-edge, and adjacency relations are
-    * each built once and localCheckpoint-pinned for their reuses (q139's
-    * rule — the oriented relation has FOUR consumers: odeg, the wedge
-    * algebra, the adjacency fold, and the intersection join; unpinned it
-    * re-ran its two degree joins per consumer, which under the
-    * interleaved bench's memory pressure re-read disk-spilled checkpoint
-    * blocks 4× — the 18 s → 64 s inflation round 11 measured); the count
+    * discipline); the edge and ORIENTED-edge relations are each built
+    * once and pinned to local COLUMNAR storage for their reuses (the
+    * oriented relation has FOUR consumers: odeg, the wedge algebra, the
+    * adjacency fold, and the intersection join; unpinned it re-ran its
+    * two degree joins per consumer — the 18 s → 64 s inflation round 11
+    * measured; heap-pinned it held 2×~E UnsafeRows resident for the
+    * whole query — 740 of 802 GC-seconds at ×100, see the pin() note
+    * below), while adjacency stays a heap pin (|V| rows); the count
     * is the EDGE-ITERATOR form — per oriented edge, a native merge-scan
     * intersection of two sorted adjacency arrays — so no wedge ROW is
     * ever materialized (the Σ outdeg² stream stays virtual; the bytes of
@@ -1541,19 +1542,39 @@ object CoreQueries {
     * row). Everything integer, everything exact. */
   def q144Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The two edge-scale pins (e: ~E rows; o: exactly E rows) go to local
+    // PARQUET, not the block-manager cache. At ×100 these are ~120M-row
+    // relations, and the ×100 stage profile (TriangleProfile) showed the
+    // alternatives losing both ways: the default deserialized
+    // MEMORY_AND_DISK pin kept 2×120M UnsafeRows heap-resident for the
+    // whole query (740 of the rep's 802 GC-seconds charged to the two
+    // materialization stages, GC taxing every later stage); DISK_ONLY
+    // removed the residency but re-decoded through the JVM serializer per
+    // consumer (total CPU 6.1k → 16.9k s, wall 331 → 673 s). A columnar
+    // pin is the shape that survives: snappy longs compress far below the
+    // row bytes, every one of o's four consumers re-enters through the
+    // VECTORIZED parquet reader (no long-lived objects, min/max-pruned),
+    // and on a real cluster this is exactly "checkpoint iterative-graph
+    // intermediates to storage", not "hold the graph on the executor
+    // heap". adj (|V| rows, array payloads) stays a heap pin — its GC
+    // share was 3 s and array columns decode slower than they cache.
+    def pin(df: DataFrame, name: String): DataFrame = {
+      val d = graft.util.HarnessDirs.newDir(s"q144-$name")
+      df.write.mode("overwrite").parquet(d)
+      s.read.parquet(d)
+    }
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    val e = li.join(li.toDF("o2", "p2"),
+    val e = pin(li.join(li.toDF("o2", "p2"),
         $"l_orderkey" === $"o2" && $"l_partkey" < $"p2")
       .select($"l_partkey".as("u"), $"p2".as("v"))
-      .distinct().localCheckpoint()
+      .distinct(), "edges")
     val deg = e.select($"u".as("node")).unionByName(e.select($"v".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val uFirst = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-    val o = e.join(deg.toDF("nu", "du"), $"u" === $"nu")
+    val o = pin(e.join(deg.toDF("nu", "du"), $"u" === $"nu")
       .join(deg.toDF("nv", "dv"), $"v" === $"nv")
       .select(when(uFirst, $"u").otherwise($"v").as("src"),
-        when(uFirst, $"v").otherwise($"u").as("dst"))
-      .localCheckpoint()
+        when(uFirst, $"v").otherwise($"u").as("dst")), "oriented")
     // edge-iterator core (Chiba–Nishizeki / the cSPARQL-free classic):
     // triangles = Σ over oriented edges (u, v) of |N⁺(u) ∩ N⁺(v)|, each
     // triangle counted exactly once at its DAG-source edge. The earlier
