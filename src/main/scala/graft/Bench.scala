@@ -41,9 +41,26 @@ import scala.jdk.OptionConverters._
   *     blocks, e.g. q40's edge checkpoint) BLOCKING and outside the timed
   *     window, so cleanup of query N cannot bleed into query N+1's timing
   *     (the r3 tail's "RDD ... was locally checkpointed" WARN was the async
-  *     sweep racing the next run's checkpoint).
+  *     sweep racing the next run's checkpoint);
+  *   - CONTRAST entries run in a separate TRAILING cycle: the surface
+  *     carries a few by-construction-superlinear contrast queries
+  *     (q70_uncapped exists to measure what the cap saves; q38 is
+  *     char-volume-bound by design) whose multi-second reps, interleaved,
+  *     displace page cache and GC headroom from every neighbor's timed
+  *     window — r15's ×10 reconciliation measured that displacement at a
+  *     median +11.8% across 237 entries. Production entries now complete
+  *     ALL their reps before the first contrast rep runs, so the
+  *     displacement is confined to the contrast cycle itself.
   */
 object Bench {
+
+  /** By-construction-superlinear contrast entries (kept on the surface for
+    * what they demonstrate, measured apart for what they displace). The
+    * membership criterion is "superlinear in the corpus BY DESIGN — the
+    * entry exists as a contrast/denominator, not as a production operator":
+    * q70_uncapped is q70's cap removed, q38's normalization scan is bound
+    * by char volume that the ×10 salt inflates superlinearly. */
+  private val ContrastEntries = Set("q70_uncapped", "q38_normalize")
 
   /** Command lines of other live processes that would contend with the bench:
     * another graft JVM (Verify/Bench/ScaleUp/sbt test) or a DuckDB oracle
@@ -189,7 +206,11 @@ object Bench {
                       var trail: Double, var tainted: Boolean = false)
     val canaries = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = scala.collection.mutable.ListBuffer.empty[Sample]
-    for (rep <- 1 to reps; name <- names) {
+    // production cycle first (all reps, interleaved), contrast cycle after:
+    // a contrast rep can then only displace other contrast reps
+    val (contrastNames, mainNames) = names.partition(ContrastEntries.contains)
+    for (cycle <- Seq(mainNames, contrastNames) if cycle.nonEmpty;
+         rep <- 1 to reps; name <- cycle) {
       val lead = canary(); canaries += lead
       samples.lastOption.foreach(_.trail = lead)
       samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead)
@@ -239,7 +260,8 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cMax = canaries.max
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"sf":"$sfDir"}""")
+    val contrastJson = contrastNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
 
     // Durable per-query artifact (r10 verdict #2: the driver's log tail
     // truncates mid-JSON, losing the numbers for whole query families).
@@ -265,6 +287,7 @@ object Bench {
       val json =
         f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,
            |"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,
+           |"contrast_cycle":$contrastJson,
            |"queries":$perQuery}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(timingsOut),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

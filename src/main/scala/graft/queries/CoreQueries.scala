@@ -1558,8 +1558,12 @@ object CoreQueries {
     // intermediates to storage", not "hold the graph on the executor
     // heap". adj (|V| rows, array payloads) stays a heap pin — its GC
     // share was 3 s and array columns decode slower than they cache.
+    // deterministic dir per pin: each invocation's overwrite reclaims the
+    // previous rep's files (a 3-rep ×100 bench otherwise accumulates 6+
+    // multi-hundred-MB dirs for the whole JVM); all consumers of a pin are
+    // materialized within this invocation, so the reuse is safe
     def pin(df: DataFrame, name: String): DataFrame = {
-      val d = graft.util.HarnessDirs.newDir(s"q144-$name")
+      val d = graft.util.HarnessDirs.reusableDir(s"q144-$name")
       df.write.mode("overwrite").parquet(d)
       s.read.parquet(d)
     }
@@ -4563,25 +4567,41 @@ object CoreQueries {
     * q172's level-synchronous checkpointed BFS (bounded lineage), exactly
     * as q265's scaladoc divides the labor. */
   def q269DeepRecursion(s: SparkSession, dir: String): DataFrame = {
-    // raised for the session: the cap is read at execution time, and the
-    // default (100) is below this chain's 120 levels by design
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "600")
-    Tables.customer(s, dir).select("c_custkey", "c_acctbal")
-      .createOrReplaceTempView("customer_q269")
-    s.sql(
-      """WITH RECURSIVE chain(k, depth, bal_e2, path_bal_e2) AS (
-        |  SELECT c_custkey, 0,
-        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
-        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
-        |  FROM customer_q269 WHERE c_custkey = 1
-        |  UNION ALL
-        |  SELECT c.c_custkey, ch.depth + 1,
-        |         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT),
-        |         ch.path_bal_e2 + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
-        |  FROM chain ch JOIN customer_q269 c ON c.c_custkey = ch.k + 1
-        |  WHERE ch.depth < 120)
-        |SELECT k, depth, bal_e2, path_bal_e2 FROM chain ORDER BY k"""
-        .stripMargin)
+    // The raised cap must be live while the recursion EXECUTES, and the
+    // result is 121 rows by construction (one key path, fixed depth —
+    // corpus-independent), so the gate executes the chain eagerly under
+    // the raised limit, restores the session's prior cap in a finally
+    // (leaving it raised would hand every later query in the same sweep
+    // JVM a 6x-deeper safety net than the default the envelope spec pins),
+    // and returns the rows as a local relation. The wall-clock cost — the
+    // 120 sequential frontier joins — still lands inside the bench's timed
+    // window, because the window times this whole function call.
+    val limitKey = "spark.sql.cteRecursionLevelLimit"
+    val prev = s.conf.getOption(limitKey)
+    s.conf.set(limitKey, "600")
+    try {
+      Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("customer_q269")
+      val chain = s.sql(
+        """WITH RECURSIVE chain(k, depth, bal_e2, path_bal_e2) AS (
+          |  SELECT c_custkey, 0,
+          |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+          |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+          |  FROM customer_q269 WHERE c_custkey = 1
+          |  UNION ALL
+          |  SELECT c.c_custkey, ch.depth + 1,
+          |         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT),
+          |         ch.path_bal_e2 + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+          |  FROM chain ch JOIN customer_q269 c ON c.c_custkey = ch.k + 1
+          |  WHERE ch.depth < 120)
+          |SELECT k, depth, bal_e2, path_bal_e2 FROM chain ORDER BY k"""
+          .stripMargin)
+      val rows = chain.collect() // 121 rows: depth-bound, never corpus-bound
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), chain.schema)
+    } finally prev match {
+      case Some(v) => s.conf.set(limitKey, v)
+      case None    => s.conf.unset(limitKey)
+    }
   }
 
   /** q269 oracle: the identical declarative chain (DuckDB enforces no

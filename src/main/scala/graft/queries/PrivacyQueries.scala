@@ -133,13 +133,18 @@ object PrivacyQueries {
     * [[graft.privacy.DifferentialPrivacy]]).
     *
     * Scale shape: one scalar expression per OUTPUT group after the normal
-    * count aggregation — zero extra shuffles; the ledger is driver-side
-    * bytes. */
+    * count aggregation — zero extra shuffles; the ledger is a DURABLE
+    * journal (spend fsynced before any noised row is released, so a
+    * session restart retains it — DpLedgerSpec pins the restart, rejection
+    * and mismatched-total semantics). The gate opens a fresh ledger dir
+    * per invocation so each verify/bench rep replays the same
+    * spend-spend-reject script against an empty ledger. */
   def q170DpCount(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     import graft.privacy.DifferentialPrivacy
-    val budget = new DifferentialPrivacy.DpBudget(2.0)
+    val budget = DifferentialPrivacy.DpBudget.durable(
+      graft.util.HarnessDirs.newDir("q170-ledger"), 2.0)
     val g = Tables.orders(s, dir)
       .groupBy($"o_orderdate").agg(count(lit(1)).as("n"))
     def read() = DifferentialPrivacy.dpCount(
@@ -316,14 +321,31 @@ object PrivacyQueries {
     def deniedWith(frag: String): Boolean =
       try { s.sql(q).collect(); false }
       catch { case e: PolicyViolationException => e.getMessage.contains(frag) }
-    s.conf.set(ViewAcl.PrincipalConf, "mallory")
-    require(deniedWith("not authorized"),
-      "an unauthorized principal must be denied")
-    s.conf.set(ViewAcl.PrincipalConf, "")
-    require(deniedWith("no principal is set"),
-      "an anonymous session must be denied (fail-closed)")
-    s.conf.set(ViewAcl.PrincipalConf, "subscriber")
-    s.sql(q)
+    // The principal conf is restored to its prior value in the finally: the
+    // ACL is re-checked whenever the plan is re-analyzed (every write wraps
+    // the plan in a fresh command), so the subscriber identity must be live
+    // while the authorized read EXECUTES — the gate therefore materializes
+    // the read eagerly (rows are calendar-bounded: one per o_orderdate,
+    // never corpus-proportional) and hands back a local relation, leaving
+    // no stale principal on the shared session for later queries to
+    // inherit. The view, its ACL and its policy stay registered: with no
+    // principal set, any later touch of the view fails closed.
+    val prevPrincipal = s.conf.getOption(ViewAcl.PrincipalConf)
+    try {
+      s.conf.set(ViewAcl.PrincipalConf, "mallory")
+      require(deniedWith("not authorized"),
+        "an unauthorized principal must be denied")
+      s.conf.set(ViewAcl.PrincipalConf, "")
+      require(deniedWith("no principal is set"),
+        "an anonymous session must be denied (fail-closed)")
+      s.conf.set(ViewAcl.PrincipalConf, "subscriber")
+      val authorized = s.sql(q)
+      val rows = authorized.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), authorized.schema)
+    } finally prevPrincipal match {
+      case Some(v) => s.conf.set(ViewAcl.PrincipalConf, v)
+      case None    => s.conf.unset(ViewAcl.PrincipalConf)
+    }
   }
 
   /** q270 oracle: the subscriber's view of the data — the ACL admits them,

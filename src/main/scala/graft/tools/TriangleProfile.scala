@@ -12,8 +12,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * the number is the memory-bandwidth floor of a 32-core/64 GB box.
   *
   * Runs q144 once (optionally N reps, fresh derived state each rep — the
-  * query localCheckpoints internally, and Bench's cleanup discipline is
-  * replicated between reps), with a stage listener recording per-stage
+  * query writes its edge-scale pins to per-name parquet dirs it overwrites
+  * each invocation and localCheckpoints only the |V|-row adjacency, whose
+  * blocks Bench's cleanup discipline, replicated between reps, unpersists),
+  * with a stage listener recording per-stage
   * wall, executor-cpu, GC, spill, and shuffle bytes. Prints one JSON line
   * per rep plus a stage table to stderr.
   *

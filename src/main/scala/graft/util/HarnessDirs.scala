@@ -48,4 +48,18 @@ object HarnessDirs {
   /** Fresh unique directory under this JVM's harness root. */
   def newDir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
+
+  /** Deterministic per-name directory under this JVM's harness root, for
+    * query-internal pins that are re-written on every invocation: writing
+    * with `mode("overwrite")` then reclaims the PREVIOUS invocation's files
+    * instead of accumulating one fresh multi-hundred-MB dir per bench rep
+    * until JVM shutdown (q144's two edge-scale pins at ×100 are the case
+    * that motivated this). Only safe for pins whose consumers are all
+    * materialized within the same invocation — the next invocation's
+    * overwrite destroys the files. */
+  def reusableDir(name: String): String = {
+    val p = root.resolve(name)
+    Files.createDirectories(p)
+    p.toString
+  }
 }

@@ -52,7 +52,7 @@ class DifferentialPrivacySpec extends SparkSpec {
   test("the budget ledger fails closed and is not resettable by re-reads") {
     val s = spark
     import s.implicits._
-    val budget = new DpBudget(2.5)
+    val budget = DpBudget.inMemory(2.5)
     DifferentialPrivacy.dpCount(grouped, $"k", 1.0, "spec", budget = Some(budget))
     DifferentialPrivacy.dpCount(grouped, $"k", 1.0, "spec", budget = Some(budget))
     assert(math.abs(budget.remaining - 0.5) < 1e-9)
@@ -69,9 +69,9 @@ class DifferentialPrivacySpec extends SparkSpec {
   test("invalid epsilons are rejected") {
     val s = spark
     import s.implicits._
-    intercept[IllegalArgumentException](new DpBudget(0.0))
+    intercept[IllegalArgumentException](DpBudget.inMemory(0.0))
     intercept[IllegalArgumentException](
       DifferentialPrivacy.dpCount(grouped, $"k", -1.0, "spec",
-        budget = Some(new DpBudget(1.0))))
+        budget = Some(DpBudget.inMemory(1.0))))
   }
 }

@@ -157,6 +157,42 @@ class ViewAclSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.sql("SELECT count(*) FROM acl_v").collect()(0).getLong(0) === 3L)
   }
 
+  test("DURABLE view: ACL + threshold policy both survive a session restart") {
+    // the reference binds policy and principals to the durable object, not
+    // the session (`/root/reference/sql/sp_demo_cleanroom.sql:51-57`); here
+    // both the ACL (grant → TBLPROPERTIES via alterTable) and the threshold
+    // policy ride the catalog view's own metadata, so a NEW session over the
+    // same catalog enforces both with zero session-side state carried over
+    try {
+      spark.sql("CREATE TABLE acl_dur_base (trip_id BIGINT, customer_id BIGINT, " +
+        "city STRING) USING parquet")
+      spark.sql("INSERT INTO acl_dur_base VALUES (1,10,'A'),(2,11,'A'),(3,12,'B')")
+      graft.sql.CleanRoom.createDurablePolicyView(spark, "acl_dur_view",
+        "SELECT * FROM acl_dur_base", "customer_id", 2)
+      ViewAcl.grant(spark, "acl_dur_view", Seq("subscriber"))
+
+      val s2 = spark.newSession()
+      def denied2(sql: String): String =
+        intercept[Exception](s2.sql(sql).collect()).getMessage
+      val agg = "SELECT city, count(*) AS n FROM acl_dur_view GROUP BY city"
+      // WHO is checked before HOW, from the fresh session too: a rejected
+      // principal learns nothing about the aggregation policy
+      s2.conf.set(ViewAcl.PrincipalConf, "mallory")
+      val mallory = denied2(agg)
+      assert(mallory.contains("not authorized") && !mallory.contains("aggregat"))
+      s2.conf.set(ViewAcl.PrincipalConf, "")
+      assert(denied2(agg).contains("no principal is set"))
+      // the authorized principal's read is still THRESHOLDED (policy intact)
+      s2.conf.set(ViewAcl.PrincipalConf, "subscriber")
+      val cities = s2.sql(agg).collect().map(_.getString(0))
+      assert(cities.toSeq === Seq("A")) // B: 1 distinct customer → suppressed
+      assert(denied2("SELECT * FROM acl_dur_view").contains("must aggregate"))
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS acl_dur_view")
+      spark.sql("DROP TABLE IF EXISTS acl_dur_base")
+    }
+  }
+
   test("a subquery alias sharing the view's name is not enforced against") {
     ViewAcl.grant(spark, "acl_v", Seq("alice"))
     setPrincipal("mallory")

@@ -92,12 +92,30 @@ def main(sf_dir, out_dir, only=None):
         spark_dir = os.path.join(out_dir, q)
         try:
             got = pd.read_parquet(spark_dir)
-            watchdog = threading.Timer(QUERY_TIMEOUT_S, con.interrupt)
+            # Each oracle runs on its own cursor (a child connection sharing
+            # the in-memory catalog), and the watchdog interrupts THAT
+            # cursor: if the timer fires in the race window after fetchdf()
+            # returns but before cancel(), the stale interrupt lands on a
+            # cursor this query owns (closed below), never on the shared
+            # connection where it would spuriously cancel the NEXT query.
+            cur = con.cursor()
+            done = threading.Event()
+
+            def interrupt_cur():
+                if not done.is_set():
+                    try:
+                        cur.interrupt()
+                    except Exception:
+                        pass  # cursor already closed: nothing to cancel
+
+            watchdog = threading.Timer(QUERY_TIMEOUT_S, interrupt_cur)
             watchdog.start()
             try:
-                want = con.execute(oracles[q]).fetchdf()
+                want = cur.execute(oracles[q]).fetchdf()
             finally:
+                done.set()
                 watchdog.cancel()
+                cur.close()
             gcols, g, gn = canon_frame(got)
             wcols, w, wn = canon_frame(want)
             if gcols != wcols:
