@@ -332,7 +332,18 @@ object VectorQueries {
     * The same frozen-quantizer trick that makes q30 oracle-checkable makes
     * the whole dedup replayable in DuckDB from the literal centroid
     * matrix. At 100 TB the cell count grows with √N (k ≈ 2¹⁴⁺) so cells
-    * stay bounded; the quantizer remains a broadcast constant. */
+    * stay bounded; the quantizer remains a broadcast constant.
+    *
+    * Cell-population guard (r16): running this shape with a quantizer
+    * frozen for a much smaller corpus is the ONE super-proportional cliff
+    * the r16 ×100 sweep found — fixed k means cell populations grow with
+    * the corpus and the Σ cell² pair space outruns it (measured 136.7× on
+    * 100× work; re-frozen at k=√N the same dedup is 58.9× — see SCALE.md
+    * and `SEMDEDUP_REFREEZE_r16.json`). Set
+    * `spark.graft.semdedup.maxCellRows` to make an under-sized quantizer
+    * fail LOUDLY (one cheap pre-agg, then an IllegalStateException naming
+    * the hottest cell and the re-freeze recipe) instead of quadratically;
+    * unset (the default, and the gate's configuration) costs nothing. */
   def q64SemDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val model = graft.vector.IvfFrozen.model
@@ -340,6 +351,17 @@ object VectorQueries {
       .select($"vec_id", dvec($"embedding").as("v"))
       .select($"vec_id", graft.vector.Ivf.cellOf($"v", model).as("cell"),
         $"v", norm($"v").as("nrm"))
+    s.conf.getOption("spark.graft.semdedup.maxCellRows").map(_.toLong).foreach { cap =>
+      val hot = e.groupBy($"cell").count()
+        .filter($"count" > cap).orderBy($"count".desc).limit(1).collect()
+      hot.headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"semdedup cell-population guard: cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
+            s"(> maxCellRows=$cap) under the k=${model.k} frozen quantizer - the within-cell " +
+            "pair join would be super-proportional in the corpus. Re-freeze the quantizer " +
+            "at k~sqrt(N) for this corpus (tools/FreezeIvf) before deduping at this scale.")
+      }
+    }
     val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
     val dups = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))

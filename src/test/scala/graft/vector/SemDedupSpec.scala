@@ -52,4 +52,22 @@ class SemDedupSpec extends SparkSpec {
       assert(below.isEmpty, s"vec $id: dup_of=$lo but ${below.headOption} also qualifies")
     }
   }
+
+  test("q64: cell-population guard fails loudly when a cell exceeds the cap, silent when unset or satisfied") {
+    val s = spark
+    // sf0.001 cells hold more than one vector, so cap=1 must trip
+    s.conf.set("spark.graft.semdedup.maxCellRows", "1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        VectorQueries.q64SemDedup(s, dir).collect()
+      }
+      assert(ex.getMessage.contains("maxCellRows=1"), ex.getMessage)
+      assert(ex.getMessage.contains("FreezeIvf"), "the error must name the re-freeze recipe")
+      // a generous cap passes through to the normal result
+      s.conf.set("spark.graft.semdedup.maxCellRows", "1000000")
+      assert(VectorQueries.q64SemDedup(s, dir).collect().nonEmpty)
+    } finally s.conf.unset("spark.graft.semdedup.maxCellRows")
+    // unset (the gate's default): untouched behavior
+    assert(VectorQueries.q64SemDedup(s, dir).collect().nonEmpty)
+  }
 }
