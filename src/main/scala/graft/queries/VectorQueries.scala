@@ -334,24 +334,52 @@ object VectorQueries {
     * matrix. At 100 TB the cell count grows with √N (k ≈ 2¹⁴⁺) so cells
     * stay bounded; the quantizer remains a broadcast constant.
     *
-    * Cell-population guard (r16): running this shape with a quantizer
-    * frozen for a much smaller corpus is the ONE super-proportional cliff
-    * the r16 ×100 sweep found — fixed k means cell populations grow with
-    * the corpus and the Σ cell² pair space outruns it (measured 136.7× on
-    * 100× work; re-frozen at k=√N the same dedup is 58.9× — see SCALE.md
-    * and `SEMDEDUP_REFREEZE_r16.json`). Set
-    * `spark.graft.semdedup.maxCellRows` to make an under-sized quantizer
-    * fail LOUDLY (one cheap pre-agg, then an IllegalStateException naming
-    * the hottest cell and the re-freeze recipe) instead of quadratically;
-    * unset (the default, and the gate's configuration) costs nothing. */
-  def q64SemDedup(s: SparkSession, dir: String): DataFrame = {
+    * Cell-population guard (r16, default-ON since r17): running this shape
+    * with a quantizer frozen for a much smaller corpus is the ONE
+    * super-proportional cliff the r16 ×100 sweep found — fixed k means
+    * cell populations grow with the corpus and the Σ cell² pair space
+    * outruns it (measured 136.7× on 100× work; re-frozen at k=√N the same
+    * dedup is 58.9× — see SCALE.md and `SEMDEDUP_REFREEZE_r16.json`). The
+    * guard caps the hottest cell at `SemDedupGuardFactor × model.k` rows by
+    * DEFAULT: under the FreezeIvf sizing rule k ≈ √N the healthy cell holds
+    * ≈ k rows, so a cell at 32× that is a quantizer frozen for a corpus
+    * two orders of magnitude smaller than the one being deduped (at the
+    * gate SFs the frozen k=45 model's hottest cell is 89 rows vs the 1440
+    * cap; at ×100 it is 7646 — trips). `spark.graft.semdedup.maxCellRows`
+    * overrides the cap; a value ≤ 0 disables the guard explicitly. The
+    * guard is one eager pre-agg (scan + assignment + count) that runs at
+    * DataFrame-CONSTRUCTION time — fail-fast by design; its assignment
+    * pass is recomputed by the query itself, an accepted linear cost for
+    * quadratic insurance. On trip: IllegalStateException naming the
+    * hottest cell, the cap, and the re-freeze recipe. */
+  def q64SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(s, dir, graft.vector.IvfFrozen.model)
+
+  /** Ratio of (hottest-cell rows) to model.k above which [[semDedup]]'s
+    * default guard trips — 16× the sf0.1 gate's observed max-cell/k skew. */
+  val SemDedupGuardFactor = 32L
+
+  /** The q64 dedup, parameterized on the coarse quantizer so a corpus
+    * re-frozen at k ≈ √N (graft.tools.FreezeIvf / SemDedupRefreeze) runs
+    * the measured scale-safe path through the SAME operator the gate
+    * checks. See [[q64SemDedup]] for semantics and the guard contract. */
+  def semDedup(s: SparkSession, dir: String,
+               model: graft.vector.Ivf.IvfModel): DataFrame = {
     import s.implicits._
-    val model = graft.vector.IvfFrozen.model
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", dvec($"embedding").as("v"))
       .select($"vec_id", graft.vector.Ivf.cellOf($"v", model).as("cell"),
         $"v", norm($"v").as("nrm"))
-    s.conf.getOption("spark.graft.semdedup.maxCellRows").map(_.toLong).foreach { cap =>
+    val capKey = "spark.graft.semdedup.maxCellRows"
+    val cap = s.conf.getOption(capKey) match {
+      case Some(v) =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$capKey must be a long (<= 0 disables the guard), got '$v'")
+        }
+      case None => SemDedupGuardFactor * model.k
+    }
+    if (cap > 0) {
       val hot = e.groupBy($"cell").count()
         .filter($"count" > cap).orderBy($"count".desc).limit(1).collect()
       hot.headOption.foreach { r =>
@@ -359,7 +387,8 @@ object VectorQueries {
           s"semdedup cell-population guard: cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
             s"(> maxCellRows=$cap) under the k=${model.k} frozen quantizer - the within-cell " +
             "pair join would be super-proportional in the corpus. Re-freeze the quantizer " +
-            "at k~sqrt(N) for this corpus (tools/FreezeIvf) before deduping at this scale.")
+            s"at k~sqrt(N) for this corpus (tools/FreezeIvf) before deduping at this scale, " +
+            s"or override/disable the cap via $capKey.")
       }
     }
     val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)

@@ -3,11 +3,19 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Measures the q64_semdedup remedy prescribed in SCALE.md: the SAME
-  * within-cell dedup join, but under a quantizer re-frozen at k ≈ √N for
-  * the corpus actually being deduped, instead of the small-SF frozen model
-  * whose fixed cell count makes the pair space grow quadratically in the
-  * scale factor (measured 136.7× on 100× work,
+  * operator ([[graft.queries.VectorQueries.semDedup]] — assignment,
+  * within-cell self-join on lower-id mates, min-dup verdict, final
+  * vec_id sort, default-on cell-population guard), but under a quantizer
+  * re-frozen at k ≈ √N for the corpus actually being deduped, instead of
+  * the small-SF frozen model whose fixed cell count makes the pair space
+  * grow quadratically in the scale factor (measured 136.7× on 100× work,
   * `SCALE_TIMINGS_x100ann4_r16.json`).
+  *
+  * Since r17 this is not a parallel copy of the dedup shape: it calls the
+  * gated operator with a re-frozen model, so the timed pipeline is
+  * pixel-identical to what Bench times under the gate default — including
+  * the final orderBy and the guard pre-agg (which the re-frozen model must
+  * PASS: cap = 32 × k(√N) ≫ the ≈√N healthy cell).
   *
   * Usage: `tools/run_graft.sh graft.tools.SemDedupRefreeze [sfDir] [k]`
   * (k defaults to round(√N) — FreezeIvf's sizing rule). Prints one JSON
@@ -31,26 +39,13 @@ object SemDedupRefreeze {
     val model = graft.vector.Ivf.train(e0, k = k, iterations = 2)
     val trainS = (System.nanoTime() - t0) / 1e9
 
-    // q64SemDedup's exact dedup shape (assignment, within-cell self-join on
-    // lower-id mates, min-dup verdict), under the re-frozen model
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("graft_dot", a, b)
-    val e = e0.select($"vec_id", graft.vector.Ivf.cellOf($"v", model).as("cell"),
-      $"v", sqrt(dot($"v", $"v")).as("nrm"))
-    val cosR = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4)
     val t1 = System.nanoTime()
-    val dups = e.as("a").join(e.as("b"),
-        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("lo"), cosR.as("cos_r"))
-      .filter($"cos_r" >= 0.40)
-      .groupBy($"vec_id").agg(min($"lo").as("dup_of"))
-    val out = e.select($"vec_id", $"cell".cast("long").as("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .select($"vec_id", $"cell", $"dup_of",
-        when($"dup_of".isNull, 1L).otherwise(0L).as("kept"))
+    val out = graft.queries.VectorQueries.semDedup(spark, dir, model).persist()
     out.write.format("noop").mode("overwrite").save()
     val dedupS = (System.nanoTime() - t1) / 1e9
+    // kept from the persisted result — no second dedup execution
     val keptN = out.filter($"kept" === 1L).count()
+    out.unpersist()
 
     println(f"""{"metric":"semdedup_refreeze","sf":"$dir","n":$n,"k":$k,"train_s":$trainS%.1f,"dedup_s":$dedupS%.1f,"kept":$keptN}""")
     spark.stop()

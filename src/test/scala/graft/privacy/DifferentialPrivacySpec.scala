@@ -66,6 +66,43 @@ class DifferentialPrivacySpec extends SparkSpec {
     assert(budget.remaining < 1e-9)
   }
 
+  test("production salt: the q170 contract holds under a non-default seed (budget is seed-independent, only the draw moves)") {
+    val s = spark
+    import s.implicits._
+    // stands in for the per-release secret salt the scaladoc prescribes
+    // for deployment (DifferentialPrivacy.scala:22-27)
+    val salt = "release-7f3a-secret-salt"
+    // 1. the draw is still deterministic per (key, salt) and differs from
+    //    the spec seed's draw — same machinery, different stream
+    val a = DifferentialPrivacy.dpCount(grouped, $"k", 1.0, salt)
+      .select($"k", $"noisy_n_e2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = DifferentialPrivacy.dpCount(grouped, $"k", 1.0, salt)
+      .select($"k", $"noisy_n_e2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b, "per-release salt must still be replayable within the release")
+    val spec = DifferentialPrivacy.dpCount(grouped, $"k", 1.0, "spec")
+      .select($"k", $"noisy_n_e2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a !== spec, "a new salt must move the draw")
+    // 2. calibration is salt-independent: mean |noise| ≈ b = 1/ε
+    val meanAbs = DifferentialPrivacy.dpCount(grouped, $"k", 1.0, salt)
+      .agg(avg(abs($"noisy_n_e2" / 100.0 - $"n"))).head().getDouble(0)
+    assert(math.abs(meanAbs - 1.0) < 0.12, s"salted mean |noise| $meanAbs vs 1.0")
+    // 3. the DURABLE ledger's spend/reject sequence is identical under
+    //    either seed: ε accounting never sees the salt
+    def spendSequence(seed: String): (Double, String) = {
+      val dir = java.nio.file.Files.createTempDirectory("dp-salt-").toString
+      val budget = DpBudget.durable(dir, 2.5)
+      DifferentialPrivacy.dpCount(grouped, $"k", 1.0, seed, budget = Some(budget))
+      DifferentialPrivacy.dpCount(grouped, $"k", 1.0, seed, budget = Some(budget))
+      val rejected = intercept[PolicyViolationException](
+        DifferentialPrivacy.dpCount(grouped, $"k", 1.0, seed, budget = Some(budget)))
+      (budget.remaining, rejected.getMessage)
+    }
+    val (remSalt, msgSalt) = spendSequence(salt)
+    val (remSpec, msgSpec) = spendSequence("spec")
+    assert(math.abs(remSalt - remSpec) < 1e-9 && math.abs(remSalt - 0.5) < 1e-9)
+    assert(msgSalt === msgSpec, "rejection must not depend on the seed")
+  }
+
   test("invalid epsilons are rejected") {
     val s = spark
     import s.implicits._

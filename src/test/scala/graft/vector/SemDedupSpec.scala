@@ -53,7 +53,7 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
-  test("q64: cell-population guard fails loudly when a cell exceeds the cap, silent when unset or satisfied") {
+  test("q64: cell-population guard fails loudly when a cell exceeds the cap, silent when satisfied") {
     val s = spark
     // sf0.001 cells hold more than one vector, so cap=1 must trip
     s.conf.set("spark.graft.semdedup.maxCellRows", "1")
@@ -67,7 +67,39 @@ class SemDedupSpec extends SparkSpec {
       s.conf.set("spark.graft.semdedup.maxCellRows", "1000000")
       assert(VectorQueries.q64SemDedup(s, dir).collect().nonEmpty)
     } finally s.conf.unset("spark.graft.semdedup.maxCellRows")
-    // unset (the gate's default): untouched behavior
+    // unset (the gate's default since r17): guard ON at 32 x model.k —
+    // the frozen k=45 model's hottest sf cell is 89 rows vs the 1440 cap
     assert(VectorQueries.q64SemDedup(s, dir).collect().nonEmpty)
+  }
+
+  test("q64: guard is ON by default — an undersized quantizer trips with no config set") {
+    val s = spark
+    import s.implicits._
+    assert(s.conf.getOption("spark.graft.semdedup.maxCellRows").isEmpty)
+    // k=1 pools all 500 sf0.001 vectors in one cell; default cap = 32*1 = 32
+    val e0 = graft.Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val tiny = graft.vector.Ivf.train(e0, k = 1, iterations = 1)
+    val ex = intercept[IllegalStateException] {
+      VectorQueries.semDedup(s, dir, tiny).collect()
+    }
+    assert(ex.getMessage.contains(s"maxCellRows=${VectorQueries.SemDedupGuardFactor}"), ex.getMessage)
+    // explicit <= 0 disables the guard: the same undersized model runs
+    s.conf.set("spark.graft.semdedup.maxCellRows", "-1")
+    try {
+      val out = VectorQueries.semDedup(s, dir, tiny).collect()
+      assert(out.length === 500, "disabled guard must run the full dedup")
+    } finally s.conf.unset("spark.graft.semdedup.maxCellRows")
+  }
+
+  test("q64: malformed maxCellRows names the config key") {
+    val s = spark
+    s.conf.set("spark.graft.semdedup.maxCellRows", "lots")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        VectorQueries.q64SemDedup(s, dir).collect()
+      }
+      assert(ex.getMessage.contains("spark.graft.semdedup.maxCellRows"), ex.getMessage)
+    } finally s.conf.unset("spark.graft.semdedup.maxCellRows")
   }
 }

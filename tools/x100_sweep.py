@@ -102,7 +102,10 @@ def main():
     base = {}
     if args.baseline:
         with open(os.path.join(REPO, args.baseline)) as f:
-            base = {k: v["median_s"] for k, v in json.load(f)["queries"].items()}
+            # a failed baseline entry (median_s=-1.0) would yield a silent
+            # negative ratio that can never trip the >100 gate — drop it
+            base = {k: v["median_s"] for k, v in json.load(f)["queries"].items()
+                    if v["median_s"] > 0}
 
     results = {q: [] for q in queries}
     for rep in range(1, args.reps + 1):
@@ -147,11 +150,22 @@ def main():
         v = out["queries"][q]
         print(f"{q:34s} {v.get('sf01_median_s', float('nan')):8.2f} "
               f"{v['median_s']:9.2f} {ratio:6.1f}x")
+    rc = 0
     bad = [q for r, q in ranked if r > 100]
     if bad:
         print(f"[x100] SUPER-PROPORTIONAL (>100x on 100x work): {', '.join(bad)}")
-        return 1
-    return 0
+        rc = 1
+    # a wedged/failed rep is STRONGER super-proportional evidence than a
+    # measured ratio (a 1800s timeout at x100 is >870x on most entries)
+    dead = [q for q, v in out["queries"].items() if v["median_s"] < 0]
+    erred = [q for q, v in out["queries"].items() if v["errors"] and q not in dead]
+    if dead:
+        print(f"[x100] ZERO SUCCESSFUL REPS (treat as super-proportional): {', '.join(dead)}")
+        rc = 1
+    if erred:
+        print(f"[x100] PARTIAL FAILURES (timeout/error reps): {', '.join(erred)}")
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
