@@ -238,29 +238,70 @@ object MultimodalQueries {
     * Hamming arithmetic (ham_d exported unfiltered as the dHash witness).
     *
     * Scale shape: hashes are one codegen pass over the scan (no decode —
-    * 64 longs of state per row); banding emits 4 int rows per media object;
-    * the band self-join shuffles only (band_idx, band_val, ids, hashes) —
-    * expected bucket population N/2^16 per band, the same corpus-growing
-    * blocking-cardinality story as q119 (widen bands with log N). Pairs
-    * with ham ≤ 3 are GUARANTEED a shared band (pigeonhole over 4 bands);
-    * beyond that recall is the standard LSH trade, replayed identically by
-    * the oracle. Bytes ≥ 0xff would wrap (`& 0xff`) where the oracle's
-    * codepoint arithmetic doesn't — ASCII-corpus precondition, as q84. */
-  def q127ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    * 64 longs of state per row); banding emits 64/bandBits int rows per
+    * media object; the band self-join shuffles only (band_idx, band_val,
+    * ids, hashes) — expected bucket population N/2^bandBits per band, the
+    * same corpus-growing blocking-cardinality story as q119: a FIXED band
+    * width means bucket populations grow with the corpus and the Σ pop²
+    * pair space outruns it (the r17 family sweep measured the 16-bit gate
+    * geometry super-proportional at ×100 — see SCALE.md). The scale path
+    * is the scaladoc's own prescription made a parameter: widen bandBits
+    * with log₂N ([[imageNearDup]]; 32-bit bands keep the ×100 corpus
+    * linear). Pigeonhole: ham ≤ (64/bandBits − 1) is GUARANTEED a shared
+    * band; beyond that recall is the standard LSH band trade — widening
+    * bands trades guaranteed-recall radius for bucket sparsity, exactly
+    * like raising MinHash band size. A pair-volume guard runs BY DEFAULT
+    * ([[ImageNearDupGuardPairsPerMedia]] candidate band-pairs per media
+    * row): one cheap pre-agg computes Σ pop·(pop−1)/2 over the band
+    * buckets and fails loudly — naming the ratio, the hottest bucket and
+    * this remedy — before the join can run quadratically.
+    * `spark.graft.imageneardup.maxPairsPerMedia` overrides; ≤ 0 disables.
+    * Bytes ≥ 0xff would wrap (`& 0xff`) where the oracle's codepoint
+    * arithmetic doesn't — ASCII-corpus precondition, as q84. */
+  def q127ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    imageNearDup(s, dir, bandBits = 16)
+
+  /** Candidate band-pairs per media row above which [[imageNearDup]]'s
+    * default guard trips. Gate reality (measured r17): the 16-bit geometry
+    * reads ~2–4 pairs/media at the gate SFs; the cap leaves ~16× headroom
+    * for dup-dense corpora while catching the ×100 blowup (hundreds+). */
+  val ImageNearDupGuardPairsPerMedia = 64L
+
+  /** The q127 near-dup, parameterized on the band width so a corpus that
+    * outgrows the 2^bandBits bucket vocabulary runs the measured
+    * scale-safe wider-band path through the SAME operator the gate
+    * checks. bandBits must divide 64 (8/16/32; the gate default is 16). */
+  def imageNearDup(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
-      .filter(length($"text") >= 64)
-      .select($"doc_id", explode(array(lit(0), lit(1), lit(2))).as("rend"),
-        $"text".cast("binary").as("content"))
-      .select(($"doc_id" * 10 + $"rend").as("media_id"),
-        call_function("graft_media_rendition", $"content", $"rend").as("content"))
-    val hashed = media.select($"media_id",
-      call_function("graft_ahash", $"content").as("ah"),
-      call_function("graft_dhash", $"content").as("dh"))
-    val bands = hashed.select($"media_id", $"ah", $"dh",
-      posexplode(array((0 until 4).map(k =>
-        shiftrightunsigned($"ah", 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band_idx", "band_val")))
+    val bands = mediaBands(s, dir, bandBits)
+    val nBands = 64 / bandBits
+    val capKey = "spark.graft.imageneardup.maxPairsPerMedia"
+    val cap = s.conf.getOption(capKey) match {
+      case Some(v) =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$capKey must be a long (<= 0 disables the guard), got '$v'")
+        }
+      case None => ImageNearDupGuardPairsPerMedia
+    }
+    if (cap > 0) {
+      val (pairs, hottest, nMedia) = bandPairStats(s, dir, bandBits)
+      if (nMedia > 0 && pairs > cap * nMedia) {
+        val remedy =
+          if (bandBits < 32)
+            "Widen the bands (imageNearDup(bandBits=32)) before running near-dup at this scale"
+          else
+            "Bands are already at maximum width, so the excess is genuine duplicate-class " +
+              "density - pair ENUMERATION is quadratic in class size by definition; emit " +
+              "verdicts instead (the q64/q40 keep-one-per-class shape)"
+        throw new IllegalStateException(
+          s"image-neardup pair-volume guard: the ${bandBits}-bit band join would generate " +
+            s"$pairs candidate pairs for $nMedia media rows (${pairs / nMedia}/media > " +
+            s"maxPairsPerMedia=$cap; hottest bucket holds $hottest) - the bucket vocabulary " +
+            s"(${nBands}x2^$bandBits) is too small for this corpus. $remedy, " +
+            s"or override/disable the cap via $capKey.")
+      }
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -274,6 +315,44 @@ object MultimodalQueries {
         bit_count($"dh_a".bitwiseXOR($"dh_b")).cast("long").as("ham_d"))
       .filter($"ham_a" <= 6)
       .orderBy($"media_a", $"media_b")
+  }
+
+  /** The (media_id, ah, dh, band_idx, band_val) relation the q127 band
+    * join runs on — hashes in one codegen pass, bands by shift+mask. */
+  private def mediaBands(s: SparkSession, dir: String, bandBits: Int) = {
+    import s.implicits._
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits must be 8, 16 or 32 (got $bandBits): bands must tile the 64-bit hash")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    val media = Tables.documents(s, dir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", explode(array(lit(0), lit(1), lit(2))).as("rend"),
+        $"text".cast("binary").as("content"))
+      .select(($"doc_id" * 10 + $"rend").as("media_id"),
+        call_function("graft_media_rendition", $"content", $"rend").as("content"))
+    val hashed = media.select($"media_id",
+      call_function("graft_ahash", $"content").as("ah"),
+      call_function("graft_dhash", $"content").as("dh"))
+    hashed.select($"media_id", $"ah", $"dh",
+      posexplode(array((0 until nBands).map(k =>
+        shiftrightunsigned($"ah", bandBits * k).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** (candidate band-pairs, hottest bucket population, media rows) for the
+    * q127 band geometry — the guard's pre-agg, exposed so the band-width
+    * decision is profilable without running the join (tools/BandPairProfile). */
+  def bandPairStats(s: SparkSession, dir: String, bandBits: Int): (Long, Long, Long) = {
+    import s.implicits._
+    val nBands = 64 / bandBits
+    val r = mediaBands(s, dir, bandBits)
+      .groupBy($"band_idx", $"band_val").agg(count(lit(1)).as("pop"))
+      .agg(coalesce(sum($"pop" * ($"pop" - 1)), lit(0L)).as("pairs2"),
+        coalesce(max($"pop"), lit(0L)).as("hottest"),
+        coalesce(sum($"pop"), lit(0L)).as("bandRows"))
+      .collect()(0)
+    (r.getLong(0) / 2, r.getLong(1), r.getLong(2) / nBands)
   }
 
   /** The oracle never reconstructs rendition STRINGS: the hash depends only

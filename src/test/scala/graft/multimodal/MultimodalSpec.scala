@@ -45,4 +45,47 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.resize(Array.fill(100)(1.toByte), 8, 4).length === 32)
     assert(codec.resize(Array.fill(10)(1.toByte), 8, 8).length === 64)
   }
+
+  test("q127: pair-volume guard is ON by default, trips on a low cap, <= 0 disables") {
+    import graft.queries.MultimodalQueries
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    assert(s.conf.getOption("spark.graft.imageneardup.maxPairsPerMedia").isEmpty)
+    // default cap passes the gate corpus
+    assert(MultimodalQueries.q127ImageNearDup(s, dir).collect().nonEmpty)
+    // every rendition trio shares band buckets by construction, so
+    // pairs/media > 1 at any SF and cap=1 must trip
+    s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        MultimodalQueries.q127ImageNearDup(s, dir).collect()
+      }
+      assert(ex.getMessage.contains("maxPairsPerMedia=1"), ex.getMessage)
+      assert(ex.getMessage.contains("bandBits=32"), "the error must name the wider-band remedy")
+      // <= 0 disables: the same corpus runs
+      s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "-1")
+      assert(MultimodalQueries.q127ImageNearDup(s, dir).collect().nonEmpty)
+      // malformed value names the key
+      s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "many")
+      val bad = intercept[IllegalArgumentException] {
+        MultimodalQueries.q127ImageNearDup(s, dir).collect()
+      }
+      assert(bad.getMessage.contains("spark.graft.imageneardup.maxPairsPerMedia"))
+    } finally s.conf.unset("spark.graft.imageneardup.maxPairsPerMedia")
+  }
+
+  test("q127: wider bands (the scale path) keep every exact-hash duplicate pair") {
+    import graft.queries.MultimodalQueries
+    val dir = "/root/testdata/sf0.001"
+    def ham0(bits: Int) = MultimodalQueries.imageNearDup(spark, dir, bits)
+      .filter("ham_a = 0").select("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at16 = ham0(16)
+    val at32 = ham0(32)
+    assert(at16.nonEmpty, "the rendition fixture guarantees exact-hash dups")
+    // identical hashes share every band at any width — invariant recall
+    assert(at16 === at32,
+      "band widening may only shed the far tail (ham > nBands-1), never exact dups")
+    intercept[IllegalArgumentException](MultimodalQueries.imageNearDup(spark, dir, 24))
+  }
 }
