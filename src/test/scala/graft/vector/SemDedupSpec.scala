@@ -92,6 +92,33 @@ class SemDedupSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.semdedup.maxCellRows")
   }
 
+  test("q64: the re-frozen remedy path is a valid dedup — verdicts total, drops justified, guard satisfied") {
+    val s = spark
+    import s.implicits._
+    // the k ~ sqrt(N) re-freeze (the measured scale-safe path) run through
+    // the SAME gated operator, as SemDedupRefreeze does at x100
+    val e0 = graft.Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val n = e0.count()
+    val k = math.round(math.sqrt(n.toDouble)).toInt
+    val refrozen = graft.vector.Ivf.train(e0, k = k, iterations = 2)
+    val out = VectorQueries.semDedup(s, dir, refrozen).collect()
+    assert(out.length === n, "one verdict per vector under any quantizer")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    byId.foreach { case (id, (_, dupOf, kept)) =>
+      assert(kept === (if (dupOf.isEmpty) 1L else 0L), s"vec $id")
+      dupOf.foreach { lo =>
+        assert(lo < id, s"vec $id: canonical must be the lower id")
+        assert(byId(lo)._1 === byId(id)._1, s"pair ($lo,$id) must share a re-frozen cell")
+      }
+    }
+    // deterministic: the same freeze re-trained yields the same verdicts
+    val again = VectorQueries.semDedup(s, dir,
+      graft.vector.Ivf.train(e0, k = k, iterations = 2)).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q64: malformed maxCellRows names the config key") {
     val s = spark
     s.conf.set("spark.graft.semdedup.maxCellRows", "lots")
