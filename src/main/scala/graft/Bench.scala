@@ -183,6 +183,11 @@ object Bench {
     (1 to 5).foreach(_ => canary())
 
     val failedSet = scala.collection.mutable.Set.empty[String]
+    // a scale guard firing is the operator DOING ITS JOB at an SF beyond
+    // its geometry, not a broken query — classify it apart so a ×10/×100
+    // sweep reader (and its exit code) can tell the two cases apart
+    // (r17 verdict ask #5)
+    val guardTrips = scala.collection.mutable.Set.empty[String]
     def timeOne(name: String, rep: Int): Double = {
       // progress marker: when a query degenerates at a new scale (a hot
       // shuffle bucket, a runaway pair join), the log must show WHICH —
@@ -191,8 +196,14 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}"); false
+        catch {
+          case e: IllegalStateException
+              if e.getMessage != null && e.getMessage.contains("guard:") =>
+            System.err.println(s"[bench] $name guard-tripped (rep $rep): " +
+              e.getMessage.takeWhile(_ != '\n').take(220))
+            guardTrips += name; false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
       cleanup()
@@ -244,7 +255,7 @@ object Bench {
         }
       }
     }
-    samples.filter(_.t < 0).foreach(s => failedSet += s.name)
+    samples.filter(_.t < 0).foreach(s => if (!guardTrips(s.name)) failedSet += s.name)
     val taintedReps = samples.count(s => s.t >= 0 && s.tainted)
 
     // failures report the sentinel -1.0 so a consumer of the JSON line can
@@ -261,7 +272,8 @@ object Bench {
       .mkString("[", ",", "]")
     val cMax = canaries.max
     val contrastJson = contrastNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
+    val guardJson = guardTrips.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"guard_trips":$guardJson,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
 
     // Durable per-query artifact (r10 verdict #2: the driver's log tail
     // truncates mid-JSON, losing the numbers for whole query families).
@@ -285,7 +297,7 @@ object Bench {
         f""""$name":{"median_s":$med%.3f,"reps":$repTimes,"tainted":${ss.count(s => s.t >= 0 && s.tainted)}}"""
       }.mkString("{", ",", "}")
       val json =
-        f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,
+        f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,"guard_trips":$guardJson,
            |"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,
            |"contrast_cycle":$contrastJson,
            |"queries":$perQuery}""".stripMargin

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -245,63 +246,193 @@ object MultimodalQueries {
     * width means bucket populations grow with the corpus and the Σ pop²
     * pair space outruns it (the r17 family sweep measured the 16-bit gate
     * geometry super-proportional at ×100 — see SCALE.md). The scale path
-    * is the scaladoc's own prescription made a parameter: widen bandBits
-    * with log₂N ([[imageNearDup]]; 32-bit bands keep the ×100 corpus
-    * linear). Pigeonhole: ham ≤ (64/bandBits − 1) is GUARANTEED a shared
-    * band; beyond that recall is the standard LSH band trade — widening
-    * bands trades guaranteed-recall radius for bucket sparsity, exactly
-    * like raising MinHash band size. A pair-volume guard runs BY DEFAULT
-    * ([[ImageNearDupGuardPairsPerMedia]] candidate band-pairs per media
-    * row): one cheap pre-agg computes Σ pop·(pop−1)/2 over the band
-    * buckets and fails loudly — naming the ratio, the hottest bucket and
-    * this remedy — before the join can run quadratically.
+    * is the scaladoc's own prescription made CODE (r18): the entry runs
+    * [[imageNearDupAuto]], which derives the band width from the guard's
+    * own pre-agg — narrowest geometry whose band-pair rows/media clears
+    * the cap, so the 16-bit gate geometry self-widens to the measured
+    * scale-safe 32-bit path at the corpus where fixed bands went
+    * super-proportional. Pigeonhole: ham ≤ (64/bandBits − 1) is GUARANTEED
+    * a shared band; beyond that recall is the standard LSH band trade —
+    * widening bands trades guaranteed-recall radius for bucket sparsity,
+    * exactly like raising MinHash band size. A pair-volume guard runs BY
+    * DEFAULT ([[ImageNearDupGuardPairsPerMedia]] candidate band-pair ROWS
+    * per media row): one cheap pre-agg computes Σ pop·(pop−1)/2 over the
+    * band buckets and fails loudly — naming the ratio, the hottest bucket
+    * and the remedy — before the join can run quadratically. When EVERY
+    * width trips, pair enumeration is quadratic in duplicate-class size by
+    * definition and the guard steers to [[imageNearDupVerdicts]] (q271),
+    * whose output is one verdict per media row at any duplicate density.
     * `spark.graft.imageneardup.maxPairsPerMedia` overrides; ≤ 0 disables.
     * Bytes ≥ 0xff would wrap (`& 0xff`) where the oracle's codepoint
     * arithmetic doesn't — ASCII-corpus precondition, as q84. */
   def q127ImageNearDup(s: SparkSession, dir: String): DataFrame =
-    imageNearDup(s, dir, bandBits = 16)
+    imageNearDupAuto(s, dir)
 
-  /** Candidate band-pairs per media row above which [[imageNearDup]]'s
-    * default guard trips. Gate reality (measured r17): the 16-bit geometry
-    * reads ~2–4 pairs/media at the gate SFs; the cap leaves ~16× headroom
-    * for dup-dense corpora while catching the ×100 blowup (hundreds+). */
+  /** Candidate band-pair ROWS per media row above which the near-dup
+    * guards trip. "Rows" is the join-work metric, not distinct pairs: the
+    * pre-agg counts the band join's input BEFORE the distinct, so a pair
+    * sharing every band counts 64/bandBits times (an exact-hash dup counts
+    * 4 at 16-bit) — it is the quantity that prices the shuffle. Gate
+    * reality (measured r17): the 16-bit geometry reads ~2–4 rows/media at
+    * the gate SFs; the cap leaves ~16× headroom for dup-dense corpora
+    * while catching the ×100 blowup (hundreds+). */
   val ImageNearDupGuardPairsPerMedia = 64L
 
-  /** The q127 near-dup, parameterized on the band width so a corpus that
-    * outgrows the 2^bandBits bucket vocabulary runs the measured
-    * scale-safe wider-band path through the SAME operator the gate
-    * checks. bandBits must divide 64 (8/16/32; the gate default is 16). */
-  def imageNearDup(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
-    import s.implicits._
-    val bands = mediaBands(s, dir, bandBits)
-    val nBands = 64 / bandBits
-    val capKey = "spark.graft.imageneardup.maxPairsPerMedia"
-    val cap = s.conf.getOption(capKey) match {
+  /** Band widths [[imageNearDupAuto]] tries, narrowest (best guaranteed-
+    * recall radius) first. 8-bit is never auto-picked: any corpus where
+    * 16-bit overflows drowns a 256-value vocabulary outright. */
+  private val AutoBandWidths = Seq(16, 32)
+
+  private val NearDupCapKey = "spark.graft.imageneardup.maxPairsPerMedia"
+
+  private def nearDupCap(s: SparkSession): Long =
+    s.conf.getOption(NearDupCapKey) match {
       case Some(v) =>
         try v.trim.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$capKey must be a long (<= 0 disables the guard), got '$v'")
+            s"$NearDupCapKey must be a long (<= 0 disables the guard), got '$v'")
         }
       case None => ImageNearDupGuardPairsPerMedia
     }
-    if (cap > 0) {
-      val (pairs, hottest, nMedia) = bandPairStats(s, dir, bandBits)
-      if (nMedia > 0 && pairs > cap * nMedia) {
-        val remedy =
-          if (bandBits < 32)
-            "Widen the bands (imageNearDup(bandBits=32)) before running near-dup at this scale"
-          else
-            "Bands are already at maximum width, so the excess is genuine duplicate-class " +
-              "density - pair ENUMERATION is quadratic in class size by definition; emit " +
-              "verdicts instead (the q64/q40 keep-one-per-class shape)"
+
+  /** The q127 near-dup with the band width DERIVED from the corpus: the
+    * guard's pre-agg is consulted at each width in [[AutoBandWidths]] and
+    * the first geometry that clears the cap runs, choice logged — the
+    * scaladoc's "widen bands with log N" rule executed by the operator
+    * itself instead of demanded of the caller. The hash relation is
+    * computed ONCE and persisted (MEMORY_AND_DISK; 24 bytes of state per
+    * media row, evicted by the harness cleanups / ContextCleaner) so the
+    * width probes and the final join share one rendition+hash scan — the
+    * r17 double-pass is gone. A disabled cap (≤ 0) short-circuits to the
+    * unguarded gate geometry: no probe data to pick a width with. */
+  def imageNearDupAuto(s: SparkSession, dir: String): DataFrame = {
+    val cap = nearDupCap(s)
+    if (cap <= 0)
+      return nearDupPairs(bandsOf(mediaHashes(s, dir), 16))
+        .orderBy(col("media_a"), col("media_b"))
+    val hashed = mediaHashes(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    autoBands(hashed, cap, "imageNearDup") match {
+      case Right(bands) => nearDupPairs(bands).orderBy(col("media_a"), col("media_b"))
+      case Left(trail) =>
+        hashed.unpersist(blocking = false)
         throw new IllegalStateException(
-          s"image-neardup pair-volume guard: the ${bandBits}-bit band join would generate " +
-            s"$pairs candidate pairs for $nMedia media rows (${pairs / nMedia}/media > " +
-            s"maxPairsPerMedia=$cap; hottest bucket holds $hottest) - the bucket vocabulary " +
-            s"(${nBands}x2^$bandBits) is too small for this corpus. $remedy, " +
-            s"or override/disable the cap via $capKey.")
-      }
+          s"image-neardup pair-volume guard: every band geometry exceeds maxPairsPerMedia=" +
+            s"$cap candidate band-pair rows per media row [${trail.mkString("; ")}] - the " +
+            "excess is genuine duplicate-class density, and pair ENUMERATION output is " +
+            "quadratic in class size by definition. Emit verdicts instead: " +
+            "imageNearDupVerdicts (q271) collapses exact-hash classes and keeps one id per " +
+            s"class. Or override/disable the cap via $NearDupCapKey.")
     }
+  }
+
+  /** The q127 near-dup at an EXPLICIT band width, for callers that fix the
+    * geometry (tools/ImageNearDupWiden's A/B measurement; the spec's
+    * recall invariants). Same guard and single-hash-pass shape as the auto
+    * path; on trip the remedy names the next-wider geometry, or the
+    * verdict shape when already at maximum width. */
+  def imageNearDup(s: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    val cap = nearDupCap(s)
+    if (cap <= 0)
+      return nearDupPairs(bandsOf(mediaHashes(s, dir), bandBits))
+        .orderBy(col("media_a"), col("media_b"))
+    val hashed = mediaHashes(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(hashed, bandBits)
+    val (pairs, hottest, nMedia) = bandStatsOf(bands, bandBits)
+    if (nMedia > 0 && pairs > cap * nMedia) {
+      hashed.unpersist(blocking = false)
+      val nBands = 64 / bandBits
+      val remedy =
+        if (bandBits < 32)
+          "Widen the bands (imageNearDup(bandBits=32), or imageNearDupAuto which picks the " +
+            "width from this same pre-agg) before running near-dup at this scale"
+        else
+          "Bands are already at maximum width, so the excess is genuine duplicate-class " +
+            "density - pair ENUMERATION is quadratic in class size by definition; emit " +
+            "verdicts instead (imageNearDupVerdicts, the q64/q40 keep-one-per-class shape)"
+      throw new IllegalStateException(
+        s"image-neardup pair-volume guard: the ${bandBits}-bit band join would read " +
+          s"$pairs candidate band-pair rows for $nMedia media rows (${pairs / nMedia}/media " +
+          s"> maxPairsPerMedia=$cap; hottest bucket holds $hottest; a pair sharing every " +
+          s"band counts $nBands times) - the bucket vocabulary (${nBands}x2^$bandBits) is " +
+          s"too small for this corpus. $remedy, or override/disable the cap via $NearDupCapKey.")
+    }
+    nearDupPairs(bands).orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** (media_id, ah, dh) — the ONE hash pass every near-dup path shares:
+    * rendition synth + aHash/dHash in a single codegen pass over a
+    * doc_id+text-pruned scan, 24 bytes of state per media row. */
+  private def mediaHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") >= 64)
+      .select($"doc_id", explode(array(lit(0), lit(1), lit(2))).as("rend"),
+        $"text".cast("binary").as("content"))
+      .select(($"doc_id" * 10 + $"rend").as("media_id"),
+        call_function("graft_media_rendition", $"content", $"rend").as("content"))
+      .select($"media_id",
+        call_function("graft_ahash", $"content").as("ah"),
+        call_function("graft_dhash", $"content").as("dh"))
+  }
+
+  /** Band explode of a hash relation: 64/bandBits (band_idx, band_val)
+    * rows per media row, by shift+mask. */
+  private def bandsOf(hashed: DataFrame, bandBits: Int): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits),
+      s"bandBits must be 8, 16 or 32 (got $bandBits): bands must tile the 64-bit hash")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
+    hashed.select(col("media_id"), col("ah"), col("dh"),
+      posexplode(array((0 until nBands).map(k =>
+        shiftrightunsigned(col("ah"), bandBits * k).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** (candidate band-pair rows, hottest bucket population, media rows)
+    * from a bands relation — the guards' pre-agg, computed on the SAME
+    * (persisted) plan the join then runs on, not a from-scratch rebuild
+    * (the r17 ADVICE double-pass). */
+  private def bandStatsOf(bands: DataFrame, bandBits: Int): (Long, Long, Long) = {
+    val nBands = 64 / bandBits
+    val r = bands
+      .groupBy(col("band_idx"), col("band_val")).agg(count(lit(1)).as("pop"))
+      .agg(coalesce(sum(col("pop") * (col("pop") - 1)), lit(0L)).as("pairs2"),
+        coalesce(max(col("pop")), lit(0L)).as("hottest"),
+        coalesce(sum(col("pop")), lit(0L)).as("bandRows"))
+      .collect()(0)
+    (r.getLong(0) / 2, r.getLong(1), r.getLong(2) / nBands)
+  }
+
+  /** The same pre-agg from cold, for profiling a geometry WITHOUT running
+    * any join (tools/BandPairProfile). */
+  def bandPairStats(s: SparkSession, dir: String, bandBits: Int): (Long, Long, Long) =
+    bandStatsOf(bandsOf(mediaHashes(s, dir), bandBits), bandBits)
+
+  /** Width auto-selection shared by [[imageNearDupAuto]] and
+    * [[imageNearDupVerdicts]]: the first width in [[AutoBandWidths]] whose
+    * band-pair rows/media clears `cap` wins (Right, choice logged); when
+    * every width trips, Left carries the per-width trail for the caller's
+    * guard message. */
+  private def autoBands(hashed: DataFrame, cap: Long,
+                        what: String): Either[Seq[String], DataFrame] = {
+    val trail = Seq.newBuilder[String]
+    for (bits <- AutoBandWidths) {
+      val bands = bandsOf(hashed, bits)
+      val (pairs, hottest, nMedia) = bandStatsOf(bands, bits)
+      if (nMedia == 0 || pairs <= cap * nMedia) {
+        System.err.println(s"[graft] $what: auto band width $bits-bit " +
+          s"(${if (nMedia > 0) pairs / nMedia else 0} band-pair rows/media vs cap $cap)")
+        return Right(bands)
+      }
+      trail += s"$bits-bit: ${pairs / nMedia} rows/media (hottest bucket $hottest)"
+    }
+    Left(trail.result())
+  }
+
+  /** Band-blocked candidate pairs + Hamming verify at τ = 6 — the shared
+    * tail of every near-dup path (unordered; entries sort for the
+    * row-order-strict gate, verdict aggregation doesn't need to). */
+  private def nearDupPairs(bands: DataFrame): DataFrame = {
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -310,49 +441,78 @@ object MultimodalQueries {
         col("a.ah").as("ah_a"), col("b.ah").as("ah_b"),
         col("a.dh").as("dh_a"), col("b.dh").as("dh_b"))
       .distinct()
-    cand.select($"media_a", $"media_b",
-        bit_count($"ah_a".bitwiseXOR($"ah_b")).cast("long").as("ham_a"),
-        bit_count($"dh_a".bitwiseXOR($"dh_b")).cast("long").as("ham_d"))
-      .filter($"ham_a" <= 6)
-      .orderBy($"media_a", $"media_b")
+    cand.select(col("media_a"), col("media_b"),
+        bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("long").as("ham_a"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).cast("long").as("ham_d"))
+      .filter(col("ham_a") <= 6)
   }
 
-  /** The (media_id, ah, dh, band_idx, band_val) relation the q127 band
-    * join runs on — hashes in one codegen pass, bands by shift+mask. */
-  private def mediaBands(s: SparkSession, dir: String, bandBits: Int) = {
-    import s.implicits._
-    require(Seq(8, 16, 32).contains(bandBits),
-      s"bandBits must be 8, 16 or 32 (got $bandBits): bands must tile the 64-bit hash")
-    val nBands = 64 / bandBits
-    val mask = (1L << bandBits) - 1L
-    val media = Tables.documents(s, dir)
-      .filter(length($"text") >= 64)
-      .select($"doc_id", explode(array(lit(0), lit(1), lit(2))).as("rend"),
-        $"text".cast("binary").as("content"))
-      .select(($"doc_id" * 10 + $"rend").as("media_id"),
-        call_function("graft_media_rendition", $"content", $"rend").as("content"))
-    val hashed = media.select($"media_id",
-      call_function("graft_ahash", $"content").as("ah"),
-      call_function("graft_dhash", $"content").as("dh"))
-    hashed.select($"media_id", $"ah", $"dh",
-      posexplode(array((0 until nBands).map(k =>
-        shiftrightunsigned($"ah", bandBits * k).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "band_val")))
-  }
+  // ---------------------------------------------------------------- q271
 
-  /** (candidate band-pairs, hottest bucket population, media rows) for the
-    * q127 band geometry — the guard's pre-agg, exposed so the band-width
-    * decision is profilable without running the join (tools/BandPairProfile). */
-  def bandPairStats(s: SparkSession, dir: String, bandBits: Int): (Long, Long, Long) = {
+  /** q271_image_neardup_verdicts — the near-dup VERDICT operator: q127
+    * answers "which pairs collide", an output contract quadratic in
+    * duplicate-class size by definition (the r17 ×100 measurement: 180 M
+    * of 291 M widened-band candidates were true pairs in ~hundred-member
+    * classes — m² enumeration however the plan is shaped). A 100 TB
+    * curation pass wants one KEEP decision per media row — the q64/q40
+    * shape. Two levels, both deterministic and order-independent:
+    *
+    *  1. EXACT — media with identical (ah, dh) form a class; the min id is
+    *     canonical, every other member is `dup_of` it. One hash group-by:
+    *     an m-member exact class costs m agg rows here vs m²/2 pairs in
+    *     q127, which collapses the dominant quadratic BEFORE any join.
+    *  2. NEAR — class CANONICALS are band-blocked (same auto width + cap
+    *     machinery as q127, applied to the canonical relation) and
+    *     Hamming-verified at τ = 6; a canonical with a lower-id canonical
+    *     at ham_a ≤ 6 in a shared band is `dup_of` the smallest such id.
+    *
+    * Near comparison is canonical-vs-canonical by contract (near-dup is
+    * not transitive; comparing class representatives is what bounds the
+    * join by DISTINCT hashes rather than media rows). `dup_of` may chain —
+    * a near-dupped canonical still anchors its exact members; survivorship
+    * resolution is the caller's policy, as q119. `kept = 1` marks exactly
+    * the rows with no verdict against them; output is one row per media
+    * row — LINEAR in the corpus at every duplicate density, which is the
+    * point. If even the canonical-level join trips every width, the
+    * residual is genuine near-dup density among distinct hashes and the
+    * guard says so; the verdict output would still be linear, so the
+    * remedy is a conscious cap raise, not a different operator. */
+  def q271ImageNearDupVerdicts(s: SparkSession, dir: String): DataFrame =
+    imageNearDupVerdicts(s, dir)
+
+  def imageNearDupVerdicts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nBands = 64 / bandBits
-    val r = mediaBands(s, dir, bandBits)
-      .groupBy($"band_idx", $"band_val").agg(count(lit(1)).as("pop"))
-      .agg(coalesce(sum($"pop" * ($"pop" - 1)), lit(0L)).as("pairs2"),
-        coalesce(max($"pop"), lit(0L)).as("hottest"),
-        coalesce(sum($"pop"), lit(0L)).as("bandRows"))
-      .collect()(0)
-    (r.getLong(0) / 2, r.getLong(1), r.getLong(2) / nBands)
+    val cap = nearDupCap(s)
+    val hashed0 = mediaHashes(s, dir)
+    val hashed = if (cap > 0) hashed0.persist(StorageLevel.MEMORY_AND_DISK) else hashed0
+    val classes = hashed.groupBy($"ah", $"dh").agg(min($"media_id").as("rep_id"))
+    val members = hashed.join(classes, Seq("ah", "dh")).select($"media_id", $"rep_id")
+    val reps0 = classes.select($"rep_id".as("media_id"), $"ah", $"dh")
+    val reps = if (cap > 0) reps0.persist(StorageLevel.MEMORY_AND_DISK) else reps0
+    val bands =
+      if (cap <= 0) bandsOf(reps, 16)
+      else autoBands(reps, cap, "imageNearDupVerdicts") match {
+        case Right(b) => b
+        case Left(trail) =>
+          hashed.unpersist(blocking = false); reps.unpersist(blocking = false)
+          throw new IllegalStateException(
+            "image-neardup pair-volume guard: even among exact-class canonicals every band " +
+              s"geometry exceeds maxPairsPerMedia=$cap candidate band-pair rows per row " +
+              s"[${trail.mkString("; ")}] - the residual is rep-level near-dup density among " +
+              "DISTINCT hashes. The verdict output stays linear either way; raise or disable " +
+              s"the cap via $NearDupCapKey to consciously pay the wider join.")
+      }
+    val near = nearDupPairs(bands)
+      .groupBy($"media_b").agg(min($"media_a").as("near_dup_of"))
+    members.join(near, members("media_id") === near("media_b"), "left")
+      .select($"media_id",
+        when($"media_id" =!= $"rep_id", $"rep_id")
+          .otherwise($"near_dup_of").as("dup_of"),
+        when($"media_id" =!= $"rep_id", lit("exact"))
+          .when($"near_dup_of".isNotNull, lit("near")).as("dup_kind"),
+        when($"media_id" =!= $"rep_id" || $"near_dup_of".isNotNull, 0L)
+          .otherwise(1L).as("kept"))
+      .orderBy($"media_id")
   }
 
   /** The oracle never reconstructs rendition STRINGS: the hash depends only
@@ -408,6 +568,84 @@ object MultimodalQueries {
       |SELECT media_a, media_b, ham_a, ham_d FROM hams
       |WHERE ham_a <= 6
       |ORDER BY media_a, media_b""".stripMargin
+
+  /** q271 oracle: q127's hash/band replay, then the exact-class collapse —
+    * the band-segment string key is the (ah, dh) pair (the 16-bit segments
+    * tile both hashes bijectively) — and the canonical-level band join +
+    * lowest-qualifying-id verdict. */
+  val q271Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE len(text) >= 64
+      |),
+      |pos AS (
+      |  SELECT doc_id, r.r AS rend,
+      |    CAST(p.p * 64 // len(text) AS INT) AS cell,
+      |    ord(substring(text, CAST(p.p + 1 AS INT), 1))
+      |      + CASE WHEN r.r = 1 OR (r.r = 2 AND p.p % 16 = 0) THEN 1 ELSE 0 END AS b
+      |  FROM base, UNNEST(range(0, len(text))) AS p(p), UNNEST(range(0, 3)) AS r(r)
+      |),
+      |cellavg AS (
+      |  SELECT doc_id, rend, cell, SUM(b) // COUNT(*) AS v
+      |  FROM pos GROUP BY doc_id, rend, cell
+      |),
+      |thresh AS (
+      |  SELECT doc_id, rend, SUM(v) // 64 AS t FROM cellavg GROUP BY doc_id, rend
+      |),
+      |bits AS (
+      |  SELECT c.doc_id, c.rend, c.cell,
+      |    CASE WHEN c.v > t.t THEN 1 ELSE 0 END AS bit_a,
+      |    CASE WHEN c.v > coalesce(lead(c.v) OVER w, first_value(c.v) OVER w)
+      |      THEN 1 ELSE 0 END AS bit_d
+      |  FROM cellavg c JOIN thresh t ON c.doc_id = t.doc_id AND c.rend = t.rend
+      |  WINDOW w AS (PARTITION BY c.doc_id, c.rend ORDER BY c.cell)
+      |),
+      |bands AS (
+      |  SELECT doc_id * 10 + rend AS media_id, cell // 16 AS band_idx,
+      |    SUM(bit_a * (1 << (cell % 16))) AS aband,
+      |    SUM(bit_d * (1 << (cell % 16))) AS dband
+      |  FROM bits GROUP BY doc_id, rend, cell // 16
+      |),
+      |hkeys AS (
+      |  SELECT media_id,
+      |    string_agg(aband::VARCHAR, ',' ORDER BY band_idx) || '|' ||
+      |      string_agg(dband::VARCHAR, ',' ORDER BY band_idx) AS hkey
+      |  FROM bands GROUP BY media_id
+      |),
+      |cls AS (
+      |  SELECT media_id, min(media_id) OVER (PARTITION BY hkey) AS rep_id
+      |  FROM hkeys
+      |),
+      |repbands AS (
+      |  SELECT b.* FROM bands b JOIN cls c
+      |    ON b.media_id = c.media_id AND c.media_id = c.rep_id
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      |  FROM repbands a JOIN repbands b
+      |    ON a.band_idx = b.band_idx AND a.aband = b.aband
+      |      AND a.media_id < b.media_id
+      |),
+      |hams AS (
+      |  SELECT c.media_a, c.media_b,
+      |    SUM(bit_count(xor(x.aband, y.aband))) AS ham_a
+      |  FROM cand c
+      |  JOIN repbands x ON x.media_id = c.media_a
+      |  JOIN repbands y ON y.media_id = c.media_b AND y.band_idx = x.band_idx
+      |  GROUP BY c.media_a, c.media_b
+      |),
+      |nearv AS (
+      |  SELECT media_b AS rep_id, min(media_a) AS near_dup_of
+      |  FROM hams WHERE ham_a <= 6 GROUP BY 1
+      |)
+      |SELECT c.media_id,
+      |  CAST(CASE WHEN c.media_id <> c.rep_id THEN c.rep_id
+      |            ELSE n.near_dup_of END AS BIGINT) AS dup_of,
+      |  CASE WHEN c.media_id <> c.rep_id THEN 'exact'
+      |       WHEN n.near_dup_of IS NOT NULL THEN 'near' END AS dup_kind,
+      |  CAST(CASE WHEN c.media_id <> c.rep_id OR n.near_dup_of IS NOT NULL
+      |            THEN 0 ELSE 1 END AS BIGINT) AS kept
+      |FROM cls c LEFT JOIN nearv n ON n.rep_id = c.media_id
+      |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q132
 
@@ -635,7 +873,8 @@ object MultimodalQueries {
     "q60_zorder_scan"   -> (q60ZOrderScan _),
     "q69_bucketed_join" -> (q69BucketedJoin _),
     "q120_partition_prune" -> (q120PartitionPrune _),
-    "q127_image_neardup" -> (q127ImageNearDup _))
+    "q127_image_neardup" -> (q127ImageNearDup _),
+    "q271_image_neardup_verdicts" -> (q271ImageNearDupVerdicts _))
 
   val oracles: Map[String, String] = Map(
     "q211_av_align" -> q211Sql,
@@ -647,5 +886,6 @@ object MultimodalQueries {
     "q60_zorder_scan"   -> q60Sql,
     "q69_bucketed_join" -> q69Sql,
     "q120_partition_prune" -> q120Sql,
-    "q127_image_neardup" -> q127Sql)
+    "q127_image_neardup" -> q127Sql,
+    "q271_image_neardup_verdicts" -> q271Sql)
 }

@@ -348,10 +348,13 @@ object VectorQueries {
     * cap; at ×100 it is 7646 — trips). `spark.graft.semdedup.maxCellRows`
     * overrides the cap; a value ≤ 0 disables the guard explicitly. The
     * guard is one eager pre-agg (scan + assignment + count) that runs at
-    * DataFrame-CONSTRUCTION time — fail-fast by design; its assignment
-    * pass is recomputed by the query itself, an accepted linear cost for
-    * quadratic insurance. On trip: IllegalStateException naming the
-    * hottest cell, the cap, and the re-freeze recipe. */
+    * DataFrame-CONSTRUCTION time — fail-fast by design; the assignment
+    * relation it aggregates is PERSISTED (MEMORY_AND_DISK) and the query
+    * itself runs on the same cached plan, so the scan+assignment pass is
+    * paid once, not twice (r18, closing the r16/r17 ADVICE note; harness
+    * cleanups / the ContextCleaner evict the cache). On trip:
+    * IllegalStateException naming the hottest cell, the cap, and the
+    * re-freeze recipe. */
   def q64SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(s, dir, graft.vector.IvfFrozen.model)
 
@@ -366,7 +369,7 @@ object VectorQueries {
   def semDedup(s: SparkSession, dir: String,
                model: graft.vector.Ivf.IvfModel): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
+    val e0 = Tables.embeddings(s, dir)
       .select($"vec_id", dvec($"embedding").as("v"))
       .select($"vec_id", graft.vector.Ivf.cellOf($"v", model).as("cell"),
         $"v", norm($"v").as("nrm"))
@@ -379,10 +382,15 @@ object VectorQueries {
         }
       case None => SemDedupGuardFactor * model.k
     }
+    // the guard's pre-agg materializes this cache; the pair join and the
+    // verdict join below then reuse it — one scan+assignment pass total
+    val e = if (cap > 0)
+      e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else e0
     if (cap > 0) {
       val hot = e.groupBy($"cell").count()
         .filter($"count" > cap).orderBy($"count".desc).limit(1).collect()
       hot.headOption.foreach { r =>
+        e.unpersist(blocking = false)
         throw new IllegalStateException(
           s"semdedup cell-population guard: cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
             s"(> maxCellRows=$cap) under the k=${model.k} frozen quantizer - the within-cell " +

@@ -53,15 +53,27 @@ class MultimodalSpec extends SparkSpec {
     assert(s.conf.getOption("spark.graft.imageneardup.maxPairsPerMedia").isEmpty)
     // default cap passes the gate corpus
     assert(MultimodalQueries.q127ImageNearDup(s, dir).collect().nonEmpty)
-    // every rendition trio shares band buckets by construction, so
-    // pairs/media > 1 at any SF and cap=1 must trip
+    // every rendition trio shares band buckets by construction (at ANY
+    // width — exact-hash dups share all bands), so pairs/media > 1 at any
+    // SF and cap=1 must exhaust the auto-width ladder and trip
     s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "1")
     try {
       val ex = intercept[IllegalStateException] {
         MultimodalQueries.q127ImageNearDup(s, dir).collect()
       }
       assert(ex.getMessage.contains("maxPairsPerMedia=1"), ex.getMessage)
-      assert(ex.getMessage.contains("bandBits=32"), "the error must name the wider-band remedy")
+      assert(ex.getMessage.contains("imageNearDupVerdicts"),
+        "the exhausted auto path must steer to the verdict-shaped operator")
+      // the EXPLICIT-width path at 16-bit names the wider-band remedy
+      val ex16 = intercept[IllegalStateException] {
+        MultimodalQueries.imageNearDup(s, dir, 16).collect()
+      }
+      assert(ex16.getMessage.contains("bandBits=32"), ex16.getMessage)
+      // ... and at maximum width it steers to verdicts too
+      val ex32 = intercept[IllegalStateException] {
+        MultimodalQueries.imageNearDup(s, dir, 32).collect()
+      }
+      assert(ex32.getMessage.contains("imageNearDupVerdicts"), ex32.getMessage)
       // <= 0 disables: the same corpus runs
       s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "-1")
       assert(MultimodalQueries.q127ImageNearDup(s, dir).collect().nonEmpty)
@@ -72,6 +84,59 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(bad.getMessage.contains("spark.graft.imageneardup.maxPairsPerMedia"))
     } finally s.conf.unset("spark.graft.imageneardup.maxPairsPerMedia")
+  }
+
+  test("q127 auto width: gate corpus picks 16-bit — byte-identical to the explicit path") {
+    import graft.queries.MultimodalQueries
+    val dir = "/root/testdata/sf0.001"
+    val auto = MultimodalQueries.imageNearDupAuto(spark, dir).collect().map(_.toString)
+    val at16 = MultimodalQueries.imageNearDup(spark, dir, 16).collect().map(_.toString)
+    assert(auto.toSeq === at16.toSeq,
+      "at gate density the auto path must choose the 16-bit geometry")
+  }
+
+  test("q271 verdicts: total, linear-shaped, consistent with q127's pair list") {
+    import graft.queries.MultimodalQueries
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val out = MultimodalQueries.q271ImageNearDupVerdicts(s, dir).collect()
+    val pairs = MultimodalQueries.q127ImageNearDup(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // totality: one verdict per media row (3 renditions per qualifying doc)
+    val nMedia = graft.Tables.documents(s, dir)
+      .filter("length(text) >= 64").count() * 3
+    assert(out.length.toLong === nMedia, "one verdict per media row, always")
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)), r.getLong(3))).toMap
+    byId.foreach { case (id, (dupOf, kind, kept)) =>
+      assert(kept === (if (dupOf.isEmpty) 1L else 0L), s"media $id")
+      assert(dupOf.isEmpty === kind.isEmpty, s"media $id: dup_kind iff dup_of")
+      dupOf.foreach(lo => assert(lo < id, s"media $id: canonical must be the lower id"))
+    }
+    assert(byId.values.exists(_._2.contains("exact")),
+      "the rendition fixture guarantees exact-hash classes")
+    // every NEAR verdict names a canonical that q127's 16-bit pair list
+    // confirms at ham_a <= 6 (reps are media rows; same geometry at gate)
+    val nearVerdicts = byId.collect { case (id, (Some(lo), Some("near"), _)) => (lo, id) }
+    assert(nearVerdicts.nonEmpty, "sf0.001 contains near (non-exact) canonical pairs")
+    nearVerdicts.foreach { p =>
+      assert(pairs.contains(p), s"near verdict $p must be a q127-confirmed pair")
+    }
+    // an exact member's canonical shares its hash class: ham 0 pair in q127
+    val exactVerdicts = byId.collect { case (id, (Some(lo), Some("exact"), _)) => (lo, id) }
+    exactVerdicts.foreach { p =>
+      assert(pairs.contains(p), s"exact verdict $p must be a q127-confirmed pair")
+    }
+    // keep rule completeness: a KEPT canonical has no lower-id canonical
+    // near-dup in q127's pair list (members can't witness against a rep)
+    val canonicals = byId.collect { case (id, (dupOf, kind, _))
+      if !kind.contains("exact") => id }.toSet
+    byId.collect { case (id, (None, None, 1L)) => id }.foreach { id =>
+      val witnesses = pairs.collect { case (a, b) if b == id && canonicals(a) => a }
+      assert(witnesses.isEmpty,
+        s"media $id kept, but canonical ${witnesses.headOption} collides in q127")
+    }
   }
 
   test("q127: wider bands (the scale path) keep every exact-hash duplicate pair") {

@@ -33,6 +33,19 @@ class PlanSpec extends SparkSpec {
   private def leaves(df: DataFrame): String =
     executed(df).collectLeaves().map(_.toString).mkString("\n")
 
+  /** Every node including those hidden behind AQE query-stage boundaries
+    * and inside cached (InMemoryRelation) plans — plain `collect` stops at
+    * QueryStageExec leaves, which is where persisted relations live. */
+  private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val below = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(i.relation.cachedPlan)
+      case _ => p.children
+    }
+    p +: below.flatMap(deepNodes)
+  }
+
   test("q2: both predicates and the narrow projection reach the parquet scan") {
     val s = leaves(CoreQueries.q2FilterProject(spark, dir))
     assert(s.contains("PushedFilters"))
@@ -633,11 +646,27 @@ class PlanSpec extends SparkSpec {
     val plan = executed(MultimodalQueries.q127ImageNearDup(spark, dir))
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
       "perceptual near-dup must pair within band buckets, never all media pairs")
-    val s = leaves(MultimodalQueries.q127ImageNearDup(spark, dir))
+    // the hash relation is persisted (guard + join share one scan), so the
+    // file scan to audit lives inside the InMemoryRelation's cached plan
+    val nodes = deepNodes(plan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the guarded path must reuse the persisted hash relation")
+    val s = nodes.filter(_.children.isEmpty).map(_.toString).mkString("\n")
     assert(s.contains("doc_id") && s.contains("text"),
       "the media synth needs doc_id+text:\n" + s)
     assert(!s.contains("lang") && !s.contains("source") && !s.contains("n_chars"),
       "unused document columns must be pruned from the scan:\n" + s)
+  }
+
+  test("q271: verdicts reuse the persisted hash pass; no cartesian anywhere") {
+    val plan = executed(MultimodalQueries.q271ImageNearDupVerdicts(spark, dir))
+    val nodes = deepNodes(plan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "canonical-level near-dup must pair within band buckets")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "the guarded verdict path must reuse the persisted relations")
   }
 
   test("q95: contract validation is ONE lineitem scan, all rules as conditional sums") {

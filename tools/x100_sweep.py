@@ -57,6 +57,12 @@ def run_one(query, sf_dir, heap, gc_log, timeout_s):
                 "wall": wall}
     d = json.loads(line)
     t = d["queries"].get(query, -1.0)
+    # a scale guard firing is the operator refusing an SF by contract —
+    # Bench reports those apart from failures, and so do we (r17 verdict #5)
+    if query in (d.get("guard_trips") or []):
+        return {"t": -1.0, "wall": wall, "canary_med": d.get("canary_med"),
+                "canary_max": d.get("canary_max"), "tainted": d.get("tainted_reps", 0),
+                "err": "guard_trip"}
     return {"t": t, "wall": wall, "canary_med": d.get("canary_med"),
             "canary_max": d.get("canary_max"), "tainted": d.get("tainted_reps", 0),
             "err": None if t >= 0 else "query failed (see bench stderr)"}
@@ -103,9 +109,15 @@ def main():
     if args.baseline:
         with open(os.path.join(REPO, args.baseline)) as f:
             # a failed baseline entry (median_s=-1.0) would yield a silent
-            # negative ratio that can never trip the >100 gate — drop it
-            base = {k: v["median_s"] for k, v in json.load(f)["queries"].items()
-                    if v["median_s"] > 0}
+            # negative ratio that can never trip the >100 gate — drop it,
+            # LOUDLY: a dropped baseline means the ratio gate cannot apply
+            # to that query, and the reader must know, not infer
+            raw = json.load(f)["queries"]
+        base = {k: v["median_s"] for k, v in raw.items() if v["median_s"] > 0}
+        dropped = sorted(k for k, v in raw.items() if v["median_s"] <= 0)
+        if dropped:
+            print(f"[x100] baseline medians unusable (<=0), ratio gate will not "
+                  f"apply to: {', '.join(dropped)}", flush=True)
 
     results = {q: [] for q in queries}
     for rep in range(1, args.reps + 1):
@@ -115,7 +127,9 @@ def main():
             r = run_one(q, args.sf_dir, args.heap, gc_log, args.timeout_s)
             r["gc_pause_s"] = gc_pause_seconds(gc_log)
             results[q].append(r)
-            stat = f"{r['t']:.1f}s" if r["t"] >= 0 else f"FAILED ({r['err']})"
+            stat = (f"{r['t']:.1f}s" if r["t"] >= 0
+                    else "GUARD TRIP (designed)" if r["err"] == "guard_trip"
+                    else f"FAILED ({r['err']})")
             print(f"[x100]   -> {stat} wall={r['wall']:.0f}s "
                   f"gc={r['gc_pause_s']}s canary_max={r.get('canary_max')}",
                   flush=True)
@@ -150,21 +164,43 @@ def main():
         v = out["queries"][q]
         print(f"{q:34s} {v.get('sf01_median_s', float('nan')):8.2f} "
               f"{v['median_s']:9.2f} {ratio:6.1f}x")
+    # Exit codes: 0 = clean; 1 = confirmed super-proportional evidence
+    # (ratio > 100, or zero successful reps NOT explained by a guard);
+    # 3 = warnings only (partial failures with healthy medians, or queries
+    # the ratio gate could not cover) — distinct so one transient harness
+    # timeout cannot masquerade as a scale cliff (r17 ADVICE).
     rc = 0
     bad = [q for r, q in ranked if r > 100]
     if bad:
         print(f"[x100] SUPER-PROPORTIONAL (>100x on 100x work): {', '.join(bad)}")
         rc = 1
+    # a guard trip is the operator refusing the SF BY DESIGN — report it as
+    # its own class (the fail-loud contract working), never as a failure
+    tripped = [q for q, v in out["queries"].items()
+               if v["median_s"] < 0 and v["errors"]
+               and all(e == "guard_trip" for e in v["errors"])]
+    if tripped:
+        print(f"[x100] DESIGNED GUARD TRIPS (operator refused this SF by "
+              f"contract — pass): {', '.join(tripped)}")
     # a wedged/failed rep is STRONGER super-proportional evidence than a
     # measured ratio (a 1800s timeout at x100 is >870x on most entries)
-    dead = [q for q, v in out["queries"].items() if v["median_s"] < 0]
-    erred = [q for q, v in out["queries"].items() if v["errors"] and q not in dead]
+    dead = [q for q, v in out["queries"].items()
+            if v["median_s"] < 0 and q not in tripped]
+    erred = [q for q, v in out["queries"].items()
+             if v["errors"] and q not in dead and q not in tripped]
+    noratio = [q for q, v in out["queries"].items()
+               if base and v["median_s"] >= 0 and "x_vs_sf01" not in v]
     if dead:
         print(f"[x100] ZERO SUCCESSFUL REPS (treat as super-proportional): {', '.join(dead)}")
         rc = 1
     if erred:
-        print(f"[x100] PARTIAL FAILURES (timeout/error reps): {', '.join(erred)}")
-        rc = 1
+        print(f"[x100] PARTIAL FAILURES with healthy medians (timeout/error reps): "
+              f"{', '.join(erred)}")
+        rc = rc or 3
+    if noratio:
+        print(f"[x100] RAN AT x100 BUT NO BASELINE RATIO (gate not applied): "
+              f"{', '.join(noratio)}")
+        rc = rc or 3
     return rc
 
 
