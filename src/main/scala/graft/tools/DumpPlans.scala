@@ -52,6 +52,7 @@ object DumpPlans {
     "q97_range_bin_join" -> "keyless range join binned: broadcast equi join on the hour bin + residual",
     "q98_equidepth_hist" -> "octile boundaries as 1-row broadcasts; integer bucket membership",
     "q121_ann_ivf_rerank" -> "composed serving path: probe/ADC/refine — three broadcasts, corpus scanned once",
+    "q127_image_neardup" -> "auto-width banded pHash blocking over the persisted hash pass; band-keyed pair join, never cartesian",
     "q129_leakage_split" -> "cluster-keyed split: md5 fence is a narrow projection over q40's labels",
     "q130_bpe_merges"   -> "corpus folds to (token, n) once; pair work is vocab-sized; TakeOrdered top-20",
     "q131_embedding_drift" -> "two in-scan assignment passes fold to k cells; totals broadcast",
@@ -92,7 +93,8 @@ object DumpPlans {
     "q251_dataset_card" -> "one scan; both distincts ride one source-keyed exchange via Expand",
     "q252_sort_limit_offset" -> "TakeOrderedAndProject: offset+limit rows per partition, no global sort",
     "q254_ann_filtered" -> "label equality INSIDE the broadcast join — pre-filter, scored pairs k-bounded per label",
-    "q256_dp_contrib_bound" -> "user-keyed cap window + map-side histogram; noise is one scalar per output group")
+    "q256_dp_contrib_bound" -> "user-keyed cap window + map-side histogram; noise is one scalar per output group",
+    "q271_image_neardup_verdicts" -> "exact-hash class collapse (one group-by) before ANY join; canonical-only band join; one verdict row per media row")
 
   /** q70's public query localCheckpoints right after the verify, which cuts
     * the executed plan at the checkpoint scan — dump its candidate stage

@@ -95,6 +95,21 @@ class MultimodalSpec extends SparkSpec {
       "at gate density the auto path must choose the 16-bit geometry")
   }
 
+  test("q127 auto width: widens to 32-bit when 16-bit overflows the cap — byte-identical to explicit 32-bit") {
+    import graft.queries.MultimodalQueries
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // sf0.001 geometry (tools/BandPairProfile): 16-bit reads 4.28 band-pair
+    // rows/media, 32-bit reads 1.87 — cap=3 forces exactly one widening step
+    s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "3")
+    try {
+      val auto = MultimodalQueries.imageNearDupAuto(s, dir).collect().map(_.toString)
+      val at32 = MultimodalQueries.imageNearDup(s, dir, 32).collect().map(_.toString)
+      assert(auto.toSeq === at32.toSeq,
+        "auto must take the 32-bit path when 16-bit trips the cap")
+    } finally s.conf.unset("spark.graft.imageneardup.maxPairsPerMedia")
+  }
+
   test("q271 verdicts: total, linear-shaped, consistent with q127's pair list") {
     import graft.queries.MultimodalQueries
     val s = spark
