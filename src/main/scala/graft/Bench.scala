@@ -103,6 +103,48 @@ object Bench {
   }
   @volatile private var canarySink: Long = 0L
 
+  /** Thread-handoff wakeup probe (µs per ping-pong roundtrip): two threads
+    * hand a token back and forth through SynchronousQueues, so each
+    * roundtrip is two scheduler wakeups — the path every Spark task
+    * launch/result lives on. The register canary CANNOT see this axis:
+    * r19's attribution of the r18 driver-sweep drift measured every query
+    * uniformly ~1.2× slower on a window whose register canary was
+    * byte-flat vs the fast morning sweeps (0.0899 vs 0.0888) while the
+    * host's wakeup latency read 56 µs/pipe-roundtrip — multi-second probes
+    * of pure compute scaled 27.7×/32 threads, steal 0.26%, PSI zero, so
+    * scheduling latency was the only axis left standing. This probe makes
+    * that axis part of every sweep artifact. */
+  private def wakeupCanary(rounds: Int = 2000): Double = {
+    val ping = new java.util.concurrent.SynchronousQueue[Integer]()
+    val pong = new java.util.concurrent.SynchronousQueue[Integer]()
+    val echo = new Thread(() => {
+      var i = 0
+      while (i < rounds) { pong.put(ping.take()); i += 1 }
+    }, "graft-wakeup-canary")
+    echo.setDaemon(true)
+    echo.start()
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < rounds) { ping.put(i); pong.take(); i += 1 }
+    (System.nanoTime() - t0) / 1e3 / rounds
+  }
+
+  /** Mid-weight Spark-shaped canary (~0.5–1 s): a FIXED range→shuffle→agg
+    * job whose wall time exercises exactly what the per-query windows
+    * exercise — task scheduling, shuffle write/read, codegen'd agg — on
+    * constant synthetic work. The r18 verdict asked for this after the
+    * driver window inflated 68 sub-second entries uniformly with a clean
+    * register canary: window quality for SPARK work is now measured
+    * per-sweep by a probe with the same execution anatomy. */
+  private def sparkCanary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("id % 997 AS k", "id")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,8 +221,12 @@ object Bench {
       sys.exit(2)
     }
     // steady-state canaries only: the first calls pay JIT compilation of
-    // the hash loop, which would inflate canary_max on every clean run
+    // the hash loop (and, for the window probes, codegen of the fixed
+    // shuffle plan / thread spin-up), which would inflate the max on
+    // every clean run
     (1 to 5).foreach(_ => canary())
+    wakeupCanary(rounds = 200)
+    try sparkCanary(spark) catch { case _: Throwable => () }
 
     val failedSet = scala.collection.mutable.Set.empty[String]
     // a scale guard firing is the operator DOING ITS JOB at an SF beyond
@@ -197,8 +243,10 @@ object Bench {
       val ok =
         try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {
-          case e: IllegalStateException
-              if e.getMessage != null && e.getMessage.contains("guard:") =>
+          // classification by TYPE: only the guards throw GuardTripException,
+          // so a genuine failure whose message happens to contain "guard:"
+          // can no longer masquerade as a designed refusal (r18 ADVICE)
+          case e: GuardTripException =>
             System.err.println(s"[bench] $name guard-tripped (rep $rep): " +
               e.getMessage.takeWhile(_ != '\n').take(220))
             guardTrips += name; false
@@ -218,14 +266,30 @@ object Bench {
     val canaries = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = scala.collection.mutable.ListBuffer.empty[Sample]
     // production cycle first (all reps, interleaved), contrast cycle after:
-    // a contrast rep can then only displace other contrast reps
+    // a contrast rep can then only displace other contrast reps. At every
+    // rep-cycle boundary the two WINDOW probes run (wakeup latency + the
+    // Spark-shaped job), so the artifact carries a small time series of
+    // window quality on the axes the register canary is blind to
+    val wakeups = scala.collection.mutable.ListBuffer.empty[Double]
+    val sparkCanaries = scala.collection.mutable.ListBuffer.empty[Double]
+    def windowProbe(tag: String): Unit = {
+      val w = wakeupCanary(); wakeups += w
+      val sc = try sparkCanary(spark) catch { case _: Throwable => -1.0 }
+      if (sc >= 0) sparkCanaries += sc
+      System.err.println(f"[bench] window probe ($tag): wakeup $w%.1f us/roundtrip, " +
+        f"spark job $sc%.3f s")
+    }
     val (contrastNames, mainNames) = names.partition(ContrastEntries.contains)
     for (cycle <- Seq(mainNames, contrastNames) if cycle.nonEmpty;
-         rep <- 1 to reps; name <- cycle) {
-      val lead = canary(); canaries += lead
-      samples.lastOption.foreach(_.trail = lead)
-      samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead)
+         rep <- 1 to reps) {
+      windowProbe(s"rep $rep")
+      for (name <- cycle) {
+        val lead = canary(); canaries += lead
+        samples.lastOption.foreach(_.trail = lead)
+        samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead)
+      }
     }
+    windowProbe("closing")
     val closing = canary(); canaries += closing
     samples.lastOption.foreach(_.trail = closing)
 
@@ -257,6 +321,10 @@ object Bench {
     }
     samples.filter(_.t < 0).foreach(s => if (!guardTrips(s.name)) failedSet += s.name)
     val taintedReps = samples.count(s => s.t >= 0 && s.tainted)
+    val wakeupMed = if (wakeups.nonEmpty) median(wakeups.toSeq) else -1.0
+    val wakeupMax = if (wakeups.nonEmpty) wakeups.max else -1.0
+    val sparkCanMed = if (sparkCanaries.nonEmpty) median(sparkCanaries.toSeq) else -1.0
+    val sparkCanMax = if (sparkCanaries.nonEmpty) sparkCanaries.max else -1.0
 
     // failures report the sentinel -1.0 so a consumer of the JSON line can
     // tell a failed query from a fast one; they are excluded from total
@@ -268,12 +336,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // `failed` and `guard_trips` are DISJOINT by construction: a tripped
+    // query's median is the same -1.0 sentinel as a failed one's, so the
+    // list must filter on the classification, not the sentinel (r18 ADVICE:
+    // a consumer asserting failed == [] must not misread a designed trip)
+    val failed = results.collect { case (k, v) if v < 0 && !guardTrips(k) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val cMax = canaries.max
     val contrastJson = contrastNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val guardJson = guardTrips.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"guard_trips":$guardJson,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"guard_trips":$guardJson,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"wakeup_us_med":$wakeupMed%.1f,"wakeup_us_max":$wakeupMax%.1f,"spark_canary_med":$sparkCanMed%.3f,"spark_canary_max":$sparkCanMax%.3f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
 
     // Durable per-query artifact (r10 verdict #2: the driver's log tail
     // truncates mid-JSON, losing the numbers for whole query families).
@@ -296,9 +368,13 @@ object Bench {
         val med = results.find(_._1 == name).map(_._2).getOrElse(-1.0)
         f""""$name":{"median_s":$med%.3f,"reps":$repTimes,"tainted":${ss.count(s => s.t >= 0 && s.tainted)}}"""
       }.mkString("{", ",", "}")
+      val wakeupsJson = wakeups.map(w => f"$w%.1f").mkString("[", ",", "]")
+      val sparkCanJson = sparkCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
       val json =
         f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,"guard_trips":$guardJson,
            |"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,
+           |"wakeup_us_med":$wakeupMed%.1f,"wakeup_us_max":$wakeupMax%.1f,"wakeup_us":$wakeupsJson,
+           |"spark_canary_med":$sparkCanMed%.3f,"spark_canary_max":$sparkCanMax%.3f,"spark_canary_s":$sparkCanJson,
            |"contrast_cycle":$contrastJson,
            |"queries":$perQuery}""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(timingsOut),

@@ -1009,25 +1009,92 @@ object CoreQueries {
     * exists for, visible in the export's score spectrum.
     *
     * Scale shape: pairs come ONLY from the digit-tail block join — never
-    * A×B — and the key WIDTH IS PARAMETRIC IN REGISTRY SIZE (the q119/q64
-    * parametric-key discipline): k tail digits are chosen so the expected
-    * per-block population stays ~constant (k = ceil(log10(|A| / 1.5)),
-    * clamped to [3, 9]), so within-block pair work grows ~linearly with
-    * the registries instead of ~N²/1000 under a fixed 3-digit key (the
-    * measured 6.7× at ×10 that this parameterization retires). Widening
+    * A×B — and the key width is MEASURED, not assumed (r18 verdict asked
+    * this entry for q127's auto-width discipline, replacing the r17 size
+    * HEURISTIC k = ceil(log10(|A| / 1.5)) that trusted tail uniformity):
+    * starting at the heuristic width, the ACTUAL candidate block-join
+    * volume Σ_block |A_block|·|B_block| is pre-aggregated per tail width —
+    * one tail-frequency pass at the WIDEST (9-digit) tail per side, each
+    * width probe then a re-aggregation of those persisted frequency
+    * relations, never of the corpus — and the first width whose measured
+    * pairs-per-record clears `spark.graft.linkage.maxPairsPerRecord`
+    * (default 64; ≤ 0 disables, falling back to the heuristic) runs,
+    * choice logged. A registry whose tails are skewed past every width —
+    * the 9-digit vocabulary is all the corruption model leaves safe —
+    * trips a fail-loud [[graft.GuardTripException]] naming the per-width
+    * trail and the remedy, instead of silently degrading toward the
+    * within-block N² the r17 fixed-k measured at 6.7× per ×10. Widening
     * k only SPLITS blocks (equal last-(k+1) ⇒ equal last-k), never merges
     * them, and the corruption model never touches the digit suffix, so
     * true pairs always share every tail width — recall is monotone in k
     * and the classified output is IDENTICAL for every k (spurious
     * same-tail pairs score ≤ -500000, below the `possible` band; see
-    * RecordLinkageSpec). The weights/thresholds ship as literals
-    * (frozen-model rule). All evidence integer-exact (e6 log-odds, e2
-    * balances). */
+    * RecordLinkageSpec, which also pins auto ≡ explicit and the planted-
+    * skew trip). The weights/thresholds ship as literals (frozen-model
+    * rule). All evidence integer-exact (e6 log-odds, e2 balances). */
   def q164RecordLinkage(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.customer(s, dir).count() // registry-level stat, one scalar
-    q164RecordLinkageWithK(s, dir,
-      math.min(9, math.max(3, math.ceil(math.log10(n / 1.5)).toInt)))
+    val kHeur = math.min(9, math.max(3, math.ceil(math.log10(n / 1.5)).toInt))
+    val cap = s.conf.getOption(LinkageCapKey) match {
+      case Some(v) =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$LinkageCapKey must be a long (<= 0 disables the guard), got '$v'")
+        }
+      case None => LinkageGuardPairsPerRecord
+    }
+    if (cap <= 0 || n == 0) return q164RecordLinkageWithK(s, dir, kHeur)
+    // ONE tail-frequency pass per side at the widest (9-digit) tail; the
+    // per-width probes re-aggregate these persisted frequency relations
+    // (|distinct tails| rows), never the registries
+    val tailsA = Tables.customer(s, dir)
+      .groupBy(expr("right(c_name, 9)").as("t9")).agg(count(lit(1)).as("ca"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tailsB = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(when(col("c_custkey") % 4 === 0,
+        concat(lit("Custmer"), substring(col("c_name"), 9, 100000)))
+        .otherwise(col("c_name")).as("name_b"))
+      .groupBy(expr("right(name_b, 9)").as("t9")).agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trail = Seq.newBuilder[String]
+      for (k <- kHeur to 9) {
+        val va = tailsA.groupBy(expr(s"right(t9, $k)").as("tk")).agg(sum(col("ca")).as("ca"))
+        val vb = tailsB.groupBy(expr(s"right(t9, $k)").as("tk")).agg(sum(col("cb")).as("cb"))
+        val r = va.join(vb, "tk")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pairs"),
+            coalesce(max(col("ca") * col("cb")), lit(0L)).as("hottest"))
+          .collect()(0) // 1-row guard pre-agg
+        val (pairs, hottest) = (r.getLong(0), r.getLong(1))
+        if (pairs <= cap * n) {
+          System.err.println(s"[graft] recordLinkage: auto tail width $k digits " +
+            s"(${pairs / n} block-pair rows/record vs cap $cap)")
+          return q164RecordLinkageWithK(s, dir, k)
+        }
+        trail += s"$k digits: ${pairs / n} rows/record (hottest block $hottest)"
+      }
+      throw new graft.GuardTripException(
+        s"record-linkage block-volume guard: every tail width exceeds maxPairsPerRecord=" +
+          s"$cap candidate block-pair rows per record [${trail.result().mkString("; ")}] - " +
+          "the 9-digit tail vocabulary (all the corruption model leaves collision-safe) is " +
+          "exhausted for this registry's tail skew, and the block join would be " +
+          "super-linear. Extend the blocking key (a second field, e.g. nation+tail) for " +
+          s"this corpus, or override/disable the cap via $LinkageCapKey.")
+    } finally {
+      tailsA.unpersist(blocking = false)
+      tailsB.unpersist(blocking = false)
+    }
   }
+
+  /** Candidate block-pair rows per A-record above which [[q164RecordLinkage]]'s
+    * auto-width probe widens (and past 9 digits, trips): measured r19 gate
+    * reality is ~1–2 rows/record at the heuristic width, so 64 leaves ~30×
+    * headroom for organic skew while catching the degenerate-tail corpora
+    * (every name sharing one tail) that no width can split. */
+  val LinkageGuardPairsPerRecord = 64L
+
+  private val LinkageCapKey = "spark.graft.linkage.maxPairsPerRecord"
 
   /** q164 core with an explicit block-key width (exposed for the spec's
     * k-invariance proof; production entry computes k from registry size). */
@@ -4550,58 +4617,98 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- q269
 
-  /** q269_deep_recursion — the DEPTH axis of the native-recursion envelope
-    * (q265 pins a depth-4/fanout-10 tree; this pins a 120-level LINEAR
-    * chain): a key-successor walk over `customer` carrying a running
-    * e2-grid balance sum, deep enough that the engine's DEFAULT depth cap
-    * (`spark.sql.cteRecursionLevelLimit` = 100 — exceeded ⇒ the query
-    * FAILS, it never silently loops; RecursionEnvelopeSpec pins that
-    * failure, plus the row cap and cycle behavior) must be RAISED for the
-    * query to complete. The gate therefore proves the raised-limit path
-    * end-to-end: 121 rows, every level's running sum hash-matched against
-    * DuckDB executing the identical declarative chain.
+  /** q269_deep_recursion — the DEPTH axis of the recursion envelope
+    * (q265 pins a depth-4/fanout-10 tree through the NATIVE recursive
+    * CTE; this pins a 120-level LINEAR chain): a key-successor walk over
+    * `customer` carrying a running e2-grid balance sum, hash-matched
+    * level by level against DuckDB executing the declarative
+    * WITH RECURSIVE chain. The ENGINE side executes the same recurrence
+    * level-synchronously in batches of `spark.graft.recursion.batchLevels`
+    * (default 12) levels per Spark job: the r18 plan audit measured the
+    * native one-job-per-level execution at 16.8 s of pure job-launch
+    * overhead (120 × ~0.14 s; ×100 corpus moved it only 1.9×), and
+    * batching cut it to ~1.7 s with byte-identical output. The native
+    * machinery's conformance — the DEFAULT depth cap
+    * (`spark.sql.cteRecursionLevelLimit` = 100, exceeded ⇒ FAILS, never
+    * silently loops), the raised-cap completion (a 500-level chain), the
+    * row cap, cycle behavior — stays pinned by RecursionEnvelopeSpec.
     *
-    * Scale shape: each level is one join of a 1-row frontier against the
-    * key-pruned scan (`c_custkey <= 121` pushed to parquet) — depth-bound,
-    * not corpus-bound; the production form for million-level chains is
-    * q172's level-synchronous checkpointed BFS (bounded lineage), exactly
-    * as q265's scaladoc divides the labor. */
+    * Scale shape: latency ∝ depth / batchK, each batch one job over a
+    * key-range-pruned scan (BETWEEN pushed to parquet); per-batch state is
+    * ≤ batchK rows plus a single carry scalar — depth-bound, not
+    * corpus-bound; the production form for million-level chains is q172's
+    * level-synchronous checkpointed BFS (bounded lineage), exactly as
+    * q265's scaladoc divides the labor. */
   def q269DeepRecursion(s: SparkSession, dir: String): DataFrame = {
-    // The raised cap must be live while the recursion EXECUTES, and the
-    // result is 121 rows by construction (one key path, fixed depth —
-    // corpus-independent), so the gate executes the chain eagerly under
-    // the raised limit, restores the session's prior cap in a finally
-    // (leaving it raised would hand every later query in the same sweep
-    // JVM a 6x-deeper safety net than the default the envelope spec pins),
-    // and returns the rows as a local relation. The wall-clock cost — the
-    // 120 sequential frontier joins — still lands inside the bench's timed
-    // window, because the window times this whole function call.
-    val limitKey = "spark.sql.cteRecursionLevelLimit"
-    val prev = s.conf.getOption(limitKey)
-    s.conf.set(limitKey, "600")
-    try {
-      Tables.customer(s, dir).select("c_custkey", "c_acctbal")
-        .createOrReplaceTempView("customer_q269")
-      val chain = s.sql(
-        """WITH RECURSIVE chain(k, depth, bal_e2, path_bal_e2) AS (
-          |  SELECT c_custkey, 0,
-          |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
-          |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
-          |  FROM customer_q269 WHERE c_custkey = 1
-          |  UNION ALL
-          |  SELECT c.c_custkey, ch.depth + 1,
-          |         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT),
-          |         ch.path_bal_e2 + CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
-          |  FROM chain ch JOIN customer_q269 c ON c.c_custkey = ch.k + 1
-          |  WHERE ch.depth < 120)
-          |SELECT k, depth, bal_e2, path_bal_e2 FROM chain ORDER BY k"""
-          .stripMargin)
-      val rows = chain.collect() // 121 rows: depth-bound, never corpus-bound
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), chain.schema)
-    } finally prev match {
-      case Some(v) => s.conf.set(limitKey, v)
-      case None    => s.conf.unset(limitKey)
+    // Level-SYNCHRONOUS execution, BATCHED: the recurrence (a running path
+    // sum along the key-successor chain) is computed K levels per Spark
+    // job instead of one — the r18 plan audit measured the native
+    // WITH RECURSIVE execution of this entry at 120 sequential jobs whose
+    // ~0.14 s/job LAUNCH overhead, not data, was the whole 16.8 s cost
+    // (×100 corpus moved it only 1.9×). Each batch is one job: the scan
+    // pruned to the batch's key range (BETWEEN pushed to parquet) collects
+    // AT MOST `batchK` rows (bounded by the batch constant, never the
+    // corpus) and the within-batch prefix is arithmetic on that handful;
+    // the cross-batch carry is a single scalar handed to the next job —
+    // possible because the step operator (+) is associative; a
+    // non-associative step degenerates to K unrolled joins per job, same
+    // job count. The
+    // output is identical to the declarative chain the oracle runs, level
+    // by level. The NATIVE recursive-CTE machinery (default depth cap,
+    // raised-cap completion, row cap, cycle behavior) stays pinned by
+    // q265 and RecursionEnvelopeSpec — this entry gates the DEPTH axis
+    // and its latency ∝ depth/batchK story.
+    val batchK = s.conf.getOption("spark.graft.recursion.batchLevels")
+      .map(_.toInt).getOrElse(12)
+    require(batchK >= 1, s"batchLevels must be >= 1, got $batchK")
+    val maxDepth = 120
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_e2"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bal_e2", org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("path_bal_e2", org.apache.spark.sql.types.LongType, nullable = true)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    // level 0: the anchor (one row; collect is depth-bound by contract)
+    val anchor = cust.filter(col("k") === 1L).collect()
+    var carry = 0L
+    var lastK = 0L
+    anchor.headOption.foreach { r =>
+      carry = r.getLong(1); lastK = r.getLong(0)
+      out += org.apache.spark.sql.Row(lastK, 0, carry, carry)
     }
+    var depth = 0
+    var exhausted = anchor.isEmpty
+    while (depth < maxDepth && !exhausted) {
+      val steps = math.min(batchK, maxDepth - depth)
+      val lo = lastK + 1
+      val hi = lastK + steps
+      // ONE job for `steps` levels: the BETWEEN-pruned scan collects
+      // ≤ batchK rows (bounded by the batch constant, never the corpus);
+      // the within-batch prefix is then pure arithmetic on that handful
+      val batch = cust.filter(col("k").between(lo, hi))
+        .orderBy(col("k"))
+        .collect()
+      // the chain walks SUCCESSOR keys: a gap (missing k+1) ends it, and
+      // any row past a gap belongs to no level — exactly the join
+      // semantics, enforced on the collected batch
+      var emitted = 0
+      var expect = lo
+      var halted = false
+      for (r <- batch if !halted) {
+        if (r.getLong(0) == expect) {
+          depth += 1; emitted += 1; lastK = expect; expect += 1
+          carry += r.getLong(1)
+          out += org.apache.spark.sql.Row(lastK, depth, r.getLong(1), carry)
+        } else halted = true
+      }
+      // fewer contiguous successors than requested ⇒ the chain is done
+      exhausted = emitted < steps
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(out.sortBy(_.getLong(0)).asJava, schema)
   }
 
   /** q269 oracle: the identical declarative chain (DuckDB enforces no

@@ -301,10 +301,19 @@ object MultimodalQueries {
     * scaladoc's "widen bands with log N" rule executed by the operator
     * itself instead of demanded of the caller. The hash relation is
     * computed ONCE and persisted (MEMORY_AND_DISK; 24 bytes of state per
-    * media row, evicted by the harness cleanups / ContextCleaner) so the
-    * width probes and the final join share one rendition+hash scan — the
-    * r17 double-pass is gone. A disabled cap (≤ 0) short-circuits to the
-    * unguarded gate geometry: no probe data to pick a width with. */
+    * media row) so the width probes and the final join share one
+    * rendition+hash scan — the r17 double-pass is gone. A disabled cap
+    * (≤ 0) short-circuits to the unguarded gate geometry: no probe data
+    * to pick a width with.
+    *
+    * Cache lifetime: the persisted hash relation must outlive this call —
+    * the returned (lazy) plan reads it — so it is unpersisted here only on
+    * the guard-trip path. Both harnesses drop it after materializing
+    * (Bench's per-rep cleanup, VerifyDump's per-query sweep); an
+    * INTERACTIVE session invoking near-dup entries repeatedly should do
+    * the same (`spark.sparkContext.getPersistentRDDs.values.foreach(_
+    * .unpersist())`) or the CacheManager accumulates one 24-byte/row
+    * relation per invocation (r18 ADVICE). */
   def imageNearDupAuto(s: SparkSession, dir: String): DataFrame = {
     val cap = nearDupCap(s)
     if (cap <= 0)
@@ -315,7 +324,7 @@ object MultimodalQueries {
       case Right(bands) => nearDupPairs(bands).orderBy(col("media_a"), col("media_b"))
       case Left(trail) =>
         hashed.unpersist(blocking = false)
-        throw new IllegalStateException(
+        throw new graft.GuardTripException(
           s"image-neardup pair-volume guard: every band geometry exceeds maxPairsPerMedia=" +
             s"$cap candidate band-pair rows per media row [${trail.mkString("; ")}] - the " +
             "excess is genuine duplicate-class density, and pair ENUMERATION output is " +
@@ -349,7 +358,7 @@ object MultimodalQueries {
           "Bands are already at maximum width, so the excess is genuine duplicate-class " +
             "density - pair ENUMERATION is quadratic in class size by definition; emit " +
             "verdicts instead (imageNearDupVerdicts, the q64/q40 keep-one-per-class shape)"
-      throw new IllegalStateException(
+      throw new graft.GuardTripException(
         s"image-neardup pair-volume guard: the ${bandBits}-bit band join would read " +
           s"$pairs candidate band-pair rows for $nMedia media rows (${pairs / nMedia}/media " +
           s"> maxPairsPerMedia=$cap; hottest bucket holds $hottest; a pair sharing every " +
@@ -422,6 +431,16 @@ object MultimodalQueries {
       if (nMedia == 0 || pairs <= cap * nMedia) {
         System.err.println(s"[graft] $what: auto band width $bits-bit " +
           s"(${if (nMedia > 0) pairs / nMedia else 0} band-pair rows/media vs cap $cap)")
+        // the DuckDB oracles (q127Sql/q271Sql) encode the 16-bit geometry;
+        // a corpus that auto-widens past it produces DIFFERENT (by-design)
+        // recall, so a hash compare against those oracles will mismatch —
+        // say so HERE, at pick time, instead of leaving the verify gate a
+        // bare hash mismatch to puzzle over (r18 ADVICE). Verify corpora
+        // must clear the 16-bit geometry under the default cap.
+        if (bits != AutoBandWidths.head)
+          System.err.println(s"[graft] $what: WARNING - auto width $bits-bit diverges " +
+            s"from the ${AutoBandWidths.head}-bit geometry the DuckDB oracle encodes; " +
+            "an oracle hash compare on this corpus will mismatch by design")
         return Right(bands)
       }
       trail += s"$bits-bit: ${pairs / nMedia} rows/media (hottest bucket $hottest)"
@@ -495,7 +514,7 @@ object MultimodalQueries {
         case Right(b) => b
         case Left(trail) =>
           hashed.unpersist(blocking = false); reps.unpersist(blocking = false)
-          throw new IllegalStateException(
+          throw new graft.GuardTripException(
             "image-neardup pair-volume guard: even among exact-class canonicals every band " +
               s"geometry exceeds maxPairsPerMedia=$cap candidate band-pair rows per row " +
               s"[${trail.mkString("; ")}] - the residual is rep-level near-dup density among " +

@@ -1495,13 +1495,21 @@ object StreamQueries {
         $"event_id", $"value")).as("value"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
-    // Wave boundaries are DRAIN boundaries (the q128 discipline), not file
-    // boundaries: a single AvailableNow pass may batch every file together,
-    // and a batch's rows are never late to the watermark they themselves
-    // establish — the checkpoint carries the watermark BETWEEN drains, so
-    // wave B provably meets wave A's horizon.
+    // Wave boundaries are BATCH boundaries: a batch's rows are never late
+    // to the watermark they themselves establish, so wave B must be judged
+    // against a watermark established in an EARLIER batch. The A→B
+    // boundary crosses a query RESTART (the checkpoint carries the
+    // watermark between drains — the persistence contract this gate
+    // certifies); the B→flush boundary is an in-query micro-batch
+    // boundary (maxFilesPerTrigger=1 + pinned mtimes, the q244 recipe —
+    // the watermark advances between batches of one run), which r19's
+    // StreamDecompose measured as the cheap end of the same semantics:
+    // three single-batch query starts paid ~2.1 s of harness around
+    // ~5.4 s of batch work, and the third start bought nothing a second
+    // batch of the second start doesn't.
     def drain(): Unit = {
       val src = s.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1")
         .text(s"$root/src/*")
         .select(from_json($"value", schema).as("e"))
         .select(timestamp_millis($"e.ms").as("ts"),
@@ -1525,13 +1533,15 @@ object StreamQueries {
     }
     jsonRows(ev.filter($"event_id" % 2 === 0).orderBy($"ms", $"event_id"))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b1")
+    graft.util.FsUtil.pinMtimes(s"$root/src/b1", 1000000L)
     drain()
     jsonRows(ev.filter($"event_id" % 2 === 1).orderBy($"ms", $"event_id"))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
-    drain()
+    graft.util.FsUtil.pinMtimes(s"$root/src/b2", 2000000L)
     jsonRows(Seq((maxA + 864000000L, -1L, "__flush", -1L, 0.0))
       .toDF("ms", "user_id", "event_type", "event_id", "value"))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
+    graft.util.FsUtil.pinMtimes(s"$root/src/b3", 3000000L)
     drain()
     s.read
       .schema("start_ms LONG, event_type STRING, n LONG, sum_e2 LONG")
@@ -1586,7 +1596,9 @@ object StreamQueries {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "ms LONG, user_id LONG, event_type STRING, event_id LONG, value DOUBLE")
     def drain(): Unit = {
-      val src = s.readStream.schema("value STRING").text(s"$root/src/*")
+      val src = s.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1")
+        .text(s"$root/src/*")
         .select(from_json($"value", schema).as("e")).select($"e.*")
       withStreamPartitions(s) {
         src.writeStream
@@ -1598,13 +1610,24 @@ object StreamQueries {
           .awaitTermination()
       }
     }
-    for (wave <- 0 to 2) {
+    def writeWave(wave: Int): Unit = {
       ev.filter($"event_id" % 3 === wave).orderBy($"ms", $"event_id")
         .select(to_json(struct($"ms", $"user_id", $"event_type",
           $"event_id", $"value")).as("value"))
         .coalesce(1).write.mode("overwrite").text(s"$root/src/w$wave")
-      drain()
+      graft.util.FsUtil.pinMtimes(s"$root/src/w$wave", 1000000L * (wave + 1))
     }
+    // wave 0 drains alone, then a checkpointed RESTART picks up waves 1+2
+    // as two mtime-ordered micro-batches of ONE query: the restart
+    // boundary the entry certifies survives with half the r18 query-start
+    // overhead (the r19 StreamDecompose split showed 3 starts paying
+    // ~9 s of harness around 12 s of merge work; micro-batch boundaries
+    // are the q244 recipe and merge-per-batch is unchanged)
+    writeWave(0)
+    drain()
+    writeWave(1)
+    writeWave(2)
+    drain()
     sink.read()
       .select($"user_id", $"event_id", $"event_type", $"value")
       .orderBy($"user_id")

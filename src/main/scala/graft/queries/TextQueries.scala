@@ -3317,31 +3317,42 @@ object TextQueries {
     * and q75's `qualityScored` — and exports the full audit trail
     * (per-member rank context: bucket, score, survivor, kept flag).
     *
-    * Determinism: (score_e6 DESC, doc_id) is an integer total order.
-    * Scale shape: ONE shuffle on the simhash key shared by both windows;
-    * survivor choice is output-sized. The blocking key is the WIDTH-
-    * PARAMETRIC SimHash at 32 bits ([[graft.functions.DedupFunctions
-    * .simhashWide]]) — per-bucket population is N/2^bits in expectation,
-    * and the width grows with log N (the dial is shipped, not promised),
-    * so the per-bucket window sort never inherits q26's pre-fix
-    * fixed-cardinality shape. Widening only SPLITS 16-bit buckets (the
-    * 16-bit key is the top of the same vote), so the policy semantics
-    * are unchanged — groups just get strictly finer. */
+    * Determinism: (score_e6 DESC, doc_id) is an integer total order, and
+    * `max_by` over the struct (score_e6, −doc_id) realizes exactly it.
+    *
+    * Scale shape — STRUCTURALLY saturation-proof (r18 verdict asked that
+    * this entry either auto-derive its key width like q127 or be shown
+    * unable to saturate; it is the latter, by construction): the survivor
+    * choice and member count are COMBINABLE aggregates (max_by/count get
+    * map-side partial aggregation), and the audit trail comes from joining
+    * that k-row-per-bucket aggregate back on the same key — so a
+    * pathological bucket (byte-identical docs share the simhash at EVERY
+    * width, so no width can split them) costs linear shuffled rows spread
+    * across tasks, never a single-task per-bucket sort the way the
+    * previous two-window plan did. Width therefore stays a POLICY dial
+    * (how coarse a "near-dup bucket" the survivorship scopes over), fixed
+    * at the 32-bit the oracle freezes ([[graft.functions.DedupFunctions
+    * .simhashWide]]; per-bucket population N/2^bits in expectation;
+    * widening only SPLITS buckets — the 16-bit key is the top of the same
+    * vote — so groups get strictly finer, never re-shuffled). The hash
+    * relation is persisted (24 B/row) so the aggregate and the join-back
+    * share one tokenize+hash pass; harnesses drop it after materializing
+    * (Bench per-rep cleanup / VerifyDump per-query sweep — q127's cache
+    * contract). */
   def q119Survivorship(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
       .select($"doc_id",
         DedupFunctions.simhashWide(TextFunctions.tokens($"text"), 32).as("simhash"))
     val scored = qualityScored(s, dir).select($"doc_id", $"score_e6")
-    val wAll = Window.partitionBy($"simhash")
-    val wRank = Window.partitionBy($"simhash").orderBy($"score_e6".desc, $"doc_id")
-    sh.join(scored, "doc_id")
-      .withColumn("n_members", count(lit(1)).over(wAll))
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("survivor_id", first($"doc_id").over(
-        wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val members = sh.join(scored, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = members.groupBy($"simhash").agg(
+      count(lit(1)).as("n_members"),
+      max_by($"doc_id", struct($"score_e6", -$"doc_id")).as("survivor_id"))
+    members.join(buckets, "simhash")
       .select($"doc_id", $"simhash", $"score_e6", $"n_members", $"survivor_id",
-        when($"rn" === 1, lit(1L)).otherwise(lit(0L)).as("kept"))
+        when($"doc_id" === $"survivor_id", lit(1L)).otherwise(lit(0L)).as("kept"))
       .orderBy($"doc_id")
   }
 

@@ -391,7 +391,7 @@ object VectorQueries {
         .filter($"count" > cap).orderBy($"count".desc).limit(1).collect()
       hot.headOption.foreach { r =>
         e.unpersist(blocking = false)
-        throw new IllegalStateException(
+        throw new graft.GuardTripException(
           s"semdedup cell-population guard: cell ${r.get(0)} holds ${r.getLong(1)} vectors " +
             s"(> maxCellRows=$cap) under the k=${model.k} frozen quantizer - the within-cell " +
             "pair join would be super-proportional in the corpus. Re-freeze the quantizer " +

@@ -58,19 +58,19 @@ class MultimodalSpec extends SparkSpec {
     // SF and cap=1 must exhaust the auto-width ladder and trip
     s.conf.set("spark.graft.imageneardup.maxPairsPerMedia", "1")
     try {
-      val ex = intercept[IllegalStateException] {
+      val ex = intercept[graft.GuardTripException] {
         MultimodalQueries.q127ImageNearDup(s, dir).collect()
       }
       assert(ex.getMessage.contains("maxPairsPerMedia=1"), ex.getMessage)
       assert(ex.getMessage.contains("imageNearDupVerdicts"),
         "the exhausted auto path must steer to the verdict-shaped operator")
       // the EXPLICIT-width path at 16-bit names the wider-band remedy
-      val ex16 = intercept[IllegalStateException] {
+      val ex16 = intercept[graft.GuardTripException] {
         MultimodalQueries.imageNearDup(s, dir, 16).collect()
       }
       assert(ex16.getMessage.contains("bandBits=32"), ex16.getMessage)
       // ... and at maximum width it steers to verdicts too
-      val ex32 = intercept[IllegalStateException] {
+      val ex32 = intercept[graft.GuardTripException] {
         MultimodalQueries.imageNearDup(s, dir, 32).collect()
       }
       assert(ex32.getMessage.contains("imageNearDupVerdicts"), ex32.getMessage)

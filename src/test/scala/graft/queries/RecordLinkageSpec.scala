@@ -34,6 +34,51 @@ class RecordLinkageSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === base)
   }
 
+  test("auto width: measured probe picks the heuristic width on the gate " +
+    "corpus — byte-identical to the explicit path — and cap<=0 falls back") {
+    val key = "spark.graft.linkage.maxPairsPerRecord"
+    val explicit3 = CoreQueries.q164RecordLinkageWithK(spark, sfDir, 3)
+      .collect().map(_.toSeq).toSeq
+    try {
+      // gate registry (150 records): heuristic k = 3, and the measured
+      // volume clears the default cap at 3, so auto must equal explicit
+      assert(CoreQueries.q164RecordLinkage(spark, sfDir)
+        .collect().map(_.toSeq).toSeq === explicit3, "auto diverged from explicit k=3")
+      spark.conf.set(key, "-1")
+      assert(CoreQueries.q164RecordLinkage(spark, sfDir)
+        .collect().map(_.toSeq).toSeq === explicit3, "disabled-cap fallback diverged")
+      spark.conf.set(key, "not-a-number")
+      val bad = intercept[IllegalArgumentException](
+        CoreQueries.q164RecordLinkage(spark, sfDir).collect())
+      assert(bad.getMessage.contains(key))
+    } finally spark.conf.unset(key)
+  }
+
+  test("block-volume guard: a registry whose tails no width can split " +
+    "trips fail-loud instead of running the within-block N^2") {
+    val s = spark
+    import s.implicits._
+    // planted skew: every record carries the SAME tail, so every width
+    // from 3 to 9 digits leaves one mega-block (200 x ~171 pairs/record)
+    val dir = java.nio.file.Files.createTempDirectory("q164skew").toString
+    (1 to 200).map(i => (i.toLong, "Customer#000000042", i % 25, i * 1.5))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .withColumn("c_mktsegment", lit("BUILDING"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val ex = intercept[graft.GuardTripException](
+      CoreQueries.q164RecordLinkage(spark, dir).collect())
+    assert(ex.getMessage.contains("maxPairsPerRecord=64"), ex.getMessage)
+    assert(ex.getMessage.contains("9 digits:"),
+      "the trail must show the probe exhausted the widest tail")
+    assert(ex.getMessage.contains("spark.graft.linkage.maxPairsPerRecord"))
+    // the cap override consciously pays the mega-block and still classifies
+    try {
+      spark.conf.set("spark.graft.linkage.maxPairsPerRecord", "200")
+      val rows = CoreQueries.q164RecordLinkage(spark, dir).collect()
+      assert(rows.nonEmpty, "override must run the join")
+    } finally spark.conf.unset("spark.graft.linkage.maxPairsPerRecord")
+  }
+
   test("widening k only splits blocks (never merges): candidate pairs shrink monotonically") {
     val s = spark
     import s.implicits._

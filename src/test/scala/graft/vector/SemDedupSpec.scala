@@ -58,7 +58,7 @@ class SemDedupSpec extends SparkSpec {
     // sf0.001 cells hold more than one vector, so cap=1 must trip
     s.conf.set("spark.graft.semdedup.maxCellRows", "1")
     try {
-      val ex = intercept[IllegalStateException] {
+      val ex = intercept[graft.GuardTripException] {
         VectorQueries.q64SemDedup(s, dir).collect()
       }
       assert(ex.getMessage.contains("maxCellRows=1"), ex.getMessage)
@@ -80,7 +80,7 @@ class SemDedupSpec extends SparkSpec {
     val e0 = graft.Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     val tiny = graft.vector.Ivf.train(e0, k = 1, iterations = 1)
-    val ex = intercept[IllegalStateException] {
+    val ex = intercept[graft.GuardTripException] {
       VectorQueries.semDedup(s, dir, tiny).collect()
     }
     assert(ex.getMessage.contains(s"maxCellRows=${VectorQueries.SemDedupGuardFactor}"), ex.getMessage)

@@ -58,8 +58,12 @@ def run_one(query, sf_dir, heap, gc_log, timeout_s):
     d = json.loads(line)
     t = d["queries"].get(query, -1.0)
     # a scale guard firing is the operator refusing an SF by contract —
-    # Bench reports those apart from failures, and so do we (r17 verdict #5)
-    if query in (d.get("guard_trips") or []):
+    # Bench reports those apart from failures, and so do we (r17 verdict #5).
+    # Only coerce the time when the reported median is itself the -1.0
+    # sentinel: with SPARK_GRAFT_BENCH_REPS > 1 a query can trip on one rep
+    # and still report a valid median from the healthy reps, and that
+    # measurement must not be silently discarded (r18 ADVICE)
+    if query in (d.get("guard_trips") or []) and t < 0:
         return {"t": -1.0, "wall": wall, "canary_med": d.get("canary_med"),
                 "canary_max": d.get("canary_max"), "tainted": d.get("tainted_reps", 0),
                 "err": "guard_trip"}
