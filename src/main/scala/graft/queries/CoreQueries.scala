@@ -1014,9 +1014,10 @@ object CoreQueries {
     * HEURISTIC k = ceil(log10(|A| / 1.5)) that trusted tail uniformity):
     * starting at the heuristic width, the ACTUAL candidate block-join
     * volume Σ_block |A_block|·|B_block| is pre-aggregated per tail width —
-    * one tail-frequency pass at the WIDEST (9-digit) tail per side, each
-    * width probe then a re-aggregation of those persisted frequency
-    * relations, never of the corpus — and the first width whose measured
+    * ONE side-tagged pass explodes each record's 9-digit tail into its 7
+    * nested widths and a single two-level aggregation yields every
+    * width's (pairs, hottest, |A|) in one job — and the first width ≥ the
+    * heuristic whose measured
     * pairs-per-record clears `spark.graft.linkage.maxPairsPerRecord`
     * (default 64; ≤ 0 disables, falling back to the heuristic) runs,
     * choice logged. A registry whose tails are skewed past every width —
@@ -1033,8 +1034,6 @@ object CoreQueries {
     * skew trip). The weights/thresholds ship as literals (frozen-model
     * rule). All evidence integer-exact (e6 log-odds, e2 balances). */
   def q164RecordLinkage(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables.customer(s, dir).count() // registry-level stat, one scalar
-    val kHeur = math.min(9, math.max(3, math.ceil(math.log10(n / 1.5)).toInt))
     val cap = s.conf.getOption(LinkageCapKey) match {
       case Some(v) =>
         try v.trim.toLong catch {
@@ -1043,48 +1042,60 @@ object CoreQueries {
         }
       case None => LinkageGuardPairsPerRecord
     }
-    if (cap <= 0 || n == 0) return q164RecordLinkageWithK(s, dir, kHeur)
-    // ONE tail-frequency pass per side at the widest (9-digit) tail; the
-    // per-width probes re-aggregate these persisted frequency relations
-    // (|distinct tails| rows), never the registries
-    val tailsA = Tables.customer(s, dir)
-      .groupBy(expr("right(c_name, 9)").as("t9")).agg(count(lit(1)).as("ca"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tailsB = Tables.customer(s, dir)
-      .filter(col("c_custkey") % 7 =!= 0)
-      .select(when(col("c_custkey") % 4 === 0,
-        concat(lit("Custmer"), substring(col("c_name"), 9, 100000)))
-        .otherwise(col("c_name")).as("name_b"))
-      .groupBy(expr("right(name_b, 9)").as("t9")).agg(count(lit(1)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val trail = Seq.newBuilder[String]
-      for (k <- kHeur to 9) {
-        val va = tailsA.groupBy(expr(s"right(t9, $k)").as("tk")).agg(sum(col("ca")).as("ca"))
-        val vb = tailsB.groupBy(expr(s"right(t9, $k)").as("tk")).agg(sum(col("cb")).as("cb"))
-        val r = va.join(vb, "tk")
-          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pairs"),
-            coalesce(max(col("ca") * col("cb")), lit(0L)).as("hottest"))
-          .collect()(0) // 1-row guard pre-agg
-        val (pairs, hottest) = (r.getLong(0), r.getLong(1))
-        if (pairs <= cap * n) {
-          System.err.println(s"[graft] recordLinkage: auto tail width $k digits " +
-            s"(${pairs / n} block-pair rows/record vs cap $cap)")
-          return q164RecordLinkageWithK(s, dir, k)
-        }
-        trail += s"$k digits: ${pairs / n} rows/record (hottest block $hottest)"
-      }
-      throw new graft.GuardTripException(
-        s"record-linkage block-volume guard: every tail width exceeds maxPairsPerRecord=" +
-          s"$cap candidate block-pair rows per record [${trail.result().mkString("; ")}] - " +
-          "the 9-digit tail vocabulary (all the corruption model leaves collision-safe) is " +
-          "exhausted for this registry's tail skew, and the block join would be " +
-          "super-linear. Extend the blocking key (a second field, e.g. nation+tail) for " +
-          s"this corpus, or override/disable the cap via $LinkageCapKey.")
-    } finally {
-      tailsA.unpersist(blocking = false)
-      tailsB.unpersist(blocking = false)
+    def heurOf(n: Long): Int =
+      math.min(9, math.max(3, math.ceil(math.log10(n / 1.5)).toInt))
+    if (cap <= 0) {
+      val n = Tables.customer(s, dir).count() // registry-level stat, one scalar
+      return q164RecordLinkageWithK(s, dir, heurOf(math.max(n, 1)))
     }
+    // EVERY width's block volume in ONE job: each record's 9-digit tail
+    // (side-tagged union of both registries) explodes into its 7 nested
+    // tails (k = 3..9), one two-level aggregation reduces to 7 rows —
+    // (k, pairs, hottest, |A|) — and the driver picks from the collected
+    // handful. The first cut of this guard probed width-by-width against
+    // a persisted tail-frequency relation and its 4-job footprint cost
+    // 1.4 s at sf0.1 (3.4x the entry itself) in pure job overhead; the
+    // probe is now job-count-flat at any width, the q269 lesson.
+    val widths = (3 to 9).map(k =>
+      struct(lit(k).as("k"), expr(s"right(t9, $k)").as("tk")))
+    val stats = Tables.customer(s, dir)
+      .select(expr("right(c_name, 9)").as("t9"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionAll(Tables.customer(s, dir)
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(expr("right(CASE WHEN c_custkey % 4 = 0 " +
+          "THEN 'Custmer' || substring(c_name, 9) ELSE c_name END, 9)").as("t9"),
+          lit(0L).as("ca"), lit(1L).as("cb")))
+      .select(explode(array(widths: _*)).as("e"), col("ca"), col("cb"))
+      .groupBy(col("e.k").as("k"), col("e.tk"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .groupBy(col("k"))
+      .agg(sum(col("ca") * col("cb")).as("pairs"),
+        max(col("ca") * col("cb")).as("hottest"),
+        sum(col("ca")).as("na"))
+      .collect() // 7 rows: the guard pre-agg for every candidate width
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val n = stats.headOption.map(_._2._3).getOrElse(0L)
+    if (n == 0) return q164RecordLinkageWithK(s, dir, 3)
+    val kHeur = heurOf(n)
+    val trail = Seq.newBuilder[String]
+    for (k <- kHeur to 9) {
+      val (pairs, hottest, _) = stats(k)
+      if (pairs <= cap * n) {
+        System.err.println(s"[graft] recordLinkage: auto tail width $k digits " +
+          s"(${pairs / n} block-pair rows/record vs cap $cap)")
+        return q164RecordLinkageWithK(s, dir, k)
+      }
+      trail += s"$k digits: ${pairs / n} rows/record (hottest block $hottest)"
+    }
+    throw new graft.GuardTripException(
+      s"record-linkage block-volume guard: every tail width exceeds maxPairsPerRecord=" +
+        s"$cap candidate block-pair rows per record [${trail.result().mkString("; ")}] - " +
+        "the 9-digit tail vocabulary (all the corruption model leaves collision-safe) is " +
+        "exhausted for this registry's tail skew, and the block join would be " +
+        "super-linear. Extend the blocking key (a second field, e.g. nation+tail) for " +
+        s"this corpus, or override/disable the cap via $LinkageCapKey.")
   }
 
   /** Candidate block-pair rows per A-record above which [[q164RecordLinkage]]'s
