@@ -79,6 +79,33 @@ class RecordLinkageSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.linkage.maxPairsPerRecord")
   }
 
+  test("forced widening: when the heuristic width overflows the cap but a " +
+    "wider tail clears it, the probe widens and runs (no trip)") {
+    val s = spark
+    import s.implicits._
+    // 200 records whose 3-digit tail is one mega-block ("042" shared by
+    // all: 171 candidate pairs/record > cap 64) but whose 4-digit tail
+    // splits into 10 blocks of 20 (~17 pairs/record < 64). The heuristic
+    // for n=200 starts at k=3, so the entry can only run by MEASURING
+    // that 4 digits clears the cap — the exploded-width pre-agg's
+    // nesting is what this exercises.
+    val dir = java.nio.file.Files.createTempDirectory("q164widen").toString
+    (1 to 200).map(i => (i.toLong,
+        "Customer#" + "%09d".format((i % 10) * 1000L + 42L), i % 25, i * 1.5))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .withColumn("c_mktsegment", lit("BUILDING"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val auto = CoreQueries.q164RecordLinkage(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(auto.nonEmpty, "the widened block join must run and classify")
+    // k-invariance holds on this corpus too: the measured pick (4) and
+    // the overflowing width (3) classify identically
+    assert(auto === CoreQueries.q164RecordLinkageWithK(spark, dir, 4)
+      .collect().map(_.toSeq).toSeq, "auto diverged from explicit k=4")
+    assert(auto === CoreQueries.q164RecordLinkageWithK(spark, dir, 3)
+      .collect().map(_.toSeq).toSeq, "k-invariance broke on the planted corpus")
+  }
+
   test("widening k only splits blocks (never merges): candidate pairs shrink monotonically") {
     val s = spark
     import s.implicits._
