@@ -58,6 +58,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Conditional post-scan fan-out for map-heavy first stages (optimization
+    * guide §2.5 input skew / §2.6 idle capacity). The gate corpora ship as
+    * ONE parquet row group per table, so a scan — and every per-row
+    * expression codegen-fused into it (hashing, tokenization, ×B explodes)
+    * — runs as a SINGLE task regardless of session cores: parquet splits
+    * are byte ranges but a row group executes wholly in the split holding
+    * its midpoint, so a 1-row-group file is 1 working task. Where the
+    * per-row work above the first exchange is the measured cost, spread
+    * the rows by hash-repartitioning on a high-cardinality key to the
+    * session's default parallelism — but ONLY when the scan itself cannot
+    * feed that many tasks. On a production layout (100 TB = thousands of
+    * row groups/files) the condition is false and this is a no-op:
+    * scale-adaptive, never a local-mode constant. Hash (not round-robin)
+    * keeps the row→partition map deterministic under task retry
+    * (SPARK-38388) and skips round-robin's sort-before-repartition. Apply
+    * only where measured — a pure scan pays the exchange for nothing. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val s = df.sparkSession
+    if (!s.conf.getOption("spark.graft.spread.enabled").forall(_.toBoolean))
+      return df // measurement/ablation dial; default ON
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
+
   /** Register all tables as temp views so `spark.sql` text queries resolve. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

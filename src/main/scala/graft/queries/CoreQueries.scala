@@ -3081,8 +3081,13 @@ object CoreQueries {
   def q207PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val B = 32
-    val o = Tables.orders(s, dir).select($"o_orderkey",
-      floor($"o_totalprice" * 100 + 0.5).cast("long").as("p2"))
+    // spread BEFORE the ×B explode: the md5-per-(row, b) weight derivation
+    // is the whole cost of this query and it fuses into the scan stage —
+    // on the 1-row-group gate files that stage is one task computing all
+    // |orders|·B digests. Tables.spread is a no-op once the scan has
+    // ≥ cores splits (see its scaladoc).
+    val o = Tables.spread(Tables.orders(s, dir).select($"o_orderkey",
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("p2")), $"o_orderkey")
     val exploded = o.withColumn("b",
         explode(array((0 until B).map(lit(_)): _*)))
       .withColumn("u",
@@ -4177,7 +4182,15 @@ object CoreQueries {
     val G = 64
     val pairsIdx = broadcast((for { i <- 0 until G; j <- 0 until G }
       yield (i, j)).toDF("ga", "gbp"))
-    val slopes = daily.toDF("rf", "da", "ya")
+    // spread the expansion INPUT across cores: daily is aggregate-sized
+    // (|flags|·|days|, calendar-bounded at ANY corpus scale) and lands in
+    // one AQE-coalesced partition after its fold, so the ×G block-pair
+    // expansion — the 9.4M-row slope generation that IS this query's bulk
+    // — would otherwise run as one task. Unconditional (not Tables.spread):
+    // the input is small by construction and the output ~1000× bigger, so
+    // the exchange is always worth it, at 100 TB as here.
+    val slopes0 = daily.toDF("rf", "da", "ya")
+      .repartition(s.sparkContext.defaultParallelism, $"da")
       .withColumn("ga", pmod($"da", lit(G)).cast("int"))
       .join(pairsIdx, "ga")
       .join(daily.toDF("rf2", "db", "yb")
@@ -4186,7 +4199,12 @@ object CoreQueries {
       .select($"rf",
         floor(($"yb" - $"ya") * lit(1000000.0) / ($"db" - $"da"))
           .cast("long").as("slope_e6"))
-      .localCheckpoint() // two consumers: bucket counts + target-bucket sort
+    // NOT checkpointed (r19, guide §5's caching rule measured): both
+    // consumers (bucket counts, target-bucket sort) regenerate the pairs
+    // from the pinned daily table instead — the expansion is spread,
+    // codegen-cheap arithmetic, and rerunning it twice beats writing and
+    // re-reading the 9.4M-row slope relation (A/B same-JVM medians at
+    // sf0.1: 2.89 s recompute vs 3.87 s checkpointed)
     val nb = 1024
     // slope bounds from the daily extents; n_pairs = nd·(nd−1)/2 exactly.
     // The bucket map is SIGNED-LOG, not uniform-width: slopes concentrate
@@ -4204,7 +4222,7 @@ object CoreQueries {
     // monotone bucket map (double rounding near the extremes only ever
     // shifts a boundary slope one bucket over — hence the clamps; the
     // +1e-9 keeps the all-slopes-equal degenerate flag off NaN)
-    val b = slopes.join(broadcast(ext), "rf")
+    val b = slopes0.join(broadcast(ext), "rf")
       .withColumn("v", signum($"slope_e6") * log1p(abs($"slope_e6")))
       .withColumn("bucket", greatest(lit(0L), least(lit(nb - 1L),
         floor(($"v" + $"vmax") / ($"vmax" * 2 + 1e-9) * nb).cast("long"))))

@@ -162,7 +162,10 @@ object TextQueries {
   def q24DedupMinhashCapped(s: SparkSession, dir: String, maxBucket: Int,
                             observer: Option[org.apache.spark.sql.Observation]): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // spread the scan (Tables.spread scaladoc): shingle+minhash lanes fuse
+    // into the single-task 1-row-group scan stage otherwise
+    val docs = Tables.spread(Tables.documents(s, dir)
+      .select($"doc_id", $"text"), $"doc_id")
     val sh = docs
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
       .select($"doc_id", TextFunctions.shingles($"toks", 3).as("sh"))
@@ -767,7 +770,11 @@ object TextQueries {
     * fans it into ≥3 branches (index + both verification sides). */
   private def shingleGidSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    // spread the scan: tokenize+shingle per doc fuses into the scan stage,
+    // which on the 1-row-group gate files is a single task (Tables.spread
+    // scaladoc; no-op on production layouts)
+    val sh = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("sh"))
       .filter(size($"sh") > 0)
     val tok = sh.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("tk"))
@@ -1106,7 +1113,11 @@ object TextQueries {
 
   def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // spread the scan: tokenization (and the fingerprint mining above it)
+    // fuses into the single-task 1-row-group scan stage otherwise
+    // (Tables.spread scaladoc; no-op on production layouts)
+    val docs = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     scrubPositions(docs, coveredPositions(docs)).orderBy($"doc_id")
   }
@@ -1669,7 +1680,11 @@ object TextQueries {
     * (inclusive). */
   def q72RepeatSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // spread the scan: tokenization (and the fingerprint mining above it)
+    // fuses into the single-task 1-row-group scan stage otherwise
+    // (Tables.spread scaladoc; no-op on production layouts)
+    val docs = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     val byPos = Window.partitionBy($"doc_id").orderBy($"p")
     coveredPositions(docs)
@@ -1729,7 +1744,11 @@ object TextQueries {
     * property a curation pass needs to be idempotent. */
   def q87SpanScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    // spread the scan: tokenization (and the fingerprint mining above it)
+    // fuses into the single-task 1-row-group scan stage otherwise
+    // (Tables.spread scaladoc; no-op on production layouts)
+    val docs = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     val removed = nonCanonicalCovered(docs)
     val byPos = Window.partitionBy($"doc_id").orderBy($"p")
@@ -1815,7 +1834,11 @@ object TextQueries {
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val queries = RetrievalWorkload.toDF("query_id", "term")
-    val docs = Tables.documents(s, dir)
+    // spread the scan: tokenization (and the fingerprint mining above it)
+    // fuses into the single-task 1-row-group scan stage otherwise
+    // (Tables.spread scaladoc; no-op on production layouts)
+    val docs = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     val dl = docs.select($"doc_id", size($"toks").cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -3083,7 +3106,8 @@ object TextQueries {
     * one double division under an e6 floor over exact int64 set sizes. */
   def q112SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.spread(Tables.documents(s, dir)
+        .select($"source", $"text"), $"text") // see Tables.spread scaladoc
       .select($"source", explode(
         TextFunctions.shingles(TextFunctions.tokens($"text"), 3)).as("g"))
       .distinct()
@@ -3163,7 +3187,8 @@ object TextQueries {
   def q124SourceOverlapMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val H = 64
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.spread(Tables.documents(s, dir)
+        .select($"source", $"text"), $"text") // see Tables.spread scaladoc
       .select($"source", explode(
         TextFunctions.shingles(TextFunctions.tokens($"text"), 3)).as("g"))
       .distinct()
@@ -4178,7 +4203,9 @@ object TextQueries {
   def q220Decontam(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = TextFunctions.tokens($"text")
-    val withToks = Tables.documents(s, dir).withColumn("toks", toks)
+    val withToks = Tables.spread(Tables.documents(s, dir)
+        .select($"doc_id", $"text"), $"doc_id") // see Tables.spread scaladoc
+      .withColumn("toks", toks)
       .select($"doc_id", $"toks")
       .withColumn("sh", when(size($"toks") < 5, array().cast("array<string>"))
         .otherwise(expr(
@@ -4243,7 +4270,9 @@ object TextQueries {
       lit("&ref="), ($"o_orderkey" % 7),
       lit("&id="), ($"o_orderkey" % 50),
       when($"o_orderkey" % 2 === 0, lit("#top")).otherwise(lit("")))
-    val o = Tables.orders(s, dir).select($"o_orderkey", url.as("url"))
+    val o = Tables.spread(Tables.orders(s, dir) // see Tables.spread scaladoc
+      .select($"o_orderkey", $"o_custkey"), $"o_orderkey")
+      .select($"o_orderkey", url.as("url"))
       .withColumn("u1", split_part($"url", lit("#"), lit(1)))
       .withColumn("scheme", lower(split_part($"u1", lit("://"), lit(1))))
       .withColumn("rest", split_part($"u1", lit("://"), lit(2)))
