@@ -44,37 +44,67 @@ final class IncrementalAgg(
     * column) into the view. */
   def update(partials: DataFrame): Unit = {
     val spark = this.spark
+    // A/B dial shared with MergeSink (default ON): the off leg is the r18
+    // localCheckpoint + dynamic-partition-overwrite path
+    val stageSwap = spark.conf
+      .getOption("spark.graft.merge.stageswap").forall(_.toBoolean)
+    // Unlike MergeSink/VersionedSink, the batch is NOT persisted across its
+    // two consumers: the touched probe prunes the partials plan to the key
+    // column alone, and caching the full-width aggregate costs more than
+    // recomputing that pruned plan (measured r19: q96 1.48x slower with the
+    // persist, same-JVM A/B) — the caller's partials are one-row-per-key
+    // already, so the second evaluation is cheap by construction.
     val newPart = withPart(partials)
-    val touched = newPart.select(partCol).distinct()
-      .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
-    if (touched.isEmpty) return
+    locally {
+      val touched = newPart.select(partCol).distinct()
+        .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
+      if (touched.isEmpty) return
 
-    // existence must resolve through the Hadoop FileSystem for tableDir's
-    // scheme: java.io.File is local-only, and on HDFS/S3 (the 100 TB
-    // deployment) it would silently report the stored state absent, making
-    // every update overwrite the view with only the latest batch's partials
-    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existingOpt =
-      if (tableFs.exists(tablePath))
-        Some(spark.read.parquet(tableDir)
-          .filter(col(partCol).isin(touched.toSeq: _*)))
-      else None
-    val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
+      // existence must resolve through the Hadoop FileSystem for tableDir's
+      // scheme: java.io.File is local-only, and on HDFS/S3 (the 100 TB
+      // deployment) it would silently report the stored state absent, making
+      // every update overwrite the view with only the latest batch's partials
+      val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+      val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existingOpt =
+        if (tableFs.exists(tablePath))
+          Some(spark.read.parquet(tableDir)
+            .filter(col(partCol).isin(touched.toSeq: _*)))
+        else None
+      val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
 
-    val merged = all
-      .groupBy(col(keyCol), col(partCol))
-      .agg(combiners.head._2(col(combiners.head._1)).as(combiners.head._1),
-        combiners.tail.map { case (c, f) => f(col(c)).as(c) }: _*)
-      // materialize before the write: the table dir is also a read source
-      // of this plan; cost is bounded by the touched buckets
-      .localCheckpoint(true)
+      val merged = all
+        .groupBy(col(keyCol), col(partCol))
+        .agg(combiners.head._2(col(combiners.head._1)).as(combiners.head._1),
+          combiners.tail.map { case (c, f) => f(col(c)).as(c) }: _*)
 
-    merged.write
-      .partitionBy(partCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(tableDir)
+      // stage + swap instead of localCheckpoint + dynamic overwrite (see
+      // MergeSink.merge): the fold is computed exactly once, straight to a
+      // sibling staging dir, then the touched bucket dirs rename into place.
+      // Crash envelope unchanged from dynamic overwrite (not atomic across
+      // buckets either) — but NOTE: unlike MergeSink, a partially-applied
+      // fold is NOT idempotent to re-apply; the recovery is the checkpoint
+      // rollback / state re-seed already required by the class contract.
+      if (stageSwap) {
+        val stagingPath = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+        merged.write.partitionBy(partCol)
+          .mode(SaveMode.Overwrite).parquet(stagingPath.toString)
+        if (!tableFs.exists(tablePath)) tableFs.mkdirs(tablePath)
+        for (p <- touched) {
+          val src = new org.apache.hadoop.fs.Path(stagingPath, s"$partCol=$p")
+          val dst = new org.apache.hadoop.fs.Path(tablePath, s"$partCol=$p")
+          if (tableFs.exists(dst)) tableFs.delete(dst, true)
+          if (tableFs.exists(src)) tableFs.rename(src, dst)
+        }
+        tableFs.delete(stagingPath, true)
+      } else {
+        merged.localCheckpoint(true).write
+          .partitionBy(partCol)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(tableDir)
+      }
+    }
   }
 
   /** Current view state (without the internal partition column). */

@@ -42,51 +42,91 @@ final class MergeSink(
     * (Two fully identical rows tie harmlessly: either one is the same row.) */
   def merge(batch: DataFrame): Unit = {
     val spark = this.spark
-    val newPart = withPart(batch)
-    val touched = newPart.select(partCol).distinct()
-      .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
-    if (touched.isEmpty) return
+    // A/B dial for the staged-swap write path below (default ON); the off
+    // leg is the r18 localCheckpoint + dynamic-partition-overwrite path
+    val stageSwap = spark.conf
+      .getOption("spark.graft.merge.stageswap").forall(_.toBoolean)
+    // the batch has two consumers (the touched-bucket probe and the merge
+    // union) — persist so an expensive batch source (a parsed JSON
+    // micro-batch, a computed change set) is evaluated once, not twice
+    val newPart0 = withPart(batch)
+    val persistBatch = spark.conf
+      .getOption("spark.graft.merge.persistbatch").forall(_.toBoolean)
+    val newPart = if (persistBatch)
+      newPart0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else newPart0
+    try {
+      val touched = newPart.select(partCol).distinct()
+        .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
+      if (touched.isEmpty) return
 
-    val existingOpt =
-      if (new java.io.File(tableDir).exists())
-        // mergeSchema: earlier generations may lack columns a later batch
-        // introduced (schema evolution on the merge path — q257's gate);
-        // the footer-merged read null-fills them
-        Some(spark.read.option("mergeSchema", "true").parquet(tableDir)
-          .filter(col(partCol).isin(touched.toSeq: _*)))
-      else None
-    // allowMissingColumns both ways: a batch may ADD a column (old rows
-    // null-fill) or OMIT one the table already has (new rows null-fill) —
-    // the lakehouse evolution contract, never a hard failure mid-stream
-    val all = existingOpt
-      .map(_.unionByName(newPart, allowMissingColumns = true))
-      .getOrElse(newPart)
+      // existence through the Hadoop FileSystem for tableDir's scheme:
+      // java.io.File is local-only and would report HDFS/S3 state absent
+      val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+      val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existingOpt =
+        if (fs.exists(tablePath))
+          // mergeSchema: earlier generations may lack columns a later batch
+          // introduced (schema evolution on the merge path — q257's gate);
+          // the footer-merged read null-fills them
+          Some(spark.read.option("mergeSchema", "true").parquet(tableDir)
+            .filter(col(partCol).isin(touched.toSeq: _*)))
+        else None
+      // allowMissingColumns both ways: a batch may ADD a column (old rows
+      // null-fill) or OMIT one the table already has (new rows null-fill) —
+      // the lakehouse evolution contract, never a hard failure mid-stream
+      val all = existingOpt
+        .map(_.unionByName(newPart, allowMissingColumns = true))
+        .getOrElse(newPart)
 
-    // column order fixed by name so the hash is layout-independent; map-typed
-    // columns are excluded (unhashable — their iteration order is undefined,
-    // which is also why they could never break ties deterministically)
-    val hashable = all.schema.fields.toIndexedSeq
-      .filter(f => !MergeSink.hasMap(f.dataType))
-      .map(_.name).sorted.map(c => col(c))
-    val contentHash =
-      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
-    val merged = all
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      // materialize before the write: Spark (correctly) refuses to overwrite
-      // a path that is also a read source of the same plan. Cost is bounded
-      // by the TOUCHED buckets, not the table
-      .localCheckpoint(true)
+      // column order fixed by name so the hash is layout-independent; map-typed
+      // columns are excluded (unhashable — their iteration order is undefined,
+      // which is also why they could never break ties deterministically)
+      val hashable = all.schema.fields.toIndexedSeq
+        .filter(f => !MergeSink.hasMap(f.dataType))
+        .map(_.name).sorted.map(c => col(c))
+      val contentHash =
+        if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
+      val merged = all
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
 
-    // dynamic overwrite: only the touched part= directories are replaced
-    merged.write
-      .partitionBy(partCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(tableDir)
+      // stage + swap instead of localCheckpoint + dynamic overwrite: the
+      // checkpoint existed only because the table dir is also a read source
+      // of the merge plan. Writing the winners to a SIBLING staging dir
+      // computes the merge exactly once (no block materialization + block
+      // re-read on the write path — one fewer job and one fewer pass over
+      // the touched buckets), then each touched bucket dir swaps in with a
+      // filesystem rename. Crash envelope unchanged: dynamic partition
+      // overwrite is not atomic across buckets either, and a crash mid-swap
+      // leaves a partially-applied batch that re-applying this idempotent
+      // merge converges.
+      if (stageSwap) {
+        val stagingPath = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+        merged.write.partitionBy(partCol)
+          .mode(SaveMode.Overwrite).parquet(stagingPath.toString)
+        if (!fs.exists(tablePath)) fs.mkdirs(tablePath)
+        for (p <- touched) {
+          val src = new org.apache.hadoop.fs.Path(stagingPath, s"$partCol=$p")
+          val dst = new org.apache.hadoop.fs.Path(tablePath, s"$partCol=$p")
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(stagingPath, true)
+      } else {
+        // dynamic overwrite: only the touched part= directories are replaced;
+        // the checkpoint materializes because the table dir is also a read
+        // source of this plan
+        merged.localCheckpoint(true).write
+          .partitionBy(partCol)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(SaveMode.Overwrite)
+          .parquet(tableDir)
+      }
+    } finally if (persistBatch) newPart.unpersist(blocking = false)
   }
 
   /** Current table state (without the internal partition column). When a

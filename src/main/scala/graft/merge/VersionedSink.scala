@@ -76,47 +76,64 @@ final class VersionedSink(
   def merge(batch: DataFrame): Int = {
     val cur = currentVersion
     val next = cur + 1
-    val newPart = withPart(batch)
-    val touched = newPart.select(partCol).distinct()
-      .collect().map(_.getLong(0)).toSet // bounded by numBuckets — driver-safe
-    if (touched.isEmpty) return cur
+    // A/B dial shared with MergeSink (default ON): the off leg is the r18
+    // localCheckpoint path
+    val stageSwap = spark.conf
+      .getOption("spark.graft.merge.stageswap").forall(_.toBoolean)
+    // two consumers (touched probe + merge union): persist so an expensive
+    // batch source is evaluated once — see MergeSink.merge
+    val newPart0 = withPart(batch)
+    val persistBatch = spark.conf
+      .getOption("spark.graft.merge.persistbatch").forall(_.toBoolean)
+    val newPart = if (persistBatch)
+      newPart0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else newPart0
+    try {
+      val touched = newPart.select(partCol).distinct()
+        .collect().map(_.getLong(0)).toSet // bounded by numBuckets — driver-safe
+      if (touched.isEmpty) return cur
 
-    val existing =
-      if (cur == 0) None
-      else {
-        val touchedWriters = writers(cur).filter { case (b, _) => touched(b) }
-        readOwned(touchedWriters)
-      }
-    val all = existing.map(_.unionByName(newPart)).getOrElse(newPart)
+      val existing =
+        if (cur == 0) None
+        else {
+          val touchedWriters = writers(cur).filter { case (b, _) => touched(b) }
+          readOwned(touchedWriters)
+        }
+      val all = existing.map(_.unionByName(newPart)).getOrElse(newPart)
 
-    val hashable = all.schema.fields.toIndexedSeq
-      .filter(f => !MergeSink.hasMap(f.dataType))
-      .map(_.name).sorted.map(c => col(c))
-    val contentHash =
-      if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
-    val merged = all
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .localCheckpoint(true)
+      val hashable = all.schema.fields.toIndexedSeq
+        .filter(f => !MergeSink.hasMap(f.dataType))
+        .map(_.name).sorted.map(c => col(c))
+      val contentHash =
+        if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
+      // no localCheckpoint (unlike MergeSink's historical need): every merge
+      // writes a FRESH version directory, so the write target is never also
+      // a read source of this plan — the winners stream straight to parquet,
+      // computed exactly once
+      val merged0 = all
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      val merged = if (stageSwap) merged0 else merged0.localCheckpoint(true)
 
-    // data first (an orphan dir from a crashed attempt is overwritten),
-    // manifest last and atomically — the commit point
-    merged.write.partitionBy(partCol)
-      .mode(SaveMode.Overwrite).parquet(dataDir(next))
-    val newWriters =
-      (if (cur == 0) Map.empty[Long, Int] else writers(cur)) ++
-        touched.iterator.map(_ -> next)
-    Files.createDirectories(manifestDir)
-    val tmp = manifestDir.resolve(f".v$next%05d.tmp")
-    Files.write(tmp, newWriters.toSeq.sortBy(_._1)
-      .map { case (b, v) => s"$b,$v" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestDir.resolve(f"v$next%05d.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
-    next
+      // data first (an orphan dir from a crashed attempt is overwritten),
+      // manifest last and atomically — the commit point
+      merged.write.partitionBy(partCol)
+        .mode(SaveMode.Overwrite).parquet(dataDir(next))
+      val newWriters =
+        (if (cur == 0) Map.empty[Long, Int] else writers(cur)) ++
+          touched.iterator.map(_ -> next)
+      Files.createDirectories(manifestDir)
+      val tmp = manifestDir.resolve(f".v$next%05d.tmp")
+      Files.write(tmp, newWriters.toSeq.sortBy(_._1)
+        .map { case (b, v) => s"$b,$v" }.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestDir.resolve(f"v$next%05d.manifest"),
+        StandardCopyOption.ATOMIC_MOVE)
+      next
+    } finally if (persistBatch) newPart.unpersist(blocking = false)
   }
 
   /** Union of each writer version's still-owned buckets. */
