@@ -76,7 +76,10 @@ object Tables {
     * only where measured — a pure scan pays the exchange for nothing. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val s = df.sparkSession
-    if (!s.conf.getOption("spark.graft.spread.enabled").forall(_.toBoolean))
+    // defensive parse (r19 ADVICE): a malformed dial value means "default
+    // ON", never a query-build-time IllegalArgumentException
+    if (!s.conf.getOption("spark.graft.spread.enabled")
+        .forall(v => scala.util.Try(v.trim.toBoolean).getOrElse(true)))
       return df // measurement/ablation dial; default ON
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df

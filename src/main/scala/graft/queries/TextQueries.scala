@@ -770,11 +770,13 @@ object TextQueries {
     * fans it into ≥3 branches (index + both verification sides). */
   private def shingleGidSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // spread the scan: tokenize+shingle per doc fuses into the scan stage,
-    // which on the 1-row-group gate files is a single task (Tables.spread
-    // scaladoc; no-op on production layouts)
-    val sh = Tables.spread(Tables.documents(s, dir)
-        .select($"doc_id", $"text"), $"doc_id")
+    // NOT spread (r20, reverting r19): tokenize+shingle here feeds an
+    // immediate explode + df aggregation — the first exchange already
+    // parallelizes everything downstream, and the driver's r19 bench
+    // measured the kept "marginal" spread at −17%/−14% (q52 3.66→4.42 s,
+    // q109 3.56→4.12 s) — the full-text exchange costs more than the
+    // single-task scan stage it shortens
+    val sh = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.shingles(TextFunctions.tokens($"text"), 3).as("sh"))
       .filter(size($"sh") > 0)
     val tok = sh.select($"doc_id", size($"sh").as("sz"), explode($"sh").as("tk"))
@@ -1113,11 +1115,14 @@ object TextQueries {
 
   def q61BoilerplateScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // spread the scan: tokenization (and the fingerprint mining above it)
-    // fuses into the single-task 1-row-group scan stage otherwise
-    // (Tables.spread scaladoc; no-op on production layouts)
-    val docs = Tables.spread(Tables.documents(s, dir)
-        .select($"doc_id", $"text"), $"doc_id")
+    // NOT spread (r20, reverting r19): the first stage is tokenize feeding
+    // window explodes + aggregations — the losing shape the r19 ablation
+    // boundary drew (the first exchange already parallelizes everything
+    // downstream); the driver's r19 ground truth measured the full-text
+    // spread at 7.88 s vs 3.07 s without, 32 concurrent regex/alloc-heavy
+    // tasks over shuffled megabyte text rows being GC-bound where the
+    // single scan task was not
+    val docs = Tables.documents(s, dir)
       .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
     scrubPositions(docs, coveredPositions(docs)).orderBy($"doc_id")
   }
@@ -3106,8 +3111,11 @@ object TextQueries {
     * one double division under an e6 floor over exact int64 set sizes. */
   def q112SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.spread(Tables.documents(s, dir)
-        .select($"source", $"text"), $"text") // see Tables.spread scaladoc
+    // NOT spread (r20, reverting r19): the shingle explode feeds the
+    // distinct's partial aggregation — the first exchange already
+    // parallelizes the postings join, and the driver's r19 bench measured
+    // the kept spread at −17% (2.34→2.81 s)
+    val sh = Tables.documents(s, dir)
       .select($"source", explode(
         TextFunctions.shingles(TextFunctions.tokens($"text"), 3)).as("g"))
       .distinct()
