@@ -260,9 +260,14 @@ object Bench {
 
     // pass 1: every rep bracketed by canaries — sample i's leading canary
     // is canaries(i), its trailing canary is canaries(i+1) (the next rep's
-    // leading one; one extra closes the last rep)
+    // leading one; one extra closes the last rep). `wIdx` is the index of
+    // the wakeup probe that OPENED the sample's rep cycle (the probe at
+    // wIdx+1 closes it): the register canary is proven blind to the
+    // scheduler-wakeup axis (r19 attribution), so the taint gate below
+    // also trips on the cycle's bounding wakeup probes.
     case class Sample(name: String, rep: Int, var lead: Double, var t: Double,
-                      var trail: Double, var tainted: Boolean = false)
+                      var trail: Double, var wIdx: Int = 0,
+                      var tainted: Boolean = false)
     val canaries = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = scala.collection.mutable.ListBuffer.empty[Sample]
     // production cycle first (all reps, interleaved), contrast cycle after:
@@ -286,7 +291,8 @@ object Bench {
       for (name <- cycle) {
         val lead = canary(); canaries += lead
         samples.lastOption.foreach(_.trail = lead)
-        samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead)
+        samples += Sample(name, rep, lead, timeOne(name, rep), trail = lead,
+          wIdx = wakeups.size - 1)
       }
     }
     windowProbe("closing")
@@ -295,27 +301,48 @@ object Bench {
 
     // gate: a rep is tainted when either adjacent canary ran >1.5x slower
     // than the run's median canary — CPU was stolen inside or beside its
-    // timed window. Tainted reps are re-run (bounded), each retry re-gated
-    // on its own fresh adjacent canaries.
+    // timed window — OR when either wakeup probe bounding its rep cycle
+    // read >1.5x the run's median wakeup latency (r19: 40+ entries posted
+    // >10% "regressions" from two reps inside a wakeup spike the register
+    // canary was blind to; the wakeup axis now gates too). The wakeup
+    // probes bracket a whole CYCLE, so one spike taints every rep of that
+    // cycle — intentionally: those are exactly the suspect measurements,
+    // and each retry re-gates on its own fresh adjacent probes, so a
+    // recovered window clears them in one pass while a uniformly degraded
+    // one (flat median) trips nothing.
     val cMed = median(canaries.toSeq)
+    val wMed = median(wakeups.toSeq)
     def hot(c: Double): Boolean = c > cMed * 1.5
+    def hotW(w: Double): Boolean = w > wMed * 1.5
     var retried = 0
     for (smp <- samples if smp.t >= 0) {
-      smp.tainted = hot(smp.lead) || hot(smp.trail)
+      smp.tainted = hot(smp.lead) || hot(smp.trail) ||
+        hotW(wakeups(smp.wIdx)) || hotW(wakeups(smp.wIdx + 1))
       var attempts = 0
       while (smp.tainted && attempts < 2) {
         attempts += 1; retried += 1
         System.err.println(f"[bench] rep ${smp.rep} of ${smp.name} tainted " +
-          f"(canaries ${smp.lead}%.3f/${smp.trail}%.3f vs med $cMed%.3f), retry $attempts")
+          f"(canaries ${smp.lead}%.3f/${smp.trail}%.3f vs med $cMed%.3f; " +
+          f"cycle wakeups ${wakeups(smp.wIdx)}%.1f/${wakeups(smp.wIdx + 1)}%.1f " +
+          f"vs med $wMed%.1f us), retry $attempts")
+        // fresh wakeup probes bracket the retry (fewer rounds: the retry
+        // needs a point reading, not the cycle probe's precision)
+        val wLead = wakeupCanary(rounds = 800)
         val lead = canary(); canaries += lead
         val t = timeOne(smp.name, smp.rep)
         val trail = canary(); canaries += trail
+        val wTrail = wakeupCanary(rounds = 800)
         // only adopt the retry (time AND taint verdict) when it ran; a
         // FAILED retry must not clear the original taint, else a hot
         // measurement ships with tainted_reps = 0
         if (t >= 0) {
           smp.lead = lead; smp.t = t; smp.trail = trail
-          smp.tainted = hot(lead) || hot(trail)
+          smp.tainted = hot(lead) || hot(trail) || hotW(wLead) || hotW(wTrail)
+          // the retry's own bounding probes replace the cycle probes in
+          // any FURTHER gating of this sample: point the sample at two
+          // fresh entries appended to the series
+          wakeups += wLead; wakeups += wTrail
+          smp.wIdx = wakeups.size - 2
         }
       }
     }
@@ -345,7 +372,15 @@ object Bench {
     val cMax = canaries.max
     val contrastJson = contrastNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val guardJson = guardTrips.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"guard_trips":$guardJson,"reps":$reps,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"wakeup_us_med":$wakeupMed%.1f,"wakeup_us_max":$wakeupMax%.1f,"spark_canary_med":$sparkCanMed%.3f,"spark_canary_max":$sparkCanMax%.3f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
+    // cores from the LIVE SparkContext, not the env (r19 verdict #2: the
+    // artifact must let a reader distinguish "SPARK_GRAFT_CPUS honored but
+    // the surface is overhead-bound" from "env ignored" without access to
+    // the process): sessCpus parses the actual master string, defaultPar
+    // is what the scheduler really fans tasks to
+    val sessCpus = "local\\[(\\d+)\\]".r.findFirstMatchIn(spark.sparkContext.master)
+      .map(_.group(1).toInt).getOrElse(-1)
+    val defaultPar = spark.sparkContext.defaultParallelism
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"guard_trips":$guardJson,"reps":$reps,"cpus":$sessCpus,"default_parallelism":$defaultPar,"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"wakeup_us_med":$wakeupMed%.1f,"wakeup_us_max":$wakeupMax%.1f,"spark_canary_med":$sparkCanMed%.3f,"spark_canary_max":$sparkCanMax%.3f,"tainted_reps":$taintedReps,"retried_reps":$retried,"contrast_cycle":$contrastJson,"sf":"$sfDir"}""")
 
     // Durable per-query artifact (r10 verdict #2: the driver's log tail
     // truncates mid-JSON, losing the numbers for whole query families).
@@ -371,7 +406,7 @@ object Bench {
       val wakeupsJson = wakeups.map(w => f"$w%.1f").mkString("[", ",", "]")
       val sparkCanJson = sparkCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
       val json =
-        f"""{"sf":"$sfDir","reps":$reps,"total_s":$total%.3f,"failed":$failed,"guard_trips":$guardJson,
+        f"""{"sf":"$sfDir","reps":$reps,"cpus":$sessCpus,"default_parallelism":$defaultPar,"total_s":$total%.3f,"failed":$failed,"guard_trips":$guardJson,
            |"canary_med":$cMed%.4f,"canary_max":$cMax%.4f,"tainted_reps":$taintedReps,"retried_reps":$retried,
            |"wakeup_us_med":$wakeupMed%.1f,"wakeup_us_max":$wakeupMax%.1f,"wakeup_us":$wakeupsJson,
            |"spark_canary_med":$sparkCanMed%.3f,"spark_canary_max":$sparkCanMax%.3f,"spark_canary_s":$sparkCanJson,
