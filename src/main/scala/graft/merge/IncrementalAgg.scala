@@ -48,62 +48,73 @@ final class IncrementalAgg(
     // localCheckpoint + dynamic-partition-overwrite path
     val stageSwap = spark.conf
       .getOption("spark.graft.merge.stageswap").forall(_.toBoolean)
-    // Unlike MergeSink/VersionedSink, the batch is NOT persisted across its
-    // two consumers: the touched probe prunes the partials plan to the key
-    // column alone, and caching the full-width aggregate costs more than
-    // recomputing that pruned plan (measured r19: q96 1.48x slower with the
-    // persist, same-JVM A/B) — the caller's partials are one-row-per-key
-    // already, so the second evaluation is cheap by construction.
     val newPart = withPart(partials)
-    locally {
-      val touched = newPart.select(partCol).distinct()
-        .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
-      if (touched.isEmpty) return
+    // existence must resolve through the Hadoop FileSystem for tableDir's
+    // scheme: java.io.File is local-only, and on HDFS/S3 (the 100 TB
+    // deployment) it would silently report the stored state absent, making
+    // every update overwrite the view with only the latest batch's partials
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The partials plan is evaluated twice (a key-column-pruned probe, then
+    // the fold): the r19 same-JVM A/B measured persisting it across the two
+    // consumers 1.48x SLOWER, and an r20 attempt to land the batch in a
+    // staging dir first (one evaluation, dir listing as the probe) measured
+    // 1.30x SLOWER at bench protocol (BENCH_TIMINGS_r20mid q96 4.27→5.55 —
+    // the parquet write+readback costs more than the pruned re-evaluation)
+    // and was REVERTED. The probe stays.
+    val touched = newPart.select(partCol).distinct()
+      .collect().map(_.getLong(0)) // bounded by numBuckets — driver-safe
+    if (touched.isEmpty) return
+    val existingOpt =
+      if (tableFs.exists(tablePath))
+        Some(spark.read.parquet(tableDir)
+          .filter(col(partCol).isin(touched.toSeq: _*)))
+      else None
+    val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
+    val merged = all
+      .groupBy(col(keyCol), col(partCol))
+      .agg(combiners.head._2(col(combiners.head._1)).as(combiners.head._1),
+        combiners.tail.map { case (c, f) => f(col(c)).as(c) }: _*)
 
-      // existence must resolve through the Hadoop FileSystem for tableDir's
-      // scheme: java.io.File is local-only, and on HDFS/S3 (the 100 TB
-      // deployment) it would silently report the stored state absent, making
-      // every update overwrite the view with only the latest batch's partials
-      val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-      val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val existingOpt =
-        if (tableFs.exists(tablePath))
-          Some(spark.read.parquet(tableDir)
-            .filter(col(partCol).isin(touched.toSeq: _*)))
-        else None
-      val all = existingOpt.map(_.unionByName(newPart)).getOrElse(newPart)
-
-      val merged = all
-        .groupBy(col(keyCol), col(partCol))
-        .agg(combiners.head._2(col(combiners.head._1)).as(combiners.head._1),
-          combiners.tail.map { case (c, f) => f(col(c)).as(c) }: _*)
-
-      // stage + swap instead of localCheckpoint + dynamic overwrite (see
-      // MergeSink.merge): the fold is computed exactly once, straight to a
-      // sibling staging dir, then the touched bucket dirs rename into place.
-      // Crash envelope unchanged from dynamic overwrite (not atomic across
-      // buckets either) — but NOTE: unlike MergeSink, a partially-applied
-      // fold is NOT idempotent to re-apply; the recovery is the checkpoint
-      // rollback / state re-seed already required by the class contract.
-      if (stageSwap) {
-        val stagingPath = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+    // stage + swap instead of localCheckpoint + dynamic overwrite (see
+    // MergeSink.merge): the fold is computed exactly once, straight to a
+    // nonce'd sibling staging dir, then the touched bucket dirs rename
+    // into place RECOVERABLY (r19 ADVICE — this matters MORE here than
+    // in MergeSink, because a fold is NOT idempotent to re-apply): the
+    // live bucket is only touched when its staged replacement exists,
+    // and it moves aside (outside tableDir, invisible to readers) before
+    // the staged copy renames in — a crash between the two renames
+    // leaves the accumulated state recoverable from the aside copy
+    // instead of destroying it, and the next update's staging write can
+    // no longer clobber an orphaned staged copy (fresh nonce per fold).
+    if (stageSwap) {
+      val stagingPath = new org.apache.hadoop.fs.Path(
+        tableDir + s"__staging-${java.lang.System.nanoTime()}")
+      try {
         merged.write.partitionBy(partCol)
           .mode(SaveMode.Overwrite).parquet(stagingPath.toString)
         if (!tableFs.exists(tablePath)) tableFs.mkdirs(tablePath)
+        val asideRoot = new org.apache.hadoop.fs.Path(
+          stagingPath.toString + "__aside")
         for (p <- touched) {
           val src = new org.apache.hadoop.fs.Path(stagingPath, s"$partCol=$p")
           val dst = new org.apache.hadoop.fs.Path(tablePath, s"$partCol=$p")
-          if (tableFs.exists(dst)) tableFs.delete(dst, true)
-          if (tableFs.exists(src)) tableFs.rename(src, dst)
+          if (tableFs.exists(src)) {
+            if (tableFs.exists(dst)) {
+              tableFs.mkdirs(asideRoot)
+              tableFs.rename(dst, new org.apache.hadoop.fs.Path(asideRoot, s"$partCol=$p"))
+            }
+            tableFs.rename(src, dst)
+          }
         }
-        tableFs.delete(stagingPath, true)
-      } else {
-        merged.localCheckpoint(true).write
-          .partitionBy(partCol)
-          .option("partitionOverwriteMode", "dynamic")
-          .mode(SaveMode.Overwrite)
-          .parquet(tableDir)
-      }
+        tableFs.delete(asideRoot, true)
+      } finally tableFs.delete(stagingPath, true)
+    } else {
+      merged.localCheckpoint(true).write
+        .partitionBy(partCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(tableDir)
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,9 +14,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch rewrites ONLY the buckets its keys touch (dynamic partition
   * overwrite), reading back just those buckets for the merge — at 100 TB a
   * micro-batch touching 0.1% of keys rewrites ~0.1% of the table, not all
-  * of it. Within a rewrite, the merge itself is one window over the key —
-  * the same `row_number` latest-wins the batch-twin query q16 verifies
-  * against DuckDB.
+  * of it. Within a rewrite, the merge itself is one combinable per-key
+  * `max_by` aggregate picking the same winner as the `row_number`
+  * latest-wins window the batch-twin query q16 verifies against DuckDB.
   */
 final class MergeSink(
     spark: SparkSession,
@@ -87,35 +86,75 @@ final class MergeSink(
         .map(_.name).sorted.map(c => col(c))
       val contentHash =
         if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
-      val merged = all
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      // latest-wins as a COMBINABLE aggregate (r20, guide §2.3 "aggregate
+      // before you shuffle"; the r19 verdict asked the batch side to be
+      // pre-reduced before the per-key window — the max_by form gets that
+      // for free as map-side partial aggregation, so a batch carrying many
+      // changes per key ships one partial winner per key per map task
+      // instead of every row into a per-key sort): the winner under
+      // `row_number() OVER (PARTITION BY key ORDER BY orderCols DESC,
+      // hash DESC) = 1` is exactly the row whose (orderCols, hash) tuple
+      // is the lexicographic MAX — desc ordering puts NULL last, struct
+      // comparison puts NULL first ascending, so the two agree on the
+      // winner (identical full-row ties are the same row either way).
+      val ordKey = struct(orderCols.map(c => col(c)) :+ contentHash: _*)
+      // A/B dial (default ON, same discipline as stageswap): the off leg
+      // is the r19 row_number window form — MergeSinkSpec pins the two
+      // forms pick the same winner
+      val maxBy = spark.conf
+        .getOption("spark.graft.merge.maxby").forall(_.toBoolean)
+      val merged = if (maxBy)
+        all.groupBy(col(keyCol))
+          .agg(max_by(struct(all.columns.map(col): _*), ordKey).as("__w"))
+          .select(col("__w.*"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
 
       // stage + swap instead of localCheckpoint + dynamic overwrite: the
       // checkpoint existed only because the table dir is also a read source
       // of the merge plan. Writing the winners to a SIBLING staging dir
       // computes the merge exactly once (no block materialization + block
       // re-read on the write path — one fewer job and one fewer pass over
-      // the touched buckets), then each touched bucket dir swaps in with a
-      // filesystem rename. Crash envelope unchanged: dynamic partition
-      // overwrite is not atomic across buckets either, and a crash mid-swap
-      // leaves a partially-applied batch that re-applying this idempotent
-      // merge converges.
+      // the touched buckets), then each touched bucket dir swaps in with
+      // filesystem renames. The staging dir carries a per-merge nonce:
+      // foreachBatch serializes the streaming path, but nothing enforced
+      // the single-writer assumption — two concurrent merges now cannot
+      // overwrite each other's staged output mid-swap (r19 ADVICE).
       if (stageSwap) {
-        val stagingPath = new org.apache.hadoop.fs.Path(tableDir + "__staging")
-        merged.write.partitionBy(partCol)
-          .mode(SaveMode.Overwrite).parquet(stagingPath.toString)
-        if (!fs.exists(tablePath)) fs.mkdirs(tablePath)
-        for (p <- touched) {
-          val src = new org.apache.hadoop.fs.Path(stagingPath, s"$partCol=$p")
-          val dst = new org.apache.hadoop.fs.Path(tablePath, s"$partCol=$p")
-          if (fs.exists(dst)) fs.delete(dst, true)
-          if (fs.exists(src)) fs.rename(src, dst)
-        }
-        fs.delete(stagingPath, true)
+        val stagingPath = new org.apache.hadoop.fs.Path(
+          tableDir + s"__staging-${java.lang.System.nanoTime()}")
+        try {
+          merged.write.partitionBy(partCol)
+            .mode(SaveMode.Overwrite).parquet(stagingPath.toString)
+          if (!fs.exists(tablePath)) fs.mkdirs(tablePath)
+          // each bucket swaps RECOVERABLY (r19 ADVICE): the live bucket is
+          // only touched when its staged replacement exists (a touched
+          // bucket can be absent from a non-deterministic batch plan
+          // evaluated twice — it must then be LEFT ALONE, not deleted),
+          // and it moves ASIDE (outside tableDir, invisible to readers)
+          // rather than being deleted before the rename — a crash between
+          // the two renames leaves both the staged and the aside copy on
+          // disk for recovery instead of neither.
+          val asideRoot = new org.apache.hadoop.fs.Path(
+            stagingPath.toString + "__aside")
+          for (p <- touched) {
+            val src = new org.apache.hadoop.fs.Path(stagingPath, s"$partCol=$p")
+            val dst = new org.apache.hadoop.fs.Path(tablePath, s"$partCol=$p")
+            if (fs.exists(src)) {
+              if (fs.exists(dst)) {
+                fs.mkdirs(asideRoot)
+                fs.rename(dst, new org.apache.hadoop.fs.Path(asideRoot, s"$partCol=$p"))
+              }
+              fs.rename(src, dst)
+            }
+          }
+          fs.delete(asideRoot, true)
+        } finally fs.delete(stagingPath, true)
       } else {
         // dynamic overwrite: only the touched part= directories are replaced;
         // the checkpoint materializes because the table dir is also a read

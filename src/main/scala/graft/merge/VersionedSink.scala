@@ -6,7 +6,6 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Versioned latest-wins merge sink with TIME-TRAVEL reads — the
@@ -70,9 +69,9 @@ final class VersionedSink(
       }.toMap
   }
 
-  /** Merge one batch (latest row per key wins — MergeSink's exact window,
-    * content-hash tie-break included) into version `currentVersion + 1`.
-    * Returns the new version number. */
+  /** Merge one batch (latest row per key wins — MergeSink's exact winner
+    * rule, content-hash tie-break included) into version
+    * `currentVersion + 1`. Returns the new version number. */
   def merge(batch: DataFrame): Int = {
     val cur = currentVersion
     val next = cur + 1
@@ -106,16 +105,27 @@ final class VersionedSink(
         .map(_.name).sorted.map(c => col(c))
       val contentHash =
         if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L)
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
+      // latest-wins as a COMBINABLE max_by aggregate — same winner as the
+      // historical per-key window, pre-reduced map-side (see
+      // MergeSink.merge for the ordering-equivalence argument)
+      val ordKey = struct(orderCols.map(c => col(c)) :+ contentHash: _*)
       // no localCheckpoint (unlike MergeSink's historical need): every merge
       // writes a FRESH version directory, so the write target is never also
       // a read source of this plan — the winners stream straight to parquet,
       // computed exactly once
-      val merged0 = all
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      val maxBy = spark.conf
+        .getOption("spark.graft.merge.maxby").forall(_.toBoolean)
+      val merged0 = if (maxBy)
+        all.groupBy(col(keyCol))
+          .agg(max_by(struct(all.columns.map(col): _*), ordKey).as("__w"))
+          .select(col("__w.*"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(orderCols.map(c => col(c).desc) :+ contentHash.desc: _*)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
       val merged = if (stageSwap) merged0 else merged0.localCheckpoint(true)
 
       // data first (an orphan dir from a crashed attempt is overwritten),

@@ -1039,7 +1039,7 @@ object StreamQueries {
     * with `maxFilesPerTrigger=1`, so Trigger.AvailableNow runs one
     * micro-batch per file and the no-reemission contract is exercised
     * ACROSS batches (state written by batch k must suppress the same key in
-    * batch k+7), not just within one. q86 gates the custom
+    * batch k+3), not just within one. q86 gates the custom
     * mapGroupsWithState first-arrival dedup; this row gates the engine's
     * own operator.
     *
@@ -1061,8 +1061,14 @@ object StreamQueries {
     val root = graft.util.HarnessDirs.newDir("q107")
 
     val ev = graft.Tables.events(s, dir).select($"user_id", $"event_type")
+    // 4 source files = 4 micro-batches (r20, was 8): the certified property
+    // is CROSS-batch suppression, which any multi-batch split exercises —
+    // the r20 decomposition split q107's wall as ~0.5 s PER micro-batch
+    // (state commit + sink commit + planning, constant per batch at gate
+    // scale), so the extra four batches bought nothing the first four
+    // don't certify
     ev.select(to_json(struct($"user_id", $"event_type")).as("value"))
-      .repartition(8)
+      .repartition(4)
       .write.mode("overwrite").text(s"$root/src")
 
     val src = s.readStream.schema("value STRING")
@@ -1118,8 +1124,9 @@ object StreamQueries {
 
     val ev = graft.Tables.events(s, dir)
       .select(unix_millis($"ts").as("ms"), $"user_id", $"event_type")
+    // 4 source files = 4 micro-batches (r20, was 8) — q107's reasoning
     ev.select(to_json(struct($"ms", $"user_id", $"event_type")).as("value"))
-      .repartition(8)
+      .repartition(4)
       .write.mode("overwrite").text(s"$root/src")
 
     val src = s.readStream.schema("value STRING")
@@ -1531,13 +1538,25 @@ object StreamQueries {
           .awaitTermination()
       }
     }
-    jsonRows(ev.filter($"event_id" % 2 === 0).orderBy($"ms", $"event_id"))
-      .coalesce(1).write.mode("overwrite").text(s"$root/src/b1")
-    graft.util.FsUtil.pinMtimes(s"$root/src/b1", 1000000L)
+    // both corpus-sized waves in ONE write job (r20, guide §2.4 — the q253
+    // stash recipe): wave B lands in a stash and renames into the watched
+    // dir only after wave A's drain, so the restart boundary sees the same
+    // file sequence as the two per-wave writes did
+    ev.withColumn("w", $"event_id" % 2)
+      .repartition(1)
+      .sortWithinPartitions($"w", $"ms", $"event_id")
+      .select($"w", to_json(struct($"ms", $"user_id", $"event_type",
+        $"event_id", $"value")).as("value"))
+      .write.mode("overwrite").partitionBy("w").text(s"$root/stash")
+    new java.io.File(s"$root/src").mkdirs()
+    def publish(stashPart: String, dst: String, ts: Long): Unit = {
+      graft.util.FsUtil.pinMtimes(s"$root/stash/$stashPart", ts)
+      require(new java.io.File(s"$root/stash/$stashPart")
+        .renameTo(new java.io.File(s"$root/src/$dst")), s"failed to publish $dst")
+    }
+    publish("w=0", "b1", 1000000L)
     drain()
-    jsonRows(ev.filter($"event_id" % 2 === 1).orderBy($"ms", $"event_id"))
-      .coalesce(1).write.mode("overwrite").text(s"$root/src/b2")
-    graft.util.FsUtil.pinMtimes(s"$root/src/b2", 2000000L)
+    publish("w=1", "b2", 2000000L)
     jsonRows(Seq((maxA + 864000000L, -1L, "__flush", -1L, 0.0))
       .toDF("ms", "user_id", "event_type", "event_id", "value"))
       .coalesce(1).write.mode("overwrite").text(s"$root/src/b3")
@@ -1610,23 +1629,37 @@ object StreamQueries {
           .awaitTermination()
       }
     }
-    def writeWave(wave: Int): Unit = {
-      ev.filter($"event_id" % 3 === wave).orderBy($"ms", $"event_id")
-        .select(to_json(struct($"ms", $"user_id", $"event_type",
-          $"event_id", $"value")).as("value"))
-        .coalesce(1).write.mode("overwrite").text(s"$root/src/w$wave")
-      graft.util.FsUtil.pinMtimes(s"$root/src/w$wave", 1000000L * (wave + 1))
+    // ALL three waves in ONE write job (r20, guide §2.4 fewer passes: the
+    // r19 harness paid three full scan+sort+write jobs, one per wave) —
+    // the single sorted task writes one file per wave dir with the same
+    // per-wave (ms, event_id) row order the per-wave writes produced.
+    // Waves land in a stash and RENAME into the watched source dir at the
+    // moment the old code wrote them (renames preserve the pinned mtimes
+    // and cost no job), so the checkpointed restart boundary sees the
+    // exact same file sequence.
+    ev.withColumn("w", $"event_id" % 3)
+      .repartition(1)
+      .sortWithinPartitions($"w", $"ms", $"event_id")
+      .select($"w", to_json(struct($"ms", $"user_id", $"event_type",
+        $"event_id", $"value")).as("value"))
+      .write.mode("overwrite").partitionBy("w").text(s"$root/stash")
+    def publishWave(wave: Int): Unit = {
+      graft.util.FsUtil.pinMtimes(s"$root/stash/w=$wave", 1000000L * (wave + 1))
+      val moved = new java.io.File(s"$root/stash/w=$wave")
+        .renameTo(new java.io.File(s"$root/src/w$wave"))
+      require(moved, s"failed to publish wave $wave")
     }
+    new java.io.File(s"$root/src").mkdirs()
     // wave 0 drains alone, then a checkpointed RESTART picks up waves 1+2
     // as two mtime-ordered micro-batches of ONE query: the restart
     // boundary the entry certifies survives with half the r18 query-start
     // overhead (the r19 StreamDecompose split showed 3 starts paying
     // ~9 s of harness around 12 s of merge work; micro-batch boundaries
     // are the q244 recipe and merge-per-batch is unchanged)
-    writeWave(0)
+    publishWave(0)
     drain()
-    writeWave(1)
-    writeWave(2)
+    publishWave(1)
+    publishWave(2)
     drain()
     sink.read()
       .select($"user_id", $"event_id", $"event_type", $"value")

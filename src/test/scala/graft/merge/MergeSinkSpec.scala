@@ -172,6 +172,38 @@ class MergeSinkSpec extends SparkSpec {
     assert(sink.read().collect().map(_.getString(1)).toSeq === Seq("a-new"))
   }
 
+  test("max_by winner == row_number window winner (incl. NULL order values and ties)") {
+    // r20 pinned: the merge's combinable per-key max_by aggregate must pick
+    // exactly the row `row_number() OVER (PARTITION BY key ORDER BY ts DESC,
+    // hash DESC) = 1` picks — including NULL ts (desc = NULLS LAST; struct
+    // max treats null as smallest: same winner) and (key, ts) ties (the
+    // content-hash tie-break)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "a-old", Some(10L)), (1L, "a-new", Some(20L)), (1L, "a-null", None),
+      (2L, "b-null1", None), (2L, "b-null2", None), // all-null group: hash decides
+      (3L, "tie-x", Some(5L)), (3L, "tie-y", Some(5L)), // ts tie: hash decides
+      (4L, "only", Some(1L)))
+    val df = rows.toDF("id", "name", "ts")
+    val sink = new MergeSink(spark, tmpDir("merge-maxby") + "/t", "id",
+      Seq("ts"), numBuckets = 4)
+    sink.merge(df)
+    val got = sink.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // reference: the historical window form over the same hash expression —
+    // the sink hashes the merge relation's FULL column set, which includes
+    // its internal __part bucket column
+    val withPart = df.withColumn("__part", pmod(xxhash64($"id"), lit(4)))
+    val hash = xxhash64(Seq("__part", "id", "name", "ts").sorted.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"id")
+      .orderBy($"ts".desc, hash.desc)
+    val want = withPart.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+  }
+
   test("schema evolution on the merge path: batches may add or omit columns") {
     val s = spark
     import s.implicits._
