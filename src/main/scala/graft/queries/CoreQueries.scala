@@ -1048,27 +1048,37 @@ object CoreQueries {
       val n = Tables.customer(s, dir).count() // registry-level stat, one scalar
       return q164RecordLinkageWithK(s, dir, heurOf(math.max(n, 1)))
     }
-    // EVERY width's block volume in ONE job: each record's 9-digit tail
-    // (side-tagged union of both registries) explodes into its 7 nested
-    // tails (k = 3..9), one two-level aggregation reduces to 7 rows —
-    // (k, pairs, hottest, |A|) — and the driver picks from the collected
-    // handful. The first cut of this guard probed width-by-width against
-    // a persisted tail-frequency relation and its 4-job footprint cost
-    // 1.4 s at sf0.1 (3.4x the entry itself) in pure job overhead; the
-    // probe is now job-count-flat at any width, the q269 lesson.
-    val widths = (3 to 9).map(k =>
-      struct(lit(k).as("k"), expr(s"right(t9, $k)").as("tk")))
+    // EVERY width's block volume in ONE job AND ONE SCAN: registry B is a
+    // deterministic function of the same customer row (corruption + the %7
+    // drop), so each row contributes its A-tail and — when B-eligible —
+    // its CORRUPTED B-tail in a single pass (r20; the r19 probe unioned
+    // two scans of the registry, one per side, and the scan was half the
+    // probe's cost). Each record's 9-char tail explodes into its 7 nested
+    // widths (k = 3..9) per side, one two-level aggregation reduces to 7
+    // rows — (k, pairs, hottest, |A|) — and the driver picks from the
+    // collected handful. The first cut of this guard probed width-by-width
+    // against a persisted tail-frequency relation and its 4-job footprint
+    // cost 1.4 s at sf0.1 (3.4x the entry itself) in pure job overhead;
+    // the probe is job-count-flat at any width, the q269 lesson.
+    val sides = (3 to 9).flatMap(k => Seq(
+      struct(lit(k).as("k"), expr(s"right(t9a, $k)").as("tk"),
+        lit(1L).as("ca"), lit(0L).as("cb"), lit(true).as("keep")),
+      struct(lit(k).as("k"), expr(s"right(t9b, $k)").as("tk"),
+        lit(0L).as("ca"), lit(1L).as("cb"), col("inb").as("keep"))))
     val stats = Tables.customer(s, dir)
-      .select(expr("right(c_name, 9)").as("t9"),
-        lit(1L).as("ca"), lit(0L).as("cb"))
-      .unionAll(Tables.customer(s, dir)
-        .filter(col("c_custkey") % 7 =!= 0)
-        .select(expr("right(CASE WHEN c_custkey % 4 = 0 " +
-          "THEN 'Custmer' || substring(c_name, 9) ELSE c_name END, 9)").as("t9"),
-          lit(0L).as("ca"), lit(1L).as("cb")))
-      .select(explode(array(widths: _*)).as("e"), col("ca"), col("cb"))
+      .select(expr("right(c_name, 9)").as("t9a"),
+        // the corrupted-name expression mirrors q164RecordLinkageWithK's
+        // `name_b` verbatim so the probe measures the ACTUAL join key even
+        // on corpora whose names are shorter than the corruption's 8-char
+        // prefix; `inb` marks the rows registry B retains
+        expr("right(CASE WHEN c_custkey % 4 = 0 " +
+          "THEN 'Custmer' || substring(c_name, 9) ELSE c_name END, 9)")
+          .as("t9b"),
+        (col("c_custkey") % 7 =!= 0).as("inb"))
+      .select(explode(array(sides: _*)).as("e"))
+      .filter(col("e.keep")) // drops the B-side of %7-dropped rows
       .groupBy(col("e.k").as("k"), col("e.tk"))
-      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .agg(sum(col("e.ca")).as("ca"), sum(col("e.cb")).as("cb"))
       .groupBy(col("k"))
       .agg(sum(col("ca") * col("cb")).as("pairs"),
         max(col("ca") * col("cb")).as("hottest"),
@@ -1859,13 +1869,22 @@ object CoreQueries {
     * O(V). No collects, no broadcasts that grow with SF. */
   def q139PageRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // pairs pinned ONCE (r20, guide §2.4): the r19 executed plan showed the
+    // union-of-two-projections symmetrization evaluating the join+distinct
+    // subtree TWICE (two hashpartitioning(cu, su) exchanges — the union
+    // branches' re-aliased attribute ids defeat ReuseExchange), and edges
+    // has two consumers (deg, eo) on top of that. One explode doubles each
+    // pinned pair row into its two directions in a single pass.
     val pairs = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
       .distinct()
-    val edges = pairs.select($"cu".as("src"), $"su".as("dst"))
-      .unionByName(pairs.select($"su".as("src"), $"cu".as("dst")))
+      .localCheckpoint()
+    val edges = pairs.select(explode(array(
+        struct($"cu".as("src"), $"su".as("dst")),
+        struct($"su".as("src"), $"cu".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     // Edge relation with out-degrees, pinned once for the 5 reuses below —
     // bounded by |E| on executors (the iterative-graph contract, q52's
@@ -3521,8 +3540,12 @@ object CoreQueries {
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
       .distinct()
-    val edges = pairs.select($"cu".as("src"), $"su".as("dst"))
-      .unionByName(pairs.select($"su".as("src"), $"cu".as("dst")))
+    // single-pass explode symmetrization (r20, q139's reasoning: the union
+    // form evaluated the join+distinct once per branch)
+    val edges = pairs.select(explode(array(
+        struct($"cu".as("src"), $"su".as("dst")),
+        struct($"su".as("src"), $"cu".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
       .repartition($"src").localCheckpoint()
     val seeds = edges.select($"src".as("node")).distinct()
       .filter($"node" % 200 === 0)
@@ -3692,8 +3715,11 @@ object CoreQueries {
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
       .distinct()
-    var e = pairs.select($"cu".as("src"), $"su".as("dst"))
-      .unionByName(pairs.select($"su".as("src"), $"cu".as("dst")))
+    // single-pass explode symmetrization (r20, q139's reasoning)
+    var e = pairs.select(explode(array(
+        struct($"cu".as("src"), $"su".as("dst")),
+        struct($"su".as("src"), $"cu".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
       .repartition($"src").localCheckpoint()
     for (_ <- 1 to 3) {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
@@ -4021,8 +4047,11 @@ object CoreQueries {
         $"l_orderkey" === $"o_orderkey")
       .groupBy(($"o_custkey" * 2).as("cu"), ($"l_suppkey" * 2 + 1).as("su"))
       .agg(greatest(lit(1L), min(floor($"l_quantity")).cast("long")).as("w"))
-    val edges = pw.select($"cu".as("src"), $"su".as("dst"), $"w")
-      .unionByName(pw.select($"su".as("src"), $"cu".as("dst"), $"w"))
+    // single-pass explode symmetrization (r20, q139's reasoning)
+    val edges = pw.select(explode(array(
+        struct($"cu".as("src"), $"su".as("dst"), $"w"),
+        struct($"su".as("src"), $"cu".as("dst"), $"w"))).as("e"))
+      .select($"e.src", $"e.dst", $"e.w")
       .repartition($"src").localCheckpoint()
     // Dirty-set Bellman–Ford: round k relaxes only edges leaving nodes
     // IMPROVED in round k-1 — a relaxation through an unchanged node was
@@ -4228,19 +4257,46 @@ object CoreQueries {
         floor(($"v" + $"vmax") / ($"vmax" * 2 + 1e-9) * nb).cast("long"))))
       .select($"rf", $"slope_e6", $"bucket")
     val wB = Window.partitionBy($"rf").orderBy($"bucket")
-    val tgt = b.groupBy($"rf", $"bucket").agg(count(lit(1)).as("bn"))
-      .withColumn("nBefore", coalesce(sum($"bn").over(
-        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .join(broadcast(ext.select($"rf", $"cnt")), "rf")
-      .withColumn("t", expr("(cnt + 1) div 2"))
-      .filter($"nBefore" < $"t" && $"t" <= $"nBefore" + $"bn")
-      .select($"rf", $"bucket", $"nBefore", $"t", $"cnt")
-    val wIn = Window.partitionBy($"rf", $"bucket").orderBy($"slope_e6")
-    b.join(broadcast(tgt), Seq("rf", "bucket"))
-      .withColumn("rn", row_number().over(wIn))
-      .filter($"nBefore" + $"rn" === $"t")
-      .select($"rf", $"cnt".as("n_pairs"), $"slope_e6".as("slope_med_e6"))
-      .orderBy($"rf")
+    // ONE-PASS selection (r20, default ON; A/B dial keeps the r19 two-pass
+    // leg): the r19 verdict asked for a single slope generation — here one
+    // groupBy(rf, bucket) collects BOTH the bucket count and the bucket's
+    // sorted values (collect_list partials combine map-side, so the
+    // exchange carries each slope exactly once, grouped), the running-sum
+    // window over the tiny (rf, bucket) relation locates the rank-t
+    // bucket, and element_at picks the median from the already-sorted
+    // array — no second 9.4M-row regeneration, no per-bucket sort job.
+    // Memory is bounded at ANY corpus scale: the pair table is
+    // calendar-bounded (|days|²/2 per flag), so a bucket's array is
+    // ≤ ~n/1024 longs by the signed-log spread.
+    val onePass = s.conf
+      .getOption("spark.graft.theilsen.onepass").forall(_.toBoolean)
+    if (onePass) {
+      b.groupBy($"rf", $"bucket")
+        .agg(count(lit(1)).as("bn"),
+          sort_array(collect_list($"slope_e6")).as("vals"))
+        .withColumn("nBefore", coalesce(sum($"bn").over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(ext.select($"rf", $"cnt")), "rf")
+        .withColumn("t", expr("(cnt + 1) div 2"))
+        .filter($"nBefore" < $"t" && $"t" <= $"nBefore" + $"bn")
+        .select($"rf", $"cnt".as("n_pairs"),
+          element_at($"vals", ($"t" - $"nBefore").cast("int")).as("slope_med_e6"))
+        .orderBy($"rf")
+    } else {
+      val tgt = b.groupBy($"rf", $"bucket").agg(count(lit(1)).as("bn"))
+        .withColumn("nBefore", coalesce(sum($"bn").over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(broadcast(ext.select($"rf", $"cnt")), "rf")
+        .withColumn("t", expr("(cnt + 1) div 2"))
+        .filter($"nBefore" < $"t" && $"t" <= $"nBefore" + $"bn")
+        .select($"rf", $"bucket", $"nBefore", $"t", $"cnt")
+      val wIn = Window.partitionBy($"rf", $"bucket").orderBy($"slope_e6")
+      b.join(broadcast(tgt), Seq("rf", "bucket"))
+        .withColumn("rn", row_number().over(wIn))
+        .filter($"nBefore" + $"rn" === $"t")
+        .select($"rf", $"cnt".as("n_pairs"), $"slope_e6".as("slope_med_e6"))
+        .orderBy($"rf")
+    }
   }
 
   /** q245 oracle: identical daily fold, slope grid, and lower-median

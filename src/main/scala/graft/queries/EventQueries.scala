@@ -2639,9 +2639,16 @@ object EventQueries {
     val steps = kept
       .withColumn("src", coalesce(lag($"st", 1).over(w2), lit("START")))
       .withColumn("mx", max($"rn").over(Window.partitionBy($"u")))
-    val tr = steps.select($"src", $"st".as("dst"))
-      .unionByName(steps.filter($"rn" === $"mx" && $"st" =!= "CONV")
-        .select($"st".as("src"), lit("END").as("dst")))
+    // one pass over `steps` (r20, q139's union-duplication reasoning: the
+    // union form re-evaluated the two-window chain once per branch): every
+    // row emits its transition, and a journey's last non-converting row
+    // additionally emits the absorbing END hop — a conditional explode
+    val hop = struct($"src", $"st".as("dst"))
+    val endHop = struct($"st".as("src"), lit("END").as("dst"))
+    val tr = steps.select(explode(
+        when($"rn" === $"mx" && $"st" =!= "CONV", array(hop, endHop))
+          .otherwise(array(hop))).as("e"))
+      .select($"e.src", $"e.dst")
     val cnt = tr.groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy($"src").agg(sum($"c").as("t"))
     def absorbing = Seq(("CONV", 1000000L), ("END", 0L))
